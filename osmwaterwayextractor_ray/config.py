@@ -1,0 +1,106 @@
+"""Engine configuration.
+
+Mirrors the reference's ``Config`` dataclass (osm_waterway_extractor.py:99-162)
+field-for-field where the field affects results, plus Ray-engine execution
+knobs (cell sizes, batch sizes, concurrency) that the single-process
+reference has no counterpart for.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+
+@dataclass
+class Config:
+    # --- result-affecting parameters (parity with reference defaults) ---
+    snap_tolerance_m: float = 2.0
+    min_fragment_length_m: float = 50.0
+    coordinate_precision: int = 6
+    distance_calculation_method: str = "geodesic"  # "geodesic" | "haversine" | "approximate"
+    waterway_types: list[str] = field(default_factory=lambda: ["river", "canal"])
+
+    enable_geometry_simplification: bool = True
+    simplification_tolerance_m: float = 1.0
+
+    enable_intersection_detection: bool = True
+
+    max_displacement_multiplier: float = 1.5
+    warning_displacement_multiplier: float = 1.2
+    max_cluster_size_warning: int = 10
+
+    hash_length: int = 8  # chars of base62(xxh64) kept in ids (ref :1106)
+
+    # --- Ray execution knobs (new engine only; do not affect results) ---
+    # Equal-angle grid cell edge in degrees used for all spatial shuffles
+    # (~1.1 km at the equator for 0.01 — comparable to H3 res 7 / S2 level 12
+    # cell sizes named in the north-star; see functions/cells.py).
+    cluster_cell_deg: float = 0.01
+    intersect_cell_deg: float = 0.05
+    batch_size: int = 4096
+    # Cells whose group exceeds this row count get salted into sub-buckets
+    # before pairwise work (hot coastal/river cells).
+    hot_cell_row_limit: int = 50_000
+
+    # --- checkpointing ---
+    enable_checkpoints: bool = False
+    checkpoint_dir: str = "/tmp/wwx_checkpoints"
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    def result_params(self) -> dict[str, Any]:
+        """Parameters that affect pipeline *results* (not execution layout)."""
+        keys = [
+            "snap_tolerance_m",
+            "min_fragment_length_m",
+            "coordinate_precision",
+            "distance_calculation_method",
+            "waterway_types",
+            "enable_geometry_simplification",
+            "simplification_tolerance_m",
+            "enable_intersection_detection",
+            "max_displacement_multiplier",
+            "hash_length",
+        ]
+        d = asdict(self)
+        return {k: d[k] for k in keys}
+
+    def step_param_hash(self, step: str) -> str:
+        """Per-step lineage hash, mirroring the reference's parameter-based
+        cache keys (osm_waterway_extractor.py:245-334): the hash covers the
+        transitive closure of parameters affecting that step, so changing
+        e.g. ``snap_tolerance_m`` invalidates clustering onward but keeps
+        the cleaned/simplified checkpoints."""
+        closure = {
+            "processed": ["coordinate_precision", "waterway_types"],
+            "simplified": [
+                "coordinate_precision",
+                "waterway_types",
+                "enable_geometry_simplification",
+                "simplification_tolerance_m",
+            ],
+            "intersections": [
+                "coordinate_precision",
+                "waterway_types",
+                "enable_geometry_simplification",
+                "simplification_tolerance_m",
+                "enable_intersection_detection",
+                "snap_tolerance_m",
+            ],
+        }
+        base = closure.get(step)
+        params = (
+            {k: asdict(self)[k] for k in base} if base is not None else self.result_params()
+        )
+        blob = json.dumps({"step": step, "params": params}, sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
