@@ -1,0 +1,80 @@
+"""Flagship pipeline — waterway network graph assembly.
+
+Composes the six reference build steps (osm_waterway_extractor.py
+:1433-1523) as a lazy Ray Data pipeline:
+
+  waterways ──ᶜˡᵉᵃⁿ→ round+dedup ──ˢⁱᵐᵖˡⁱᶠʸ→ DP ──ⁱⁿᵗᵉʳˢᵉᶜᵗ→ split at
+  crossings ──ᵉⁿᵈᵖᵒⁱⁿᵗˢ→ groupby(coord) counts ──ᶜˡᵘˢᵗᵉʳ→ per-cell UF +
+  boundary merge + centroids ──ᵉᵈᵍᵉˢ→ broadcast-join split ──ⁿᵒᵈᵉˢ→ distinct
+  centroids ──ᵠᵃ→ metrics
+
+Only three points materialize small side-data on the driver: the
+intersection-point set (broadcast for insertion), the root-equivalence
+edges (boundary merge), and coord_mapping (broadcast for edge assembly) —
+each is O(junctions), not O(input), mirroring the state the reference
+itself broadcasts to its worker pool (:525-550).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from osmwaterwayextractor_ray.config import Config
+from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+from osmwaterwayextractor_ray.stages.cluster import cluster_points
+from osmwaterwayextractor_ray.stages.edges import create_edges
+from osmwaterwayextractor_ray.stages.endpoints import (
+    cluster_input_points,
+    endpoint_junction_counts,
+)
+from osmwaterwayextractor_ray.stages.intersect import detect_and_split
+from osmwaterwayextractor_ray.stages.nodes import build_nodes
+from osmwaterwayextractor_ray.stages.qa import generate_qa_metrics
+
+
+@dataclass
+class GraphResult:
+    nodes: Any          # Dataset(id, lat, lon, type)
+    edges: Any          # Dataset(id, from/to, length_m, lats, lons, ...)
+    coord_mapping: Any  # Dataset(key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)
+    qa: dict
+
+
+def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = False) -> GraphResult:
+    config = config or Config()
+    t0 = time.time()
+    original_count = None
+
+    cleaned = clean_waterways(waterways_ds, config)
+    simplified = simplify_waterways(cleaned, config)
+    with_intersections = detect_and_split(simplified, config)
+
+    # the post-intersection waterways feed both the counting shuffle and the
+    # edge assembly — materialize once so the shared stage isn't re-executed
+    with_intersections = with_intersections.materialize()
+
+    counts = endpoint_junction_counts(with_intersections, config)
+    points = cluster_input_points(counts, config)
+    coord_mapping = cluster_points(points, config).materialize()
+
+    edges = create_edges(with_intersections, coord_mapping, config)
+    nodes = build_nodes(coord_mapping, config)
+
+    qa: dict = {}
+    if with_qa:
+        original_count = waterways_ds.count()
+        processed_count = with_intersections.count()
+        edges = edges.materialize()
+        nodes = nodes.materialize()
+        qa = generate_qa_metrics(
+            original_count,
+            processed_count,
+            nodes,
+            edges,
+            coord_mapping,
+            config,
+            processing_time=time.time() - t0,
+        )
+    return GraphResult(nodes=nodes, edges=edges, coord_mapping=coord_mapping, qa=qa)

@@ -1,0 +1,118 @@
+"""Waterway inputs.
+
+* ``fixture_waterways()`` — the reference's own 4-way synthetic conformance
+  network, verbatim from ``create_test_waterways`` (osm_waterway_extractor
+  .py:3141-3165): main river, touching tributary, collinear continuation,
+  and a crossing stream, with width tags '10 m'/'3 m'/missing/'2 m'.
+* ``synth_waterways_table(n)`` — deterministic scale-out: copy g of the
+  4-way motif is translated by (0.1° * grid position); way_id = g*4 +
+  template index. No RNG, no external data; used by queries()/bench over
+  the driver testdata row counts.
+* ``waterways_from_events(sf_dir)`` — derives the synthetic table from the
+  driver's `events` parquet (one way per event row) so the benchmark input
+  scales with sf and flows through ray.data.read_parquet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmwaterwayextractor_ray.stages._arrow import waterways_table
+
+# (way offset coords, name, wtype, width)
+_MOTIF = [
+    ([(52.5, 13.4), (52.51, 13.41), (52.52, 13.42)], "Test River", "river", "10 m"),
+    ([(52.51, 13.41), (52.515, 13.405), (52.52, 13.40)], "Test Stream", "stream", "3 m"),
+    ([(52.52, 13.42), (52.53, 13.43), (52.54, 13.44)], "Test River", "river", ""),
+    ([(52.505, 13.405), (52.515, 13.415), (52.525, 13.425)], "Test Crossing Stream", "stream", "2 m"),
+]
+
+
+def fixture_waterways_pylist() -> list[dict]:
+    """Reference fixture in the reference's dict shape (for the sequential
+    parity oracle)."""
+    out = []
+    for i, (coords, name, wtype, width) in enumerate(_MOTIF):
+        tags = {"waterway": wtype, "name": name}
+        if width:
+            tags["width"] = width
+        out.append({"id": i + 1, "coordinates": list(coords), "tags": tags})
+    return out
+
+
+def _motif_table(n_ways: int, grid_cols: int = 100) -> pa.Table:
+    """First n_ways rows of the translated-motif sequence."""
+    way_ids = []
+    flat_lat: list[float] = []
+    flat_lon: list[float] = []
+    offsets = [0]
+    names, wtypes, widths = [], [], []
+    for w in range(n_ways):
+        g, t = divmod(w, 4)
+        coords, name, wtype, width = _MOTIF[t]
+        dlat = 0.1 * (g // grid_cols)
+        dlon = 0.1 * (g % grid_cols)
+        for la, lo in coords:
+            flat_lat.append(round(la + dlat, 6))
+            flat_lon.append(round(lo + dlon, 6))
+        offsets.append(len(flat_lat))
+        way_ids.append(w + 1)
+        names.append(name)
+        wtypes.append(wtype)
+        widths.append(width)
+    return waterways_table(
+        np.asarray(way_ids), flat_lat, flat_lon, np.asarray(offsets), names, wtypes, widths
+    )
+
+
+def fixture_waterways_table() -> pa.Table:
+    return _motif_table(4)
+
+
+def fixture_waterways_ds():
+    import ray.data as rd
+
+    return rd.from_arrow(fixture_waterways_table())
+
+
+def synth_waterways_ds(n_ways: int):
+    import ray.data as rd
+
+    return rd.from_arrow(_motif_table(n_ways))
+
+
+def waterways_from_events(sf_dir: str, batch_size: int = 8192):
+    """One synthetic waterway per `events` row — the deterministic
+    per-row derivation keeps input size tied to the scale factor while the
+    data itself stays fully reproducible."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+    def to_ways(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        way_ids = []
+        flat_lat: list[float] = []
+        flat_lon: list[float] = []
+        offsets = [0]
+        names, wtypes, widths = [], [], []
+        for eid in ids.tolist():
+            w = int(eid)
+            g, t = divmod(w, 4)
+            coords, name, wtype, width = _MOTIF[t]
+            dlat = 0.1 * ((g // 100) % 380)
+            dlon = 0.1 * (g % 100)
+            for la, lo in coords:
+                flat_lat.append(round(la + dlat - 19.0, 6))
+                flat_lon.append(round(lo + dlon, 6))
+            offsets.append(len(flat_lat))
+            way_ids.append(w + 1)
+            names.append(name)
+            wtypes.append(wtype)
+            widths.append(width)
+        return waterways_table(
+            np.asarray(way_ids), flat_lat, flat_lon, np.asarray(offsets), names, wtypes, widths
+        )
+
+    return ds.map_batches(to_ways, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,233 @@
+"""Stage 4 — edge creation: coord_mapping broadcast join + junction split +
+geodesic lengths + deterministic ids (J3, M5-M10, M8).
+
+Reference semantics (osm_waterway_extractor.py:2466-2605) with its quirks
+replicated exactly:
+  * mapped_coords = coord_mapping.get(coord, coord) per vertex (:2475)
+  * junction_coords = ALL keys of coord_mapping (the `... or
+    _is_junction_coord` predicate at :2546-2548 is tautologically true for
+    every key), and membership is tested against the *mapped* coordinates —
+    so a multi-point cluster centroid that equals no original key does NOT
+    split a way passing through it, while singleton (identity-mapped)
+    points do;
+  * split segments between consecutive junction indices, endpoints always
+    included; segment_index for the edge id = the split-loop counter;
+  * edge length = geodesic polyline length of the mapped segment;
+  * edges shorter than min_fragment_length_m dropped AFTER splitting;
+  * width parsed from the way's raw width tag (M4 quirks).
+
+Ray mapping: coord_mapping is a broadcast small side (`ray.put` of sorted
+key->centroid arrays read once per task; the reference itself serializes
+coord_mapping to every pool worker, :525-550, validating the broadcast
+design). At 10^12-page scale this switches to a partitioned hash join on
+`key` — the broadcast guard logs the mapping size. Per-batch work is
+vectorized: one geodesic kernel call per batch over all segment vertices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from osmwaterwayextractor_ray.config import Config
+from osmwaterwayextractor_ray.functions.cells import coord_key
+from osmwaterwayextractor_ray.functions.geodesy import polyline_lengths_m
+from osmwaterwayextractor_ray.functions.hashing import edge_id, node_id
+from osmwaterwayextractor_ray.functions.width import parse_width_batch
+from osmwaterwayextractor_ray.stages._arrow import list_column, make_list_array, str_column
+
+
+def collect_coord_mapping(coord_mapping_ds, config: Config):
+    """Materialize the (small) coord_mapping table into sorted numpy arrays
+    and put them in the object store once."""
+    pdf = coord_mapping_ds.to_pandas()
+    keys = pdf["key"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys)
+    blob = {
+        "keys": keys[order],
+        "lat": pdf["lat"].to_numpy(dtype=np.float64)[order],
+        "lon": pdf["lon"].to_numpy(dtype=np.float64)[order],
+        "c_lat": pdf["c_lat"].to_numpy(dtype=np.float64)[order],
+        "c_lon": pdf["c_lon"].to_numpy(dtype=np.float64)[order],
+    }
+    return ray.put(blob)
+
+
+class EdgeAssembler:
+    """Actor-pool map_batches stage: holds the broadcast coord_mapping
+    (fetched once per actor in __init__, not per batch)."""
+
+    def __init__(self, mapping_ref, config: Config):
+        m = ray.get(mapping_ref)
+        self.keys = m["keys"]
+        self.key_lat = m["lat"]
+        self.key_lon = m["lon"]
+        self.c_lat = m["c_lat"]
+        self.c_lon = m["c_lon"]
+        self.precision = config.coordinate_precision
+        self.hash_length = config.hash_length
+        self.method = config.distance_calculation_method
+
+    def _lookup(self, lats: np.ndarray, lons: np.ndarray):
+        """Vectorized coord_mapping.get(coord, coord) + key-membership of the
+        *given* (exact float) coordinates."""
+        k = coord_key(lats, lons, self.precision)
+        pos = np.searchsorted(self.keys, k)
+        pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+        if len(self.keys) == 0:
+            return lats, lons, np.zeros(len(lats), dtype=bool)
+        found = (
+            (self.keys[pos_c] == k)
+            & (self.key_lat[pos_c] == lats)
+            & (self.key_lon[pos_c] == lons)
+        )
+        out_lat = np.where(found, self.c_lat[pos_c], lats)
+        out_lon = np.where(found, self.c_lon[pos_c], lons)
+        return out_lat, out_lon, found
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lats, offsets = list_column(batch, "lats")
+        lons, _ = list_column(batch, "lons")
+        way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
+        names = str_column(batch, "name")
+        wtypes = str_column(batch, "wtype")
+        widths = str_column(batch, "width")
+
+        # vertex-level: map through clustering, then junction membership of
+        # the MAPPED coords against the original key set (the reference quirk)
+        m_lat, m_lon, _ = self._lookup(lats, lons)
+        _, _, mapped_is_key = self._lookup_membership(m_lat, m_lon)
+
+        # per-way split -> segment descriptor lists
+        seg_way: list[int] = []      # index into batch rows
+        seg_index: list[int] = []    # reference's split-loop counter
+        seg_starts: list[int] = []   # into flat mapped arrays
+        seg_ends: list[int] = []     # inclusive end
+        for r in range(len(offsets) - 1):
+            s, e = int(offsets[r]), int(offsets[r + 1])
+            n = e - s
+            if n < 2:
+                continue
+            jmask = mapped_is_key[s:e].copy()
+            jmask[0] = True
+            jmask[-1] = True
+            jidx = np.nonzero(jmask)[0]
+            for i in range(len(jidx) - 1):
+                a, b = int(jidx[i]), int(jidx[i + 1])
+                if b > a:  # ref guard :2569
+                    seg_way.append(r)
+                    seg_index.append(i)
+                    seg_starts.append(s + a)
+                    seg_ends.append(s + b)
+
+        n_seg = len(seg_way)
+        if n_seg == 0:
+            return _empty_edges_table()
+
+        # flatten all segment vertices for ONE geodesic kernel call
+        seg_starts_a = np.asarray(seg_starts, dtype=np.int64)
+        seg_ends_a = np.asarray(seg_ends, dtype=np.int64)
+        lens = seg_ends_a - seg_starts_a + 1
+        new_offsets = np.concatenate(([0], np.cumsum(lens)))
+        idx = np.concatenate([np.arange(a, b + 1) for a, b in zip(seg_starts, seg_ends)])
+        flat_lat = m_lat[idx]
+        flat_lon = m_lon[idx]
+        lengths = polyline_lengths_m(flat_lat, flat_lon, new_offsets, self.method)
+
+        start_lat = m_lat[seg_starts_a]
+        start_lon = m_lon[seg_starts_a]
+        end_lat = m_lat[seg_ends_a]
+        end_lon = m_lon[seg_ends_a]
+
+        memo: dict[tuple[float, float], str] = {}
+
+        def nid(la: float, lo: float) -> str:
+            kk = (la, lo)
+            v = memo.get(kk)
+            if v is None:
+                v = node_id(la, lo, self.precision, self.hash_length)
+                memo[kk] = v
+            return v
+
+        from_ids = [nid(a, b) for a, b in zip(start_lat.tolist(), start_lon.tolist())]
+        to_ids = [nid(a, b) for a, b in zip(end_lat.tolist(), end_lon.tolist())]
+        eids = [
+            edge_id(f, t, int(way_ids[w]), si, self.hash_length)
+            for f, t, w, si in zip(from_ids, to_ids, seg_way, seg_index)
+        ]
+        width_raw = [widths[w] for w in seg_way]
+        width_m, width_src = parse_width_batch(width_raw)
+
+        return pa.table(
+            {
+                "id": pa.array(eids, type=pa.string()),
+                "from_node_id": pa.array(from_ids, type=pa.string()),
+                "to_node_id": pa.array(to_ids, type=pa.string()),
+                "length_m": pa.array(lengths, type=pa.float64()),
+                "lats": make_list_array(flat_lat, new_offsets),
+                "lons": make_list_array(flat_lon, new_offsets),
+                "name": pa.array([names[w] for w in seg_way], type=pa.string()),
+                "type": pa.array([wtypes[w] for w in seg_way], type=pa.string()),
+                "width_raw": pa.array(width_raw, type=pa.string()),
+                "width_m": pa.array(
+                    [None if np.isnan(v) else float(v) for v in width_m], type=pa.float64()
+                ),
+                "width_source": pa.array(list(width_src), type=pa.string()),
+                "original_way_id": pa.array(
+                    [int(way_ids[w]) for w in seg_way], type=pa.int64()
+                ),
+            }
+        )
+
+    def _lookup_membership(self, lats: np.ndarray, lons: np.ndarray):
+        """Membership of exact float coords in the key set (no mapping)."""
+        if len(self.keys) == 0:
+            return None, None, np.zeros(len(lats), dtype=bool)
+        k = coord_key(lats, lons, self.precision)
+        pos = np.clip(np.searchsorted(self.keys, k), 0, len(self.keys) - 1)
+        found = (
+            (self.keys[pos] == k)
+            & (self.key_lat[pos] == lats)
+            & (self.key_lon[pos] == lons)
+        )
+        return None, None, found
+
+
+def _empty_edges_table() -> pa.Table:
+    return pa.table(
+        {
+            "id": pa.array([], type=pa.string()),
+            "from_node_id": pa.array([], type=pa.string()),
+            "to_node_id": pa.array([], type=pa.string()),
+            "length_m": pa.array([], type=pa.float64()),
+            "lats": pa.array([], type=pa.list_(pa.float64())),
+            "lons": pa.array([], type=pa.list_(pa.float64())),
+            "name": pa.array([], type=pa.string()),
+            "type": pa.array([], type=pa.string()),
+            "width_raw": pa.array([], type=pa.string()),
+            "width_m": pa.array([], type=pa.float64()),
+            "width_source": pa.array([], type=pa.string()),
+            "original_way_id": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def create_edges(waterways_ds, coord_mapping_ds, config: Config):
+    import pyarrow.compute as pc
+
+    mapping_ref = collect_coord_mapping(coord_mapping_ds, config)
+    edges = waterways_ds.map_batches(
+        EdgeAssembler,
+        fn_constructor_args=(mapping_ref, config),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=(1, 8),
+    )
+    min_len = config.min_fragment_length_m
+    edges = edges.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.field("length_m"), pa.scalar(float(min_len)))),
+        batch_format="pyarrow",
+    )
+    return edges

@@ -1,0 +1,321 @@
+"""Stage 1.75 — line-intersection detection + splitting (J1/J2).
+
+Reference (osm_waterway_extractor.py:1818-2152): a driver-resident R-tree
+self-join over all waterway lines, exact shapely intersections (Point /
+MultiPoint only, collinear overlaps ignored), then intersection-point
+insertion into each line's vertex sequence.
+
+Ray mapping — a two-phase cell-partitioned spatial self-join (PBSM):
+  detect:
+    1. each way flat_maps its *segments* to the grid cells their bboxes
+       touch (per-segment cover — replication grows with line length /
+       cell, not bbox area);
+    2. ``groupby(cell).map_groups``: vectorized all-pairs segment
+       intersection between segments of different ways;
+    3. duplicate avoidance: a found point is kept only by the cell that
+       contains it (cell_of(point) == group cell) — each geometric point is
+       reported exactly once even when the pair shares many cells.
+  split:
+    intersection points are tiny relative to ways -> broadcast them
+    (ray.put of a cell->points bucket index) and insert per way inside
+    ``map_batches``, reproducing the reference's insertion contract
+    (:2094-2152): candidate points whose degree-space distance to the line
+    is < snap_tolerance_m*1e-5, ordered by position-along-line, inserted
+    strictly inside the bracketing original-vertex positions, skipped when
+    the rounded point is already present anywhere in the accumulated
+    coordinate list; consecutive-duplicate removal afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from osmwaterwayextractor_ray.config import Config
+from osmwaterwayextractor_ray.functions.cells import cell_id, n_lon
+from osmwaterwayextractor_ray.functions.geometry import (
+    project_points_on_polyline,
+    vertex_positions,
+)
+from osmwaterwayextractor_ray.stages._arrow import list_column, str_column, waterways_table
+
+
+def emit_segments(ds, config: Config):
+    cell_deg = config.intersect_cell_deg
+    NL = n_lon(cell_deg)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lats, offsets = list_column(batch, "lats")
+        lons, _ = list_column(batch, "lons")
+        way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
+        n_v = len(lats)
+        if n_v < 2:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "way_id": pa.array([], type=pa.int64()),
+                    "lat1": pa.array([], type=pa.float64()),
+                    "lon1": pa.array([], type=pa.float64()),
+                    "lat2": pa.array([], type=pa.float64()),
+                    "lon2": pa.array([], type=pa.float64()),
+                }
+            )
+        # segment arrays (drop the bridges between rows)
+        row_of_vertex = np.repeat(
+            np.arange(len(offsets) - 1), np.diff(offsets)
+        )
+        a_lat, a_lon = lats[:-1], lons[:-1]
+        b_lat, b_lon = lats[1:], lons[1:]
+        same_row = row_of_vertex[:-1] == row_of_vertex[1:]
+        a_lat, a_lon, b_lat, b_lon = (
+            a_lat[same_row],
+            a_lon[same_row],
+            b_lat[same_row],
+            b_lon[same_row],
+        )
+        seg_way = way_ids[row_of_vertex[:-1][same_row]]
+        # cell range of each segment's bbox
+        min_lat = np.minimum(a_lat, b_lat)
+        max_lat = np.maximum(a_lat, b_lat)
+        min_lon = np.minimum(a_lon, b_lon)
+        max_lon = np.maximum(a_lon, b_lon)
+        la0 = np.floor((min_lat + 90.0) / cell_deg).astype(np.int64)
+        la1 = np.floor((max_lat + 90.0) / cell_deg).astype(np.int64)
+        lo0 = np.floor((min_lon + 180.0) / cell_deg).astype(np.int64)
+        lo1 = np.floor((max_lon + 180.0) / cell_deg).astype(np.int64)
+        counts = (la1 - la0 + 1) * (lo1 - lo0 + 1)
+        seg_idx = np.repeat(np.arange(len(seg_way)), counts)
+        # enumerate the (la, lo) lattice per segment
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        local = np.arange(cum[-1]) - cum[seg_idx]
+        width = (lo1 - lo0 + 1)[seg_idx]
+        la = la0[seg_idx] + local // width
+        lo = lo0[seg_idx] + local % width
+        cells = la * NL + lo
+        return pa.table(
+            {
+                "cell": pa.array(cells, type=pa.int64()),
+                "way_id": pa.array(seg_way[seg_idx], type=pa.int64()),
+                "lat1": pa.array(a_lat[seg_idx], type=pa.float64()),
+                "lon1": pa.array(a_lon[seg_idx], type=pa.float64()),
+                "lat2": pa.array(b_lat[seg_idx], type=pa.float64()),
+                "lon2": pa.array(b_lon[seg_idx], type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", batch_size=config.batch_size)
+
+
+def make_cell_intersect_fn(config: Config):
+    cell_deg = config.intersect_cell_deg
+
+    def cell_intersect(group: pd.DataFrame) -> pd.DataFrame:
+        cell = int(group["cell"].iloc[0])
+        way = group["way_id"].to_numpy()
+        ax = group["lon1"].to_numpy()
+        ay = group["lat1"].to_numpy()
+        bx = group["lon2"].to_numpy()
+        by = group["lat2"].to_numpy()
+        n = len(way)
+        out_lat: list[float] = []
+        out_lon: list[float] = []
+        if n >= 2:
+            # all pairs (i<j) of segments with different way ids whose bboxes overlap
+            minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+            miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+            ov = (
+                (minx[:, None] <= maxx[None, :])
+                & (maxx[:, None] >= minx[None, :])
+                & (miny[:, None] <= maxy[None, :])
+                & (maxy[:, None] >= miny[None, :])
+                & (way[:, None] != way[None, :])
+            )
+            iu = np.triu_indices(n, k=1)
+            mask = ov[iu]
+            ii, jj = iu[0][mask], iu[1][mask]
+            if len(ii):
+                p0x, p0y = ax[ii], ay[ii]
+                r_x, r_y = bx[ii] - p0x, by[ii] - p0y
+                q0x, q0y = ax[jj], ay[jj]
+                s_x, s_y = bx[jj] - q0x, by[jj] - q0y
+                denom = r_x * s_y - r_y * s_x
+                qp_x, qp_y = q0x - p0x, q0y - p0y
+                nonpar = denom != 0.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(nonpar, (qp_x * s_y - qp_y * s_x) / denom, -1.0)
+                    u = np.where(nonpar, (qp_x * r_y - qp_y * r_x) / denom, -1.0)
+                hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+                px = (p0x[hit] + t[hit] * r_x[hit]).tolist()
+                py = (p0y[hit] + t[hit] * r_y[hit]).tolist()
+                # collinear touch points (see functions/geometry.py)
+                collin = (~nonpar) & (qp_x * r_y - qp_y * r_x == 0.0)
+                if collin.any():
+                    ci = np.nonzero(collin)[0]
+                    rl2 = r_x[ci] ** 2 + r_y[ci] ** 2
+                    safe = np.where(rl2 == 0.0, 1.0, rl2)
+                    t0 = (qp_x[ci] * r_x[ci] + qp_y[ci] * r_y[ci]) / safe
+                    t1 = ((qp_x[ci] + s_x[ci]) * r_x[ci] + (qp_y[ci] + s_y[ci]) * r_y[ci]) / safe
+                    lo_ = np.maximum(0.0, np.minimum(t0, t1))
+                    hi_ = np.minimum(1.0, np.maximum(t0, t1))
+                    touch = (lo_ == hi_) & (rl2 > 0.0)
+                    ti = ci[touch]
+                    px.extend((ax[ti] + lo_[touch] * r_x[ti]).tolist())
+                    py.extend((ay[ti] + lo_[touch] * r_y[ti]).tolist())
+                out_lon, out_lat = px, py
+        if not out_lat:
+            return pd.DataFrame({"lat": np.array([], dtype=np.float64), "lon": np.array([], dtype=np.float64)})
+        plat = np.asarray(out_lat)
+        plon = np.asarray(out_lon)
+        own = cell_id(plat, plon, cell_deg) == cell  # PBSM ownership dedupe
+        plat, plon = plat[own], plon[own]
+        # exact-dup dedupe within the cell (same point from touching segment pairs)
+        if len(plat):
+            uniq = {}
+            for la_, lo2 in zip(plat.tolist(), plon.tolist()):
+                uniq[(la_, lo2)] = None
+            plat = np.array([k[0] for k in uniq], dtype=np.float64)
+            plon = np.array([k[1] for k in uniq], dtype=np.float64)
+        return pd.DataFrame({"lat": plat, "lon": plon})
+
+    return cell_intersect
+
+
+def detect_intersections(ds, config: Config):
+    """waterways -> Dataset(lat, lon) of distinct intersection points."""
+    segs = emit_segments(ds, config)
+    return segs.groupby("cell").map_groups(make_cell_intersect_fn(config), batch_format="pandas")
+
+
+class IntersectionSplitter:
+    """map_batches actor-pool stage holding the broadcast intersection-point
+    bucket index (cell -> points)."""
+
+    def __init__(self, points_ref, config: Config):
+        blob = ray.get(points_ref)
+        self.pt_lat = blob["lat"]
+        self.pt_lon = blob["lon"]
+        self.pt_cell = blob["cell"]  # sorted
+        self.cell_deg = config.intersect_cell_deg
+        self.tol_deg = config.snap_tolerance_m * 1e-5  # ref :2048 verbatim
+        self.precision = config.coordinate_precision
+
+    def _candidates(self, min_lat, min_lon, max_lat, max_lon) -> tuple[np.ndarray, np.ndarray]:
+        """Points whose tol-buffered position touches the way bbox, via the
+        cell buckets (superset of the reference's rtree candidates; exactness
+        comes from the distance test that follows)."""
+        NL = n_lon(self.cell_deg)
+        la0 = int(np.floor((min_lat - self.tol_deg + 90.0) / self.cell_deg))
+        la1 = int(np.floor((max_lat + self.tol_deg + 90.0) / self.cell_deg))
+        lo0 = int(np.floor((min_lon - self.tol_deg + 180.0) / self.cell_deg))
+        lo1 = int(np.floor((max_lon + self.tol_deg + 180.0) / self.cell_deg))
+        idx_parts = []
+        for la in range(la0, la1 + 1):
+            lo_s = np.searchsorted(self.pt_cell, la * NL + lo0, side="left")
+            lo_e = np.searchsorted(self.pt_cell, la * NL + lo1, side="right")
+            if lo_e > lo_s:
+                idx_parts.append(np.arange(lo_s, lo_e))
+        if not idx_parts:
+            return np.array([], dtype=np.float64), np.array([], dtype=np.float64)
+        idx = np.concatenate(idx_parts)
+        return self.pt_lat[idx], self.pt_lon[idx]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lats, offsets = list_column(batch, "lats")
+        lons, _ = list_column(batch, "lons")
+        way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
+        names = str_column(batch, "name")
+        wtypes = str_column(batch, "wtype")
+        widths = str_column(batch, "width")
+
+        out_lat: list[float] = []
+        out_lon: list[float] = []
+        out_off = [0]
+        for r in range(len(offsets) - 1):
+            s, e = int(offsets[r]), int(offsets[r + 1])
+            wlat, wlon = lats[s:e], lons[s:e]
+            new_lat, new_lon = self._split_one(wlat, wlon)
+            out_lat.extend(new_lat)
+            out_lon.extend(new_lon)
+            out_off.append(len(out_lat))
+        return waterways_table(
+            way_ids,
+            np.asarray(out_lat, dtype=np.float64),
+            np.asarray(out_lon, dtype=np.float64),
+            np.asarray(out_off, dtype=np.int64),
+            names,
+            wtypes,
+            widths,
+        )
+
+    def _split_one(self, wlat: np.ndarray, wlon: np.ndarray):
+        if len(wlat) < 2 or len(self.pt_lat) == 0:
+            return wlat.tolist(), wlon.tolist()
+        cand_lat, cand_lon = self._candidates(wlat.min(), wlon.min(), wlat.max(), wlon.max())
+        if len(cand_lat) == 0:
+            return wlat.tolist(), wlon.tolist()
+        dist, pos = project_points_on_polyline(wlat, wlon, cand_lat, cand_lon)
+        on_line = dist < self.tol_deg  # ref :2097 strict <
+        if not on_line.any():
+            return wlat.tolist(), wlon.tolist()
+        p_pos = pos[on_line]
+        p_lat = cand_lat[on_line]
+        p_lon = cand_lon[on_line]
+        order = np.argsort(p_pos, kind="stable")
+        p_pos, p_lat, p_lon = p_pos[order], p_lat[order], p_lon[order]
+        vpos = vertex_positions(wlat, wlon)
+
+        new_lat: list[float] = []
+        new_lon: list[float] = []
+        seen: set[tuple[float, float]] = set()
+        n = len(wlat)
+        wlat_l = wlat.tolist()
+        wlon_l = wlon.tolist()
+        for i in range(n):
+            new_lat.append(wlat_l[i])
+            new_lon.append(wlon_l[i])
+            seen.add((wlat_l[i], wlon_l[i]))
+            if i < n - 1:
+                seg_s = vpos[i]
+                seg_e = vpos[i + 1]
+                in_seg = (p_pos > seg_s) & (p_pos < seg_e)  # strict, ref :2126
+                for la_, lo_ in zip(p_lat[in_seg].tolist(), p_lon[in_seg].tolist()):
+                    rla = round(la_, self.precision)
+                    rlo = round(lo_, self.precision)
+                    if (rla, rlo) not in seen:
+                        new_lat.append(rla)
+                        new_lon.append(rlo)
+                        seen.add((rla, rlo))
+        # consecutive-duplicate removal (ref :2138-2142)
+        ded_lat = [new_lat[0]]
+        ded_lon = [new_lon[0]]
+        for la_, lo_ in zip(new_lat[1:], new_lon[1:]):
+            if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
+                ded_lat.append(la_)
+                ded_lon.append(lo_)
+        return ded_lat, ded_lon
+
+
+def split_at_intersections(ds, points_ds, config: Config):
+    pdf = points_ds.to_pandas()
+    lat = pdf["lat"].to_numpy(dtype=np.float64)
+    lon = pdf["lon"].to_numpy(dtype=np.float64)
+    cells = cell_id(lat, lon, config.intersect_cell_deg)
+    order = np.argsort(cells, kind="stable")
+    blob = {"lat": lat[order], "lon": lon[order], "cell": cells[order]}
+    points_ref = ray.put(blob)
+    return ds.map_batches(
+        IntersectionSplitter,
+        fn_constructor_args=(points_ref, config),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def detect_and_split(ds, config: Config):
+    if not config.enable_intersection_detection:
+        return ds
+    points = detect_intersections(ds, config)
+    return split_at_intersections(ds, points, config)

@@ -1,0 +1,143 @@
+"""Stage 6 — QA metrics (C5/C6).
+
+Reference: ``_generate_qa_metrics`` (osm_waterway_extractor.py:2662-2701) +
+cluster metrics (:1345-1365). Percentiles use the reference's
+sorted-index convention (``values[int(n * q)]``), computed here from a
+distributed sort + take rather than a driver-side full sort; counts come
+from Dataset aggregates. At fixture/bench scale the exact sorted-index
+value is computed; at web scale the same code path works because only the
+percentile rows are pulled to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _sorted_index_percentiles(ds, column: str, qs: list[float]) -> dict[float, float]:
+    n = ds.count()
+    if n == 0:
+        return {q: 0.0 for q in qs}
+    s = ds.sort(column)
+    # pull only the needed ranks (sorted-index convention values[int(n*q)])
+    ranks = sorted({min(int(n * q), n - 1) for q in qs})
+    vals: dict[int, float] = {}
+    taken = s.take(max(ranks) + 1) if max(ranks) < 10000 else None
+    if taken is not None:
+        for r in ranks:
+            vals[r] = float(taken[r][column])
+    else:
+        # large data: split ranks via streaming iteration
+        it = iter(s.iter_rows())
+        idx = 0
+        want = set(ranks)
+        for row in it:
+            if idx in want:
+                vals[idx] = float(row[column])
+                if len(vals) == len(want):
+                    break
+            idx += 1
+    return {q: vals[min(int(n * q), n - 1)] for q in qs}
+
+
+def generate_qa_metrics(
+    original_count: int,
+    processed_count: int,
+    nodes_ds,
+    edges_ds,
+    coord_mapping_ds,
+    config,
+    processing_time: float = 0.0,
+) -> dict:
+    from ray.data.aggregate import Count, Max, Mean, Sum
+
+    metrics: dict = {
+        "processing_time_seconds": processing_time,
+        "original_waterways": original_count,
+        "processed_waterways": processed_count,
+        "final_nodes": nodes_ds.count(),
+        "final_edges": edges_ds.count(),
+        "distance_calculation_method": config.distance_calculation_method,
+        "coordinate_precision": config.coordinate_precision,
+        "snap_tolerance_m": config.snap_tolerance_m,
+        "min_fragment_length_m": config.min_fragment_length_m,
+    }
+
+    # cluster metrics (ref :1345-1365)
+    n_points = coord_mapping_ds.count()
+    if n_points:
+        import pyarrow.compute as pc
+
+        singles = coord_mapping_ds.filter(expr="cluster_size == 1").count()
+        # total clusters = singletons + distinct multi-clusters
+        multi = coord_mapping_ds.filter(expr="cluster_size > 1")
+        multi_rows = multi.count()
+        agg = coord_mapping_ds.aggregate(Max("cluster_size"))
+        largest = int(agg["max(cluster_size)"] or 0)
+        # displacements list covers only multi-cluster members (ref appends
+        # displacements only in the else-branch :1310-1313)
+        n_disp = multi_rows
+        if n_disp:
+            ps = _sorted_index_percentiles(multi, "displacement_m", [0.5, 0.95, 0.99])
+            metrics.update(
+                {
+                    "displacement_p50_m": ps[0.5],
+                    "displacement_p95_m": ps[0.95],
+                    "displacement_p99_m": ps[0.99],
+                }
+            )
+        else:
+            metrics.update(
+                {"displacement_p50_m": 0.0, "displacement_p95_m": 0.0, "displacement_p99_m": 0.0}
+            )
+        warn_thr = config.snap_tolerance_m * config.warning_displacement_multiplier
+        # clusters with any displacement above warning threshold
+        above = (
+            multi.filter(expr=f"displacement_m > {warn_thr!r}")
+            .groupby(["c_lat", "c_lon"])
+            .count()
+            .count()
+            if multi_rows
+            else 0
+        )
+        n_multi_clusters = multi.groupby(["c_lat", "c_lon"]).count().count() if multi_rows else 0
+        metrics.update(
+            {
+                "total_clusters": singles + n_multi_clusters,
+                "singleton_clusters": singles,
+                "largest_cluster_size": max(largest, 1),
+                "clusters_above_threshold": above,
+            }
+        )
+
+    # edge stats (ref :2680-2701)
+    n_edges = metrics["final_edges"]
+    if n_edges:
+        ps = _sorted_index_percentiles(edges_ds, "length_m", [0.05, 0.5, 0.95])
+        mean_agg = edges_ds.aggregate(Mean("length_m"))
+        metrics.update(
+            {
+                "edge_length_p5_m": ps[0.05],
+                "edge_length_p50_m": ps[0.5],
+                "edge_length_p95_m": ps[0.95],
+                "mean_edge_length_m": float(mean_agg["mean(length_m)"]),
+            }
+        )
+        with_raw = edges_ds.filter(expr="width_raw != ''").count()
+        with_m = edges_ds.filter(expr="width_m is not null").count()
+        metrics.update(
+            {
+                "pct_edges_with_width_raw": with_raw / n_edges * 100,
+                "pct_edges_with_width_m": with_m / n_edges * 100,
+                "width_parse_success_rate": (with_m / with_raw * 100) if with_raw else 0,
+            }
+        )
+    else:
+        metrics.update(
+            {
+                "pct_edges_with_width_raw": 0,
+                "pct_edges_with_width_m": 0,
+                "width_parse_success_rate": 0,
+            }
+        )
+    return metrics

@@ -1,0 +1,180 @@
+"""End-to-end parity: distributed Ray pipeline vs the sequential
+reference-faithful oracle (tests/refimpl.py), on the reference's own
+4-waterway conformance fixture plus deterministic scaled/randomized
+networks and both shipped config variants."""
+
+import math
+
+import numpy as np
+import pytest
+
+import tests.refimpl as refimpl
+from osmwaterwayextractor_ray.config import Config
+from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
+from osmwaterwayextractor_ray.sources.waterways import (
+    fixture_waterways_pylist,
+    fixture_waterways_ds,
+    synth_waterways_ds,
+)
+from osmwaterwayextractor_ray.stages._arrow import waterways_table
+
+
+def _pylist_to_ds(waterways):
+    import ray.data as rd
+
+    flat_lat, flat_lon, offsets = [], [], [0]
+    way_ids, names, wtypes, widths = [], [], [], []
+    for w in waterways:
+        for la, lo in w["coordinates"]:
+            flat_lat.append(la)
+            flat_lon.append(lo)
+        offsets.append(len(flat_lat))
+        way_ids.append(w["id"])
+        names.append(w["tags"].get("name", ""))
+        wtypes.append(w["tags"].get("waterway", ""))
+        widths.append(w["tags"].get("width", ""))
+    return rd.from_arrow(
+        waterways_table(
+            np.asarray(way_ids), flat_lat, flat_lon, np.asarray(offsets), names, wtypes, widths
+        )
+    )
+
+
+def _ds_to_motif_pylist(n):
+    """Same rows synth_waterways_ds produces, as reference dicts."""
+    from osmwaterwayextractor_ray.sources.waterways import _MOTIF
+
+    out = []
+    for w in range(n):
+        g, t = divmod(w, 4)
+        coords, name, wtype, width = _MOTIF[t]
+        dlat = 0.1 * (g // 100)
+        dlon = 0.1 * (g % 100)
+        tags = {"waterway": wtype, "name": name}
+        if width:
+            tags["width"] = width
+        out.append(
+            {
+                "id": w + 1,
+                "coordinates": [(round(la + dlat, 6), round(lo + dlon, 6)) for la, lo in coords],
+                "tags": tags,
+            }
+        )
+    return out
+
+
+def _assert_graph_parity(result, ref_nodes, ref_edges):
+    got_nodes = result.nodes.to_pandas()
+    got_edges = result.edges.to_pandas()
+
+    ref_node_set = {(n["id"], n["lat"], n["lon"], n["type"]) for n in ref_nodes}
+    got_node_set = {
+        (r["id"], r["lat"], r["lon"], r["type"]) for r in got_nodes.to_dict("records")
+    }
+    assert got_node_set == ref_node_set
+
+    def edge_key(e):
+        return (e["id"], e["from_node_id"], e["to_node_id"], e["original_way_id"])
+
+    ref_by_key = {edge_key(e): e for e in ref_edges}
+    got_records = got_edges.to_dict("records")
+    got_by_key = {edge_key(e): e for e in got_records}
+    assert set(got_by_key) == set(ref_by_key)
+    for k, ge in got_by_key.items():
+        re_ = ref_by_key[k]
+        assert ge["length_m"] == pytest.approx(re_["length_m"], rel=1e-9, abs=1e-6)
+        assert ge["name"] == re_["name"] and ge["type"] == re_["type"]
+        assert ge["width_raw"] == re_["width_raw"]
+        if re_["width_m"] is None:
+            assert ge["width_m"] is None or (isinstance(ge["width_m"], float) and math.isnan(ge["width_m"]))
+        else:
+            assert ge["width_m"] == pytest.approx(re_["width_m"])
+        assert ge["width_source"] == re_["width_source"]
+        got_coords = list(zip(ge["lats"], ge["lons"]))
+        assert got_coords == [(a, b) for a, b in re_["coordinates"]]
+
+
+CONFIGS = [
+    Config(),  # shipped defaults (snap 2.0, simplify on)
+    Config(snap_tolerance_m=5.0, enable_geometry_simplification=False,
+           max_displacement_multiplier=1.5, warning_displacement_multiplier=1.2),
+    Config(snap_tolerance_m=6.0, min_fragment_length_m=0.0),
+]
+
+
+@pytest.mark.parametrize("cfg_idx", range(len(CONFIGS)))
+def test_fixture_parity(ray_session, cfg_idx):
+    cfg = CONFIGS[cfg_idx]
+    ref_nodes, ref_edges, _ = refimpl.build_graph(fixture_waterways_pylist(), cfg)
+    result = build_graph(fixture_waterways_ds(), cfg)
+    _assert_graph_parity(result, ref_nodes, ref_edges)
+
+
+def test_fixture_expected_topology(ray_session):
+    """Hand-checkable expectations on the reference fixture with defaults.
+
+    Worked through by hand + confirmed by the sequential oracle:
+    way 4 is collinear with way 1 (both on lon = lat - 39.1), so their
+    overlap is a LineString intersection the reference ignores (:1895-1896)
+    — but Douglas-Peucker first straightens ways 2 and 4 (their vertices
+    are collinear), after which way 2's chord genuinely crosses ways 1/4 at
+    (52.510999, 13.410999). Insertions: way 1 gains the crossing ->
+    junctions at 52.51 + crossing -> 3 edges; way 4 gains 52.51 (touch with
+    way 2), the crossing, and 52.52 (touch with way 3) -> 4 edges; ways 2
+    and 3 stay whole."""
+    cfg = Config(min_fragment_length_m=0.0)
+    result = build_graph(fixture_waterways_ds(), cfg)
+    nodes = result.nodes.to_pandas()
+    edges = result.edges.to_pandas()
+    by_way = edges.groupby("original_way_id").size().to_dict()
+    assert by_way == {1: 3, 2: 1, 3: 1, 4: 4}
+    # every edge endpoint has a node row
+    node_ids = set(nodes["id"])
+    assert set(edges["from_node_id"]) <= node_ids
+    assert set(edges["to_node_id"]) <= node_ids
+
+
+def test_scaled_motif_parity(ray_session):
+    n = 40  # 10 motif copies
+    cfg = Config(min_fragment_length_m=0.0)
+    ref_nodes, ref_edges, _ = refimpl.build_graph(_ds_to_motif_pylist(n), cfg)
+    result = build_graph(synth_waterways_ds(n), cfg)
+    _assert_graph_parity(result, ref_nodes, ref_edges)
+
+
+def test_random_networks_parity(ray_session):
+    """Deterministic pseudo-random networks: near-miss endpoints around the
+    snap tolerance, crossings, short fragments, consecutive duplicates."""
+    rng = np.random.default_rng(1234)
+    waterways = []
+    wid = 1
+    for _ in range(30):
+        base_lat = float(rng.uniform(-50, 50))
+        base_lon = float(rng.uniform(-100, 100))
+        n_pts = int(rng.integers(2, 6))
+        lats = base_lat + np.cumsum(rng.uniform(-0.01, 0.01, n_pts))
+        lons = base_lon + np.cumsum(rng.uniform(-0.01, 0.01, n_pts))
+        coords = list(zip(lats.tolist(), lons.tolist()))
+        if rng.random() < 0.3:
+            coords.insert(1, coords[0])  # consecutive duplicate after rounding
+        waterways.append(
+            {"id": wid, "coordinates": coords, "tags": {"waterway": "river", "name": f"r{wid}",
+                                                         "width": ["5 m", "3", "", "x"][wid % 4]}}
+        )
+        wid += 1
+        if rng.random() < 0.5:
+            # a second way starting within ~snap tolerance of the previous end
+            jitter = rng.uniform(-2e-5, 2e-5, 2)
+            start = (coords[-1][0] + float(jitter[0]), coords[-1][1] + float(jitter[1]))
+            n2 = int(rng.integers(2, 4))
+            lats2 = start[0] + np.cumsum(rng.uniform(-0.01, 0.01, n2))
+            lons2 = start[1] + np.cumsum(rng.uniform(-0.01, 0.01, n2))
+            coords2 = [start] + list(zip(lats2.tolist(), lons2.tolist()))
+            waterways.append(
+                {"id": wid, "coordinates": coords2, "tags": {"waterway": "stream", "name": f"s{wid}"}}
+            )
+            wid += 1
+    cfg = Config(snap_tolerance_m=5.0, min_fragment_length_m=10.0)
+    ref_nodes, ref_edges, _ = refimpl.build_graph(waterways, cfg)
+    result = build_graph(_pylist_to_ds(waterways), cfg)
+    _assert_graph_parity(result, ref_nodes, ref_edges)
