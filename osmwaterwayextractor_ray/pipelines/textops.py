@@ -1,0 +1,296 @@
+"""Training-data text pipelines over the `documents` table.
+
+Oracle-checked (DuckDB SQL in __ray_entry__):
+  * dedup_exact      — exact dedup: content-hash partial + groupby, keep
+                       min doc_id per distinct text (hash-partition +
+                       per-group first, the north-rule dedup primitive)
+  * doc_quality      — per-doc char/token/punct metrics (integer outputs)
+  * lang_doc_stats   — grouped aggregates over the provided lang column
+  * token_totals     — tokenize + groupby(source) integer sums
+
+Rows-only (not expressible in SQL; pinned by pytest instead):
+  * minhash_neardup  — shingle→MinHash→LSH-band groupby→candidate pairs→
+                       exact-Jaccard verify (planted near-dups must be found)
+  * simhash_fingerprints, langid_pred, winnow_fingerprint_counts
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osmwaterwayextractor_ray.functions.hashing import text_hash64
+from osmwaterwayextractor_ray.functions.text import (
+    char_counts,
+    jaccard,
+    langid,
+    minhash_bands,
+    minhash_signature,
+    punct_counts,
+    simhash64,
+    token_counts,
+    winnow_fingerprints,
+)
+
+
+def _read_documents(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def dedup_exact(sf_dir: str):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        h = text_hash64(["" if t is None else t for t in texts])
+        return batch.append_column("h", pa.array(h.view(np.int64), type=pa.int64()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").iloc[:1]
+        return g[["doc_id", "text"]]
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+        .groupby("h")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
+
+
+def doc_quality(sf_dir: str):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(char_counts(texts), type=pa.int64()),
+                "n_tokens": pa.array(token_counts(texts), type=pa.int64()),
+                "n_punct": pa.array(punct_counts(texts), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quality, batch_format="pyarrow", batch_size=8192)
+
+
+DOC_QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def lang_doc_stats(sf_dir: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_documents(sf_dir, ["lang", "n_chars"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .map_batches(
+            lambda t: t.append_column(
+                "avg_chars",
+                pc.round(
+                    pc.divide(pc.cast(t["total_chars"], pa.float64()), pc.cast(t["n_docs"], pa.float64())),
+                    4,
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+LANG_DOC_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def token_totals(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        df = pd.DataFrame({"source": batch.column("source").to_pylist(), "n": token_counts(texts)})
+        g = df.groupby("source", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="total_tokens"))
+    )
+
+
+TOKEN_TOTALS_SQL = r"""
+SELECT source,
+       sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> ''))) AS total_tokens
+FROM documents GROUP BY source
+"""
+
+
+# ---- near-duplicate detection (MinHash + LSH) ----
+
+def _corpus_with_planted_dups(sf_dir: str):
+    """documents ∪ deterministic near-dup copies (doc_id + 1_000_000, last
+    40 chars dropped) — gives the LSH pipeline known positives at any sf."""
+    import ray.data as rd
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        dup_mask = [len(t) > 200 for t in texts]
+        dup_ids = [int(i) + 1_000_000 for i, m in zip(ids.tolist(), dup_mask) if m]
+        dup_texts = [t[:-40] for t, m in zip(texts, dup_mask) if m]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.tolist() + dup_ids, type=pa.int64()),
+                "text": pa.array(texts + dup_texts, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", batch_size=8192)
+
+
+class _MinHashStage:
+    """Actor-pool stage: shingle + MinHash + LSH band emission (compiled
+    state — permutation tables — built once per actor)."""
+
+    def __init__(self, n_bands: int = 32):
+        # 32 bands x 2 rows: recall at Jaccard 0.6 is 1-(1-0.6^2)^32 ≈ 1-6e-7
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out_band, out_key, out_doc = [], [], []
+        for did, t in zip(ids.tolist(), texts):
+            sig = minhash_signature(t)
+            for b, key in enumerate(minhash_bands(sig, self.n_bands)):
+                out_band.append(b)
+                out_key.append(key)
+                out_doc.append(did)
+        return pa.table(
+            {
+                "band": pa.array(out_band, type=pa.int32()),
+                "band_key": pa.array(out_key, type=pa.int64()),
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+            }
+        )
+
+
+def minhash_neardup(sf_dir: str, threshold: float = 0.6):
+    """Candidate pairs from LSH buckets, verified with exact shingle
+    Jaccard >= threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
+    doc_b, deduplicated across buckets."""
+    import ray
+
+    corpus = _corpus_with_planted_dups(sf_dir).materialize()
+
+    bands = corpus.map_batches(
+        _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > 200:  # degenerate / stop-band guard
+            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+
+    cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+
+    def dedupe_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pair, batch_format="pandas")
+
+    # broadcast text lookup for verification (documents table is the small
+    # side here; at web scale this becomes a hash-join on doc_id)
+    texts_pdf = corpus.to_pandas()
+    text_ref = ray.put(dict(zip(texts_pdf["doc_id"], texts_pdf["text"])))
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(text_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+            jac = np.array(
+                [jaccard(self.texts[int(x)], self.texts[int(y)]) for x, y in zip(a, b)]
+            )
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], type=pa.int64()),
+                    "doc_b": pa.array(b[keep], type=pa.int64()),
+                    "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+                }
+            )
+
+    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+
+
+def simhash_fingerprints(sf_dir: str):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        vals = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64, count=len(texts))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(vals.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow", batch_size=2048)
+
+
+def langid_pred(sf_dir: str):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def li(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array([langid(t) for t in texts], type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(li, batch_format="pyarrow", batch_size=4096)
+
+
+def winnow_counts(sf_dir: str):
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def wc(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        fps = [winnow_fingerprints(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array([len(f) for f in fps], type=pa.int64()),
+                "min_fingerprint": pa.array(
+                    [int(f.min()) & 0x7FFFFFFFFFFFFFFF for f in fps], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(wc, batch_format="pyarrow", batch_size=2048)

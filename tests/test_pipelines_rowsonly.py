@@ -1,0 +1,88 @@
+"""Behavioral tests for the non-SQL-expressible pipelines: planted
+near-duplicates must be found, fingerprints deterministic, multimodal
+plumbing intact, entry() smoke."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_neardup_finds_planted(ray_session):
+    from osmwaterwayextractor_ray.pipelines.textops import minhash_neardup
+
+    df = minhash_neardup(SF).to_pandas()
+    # every planted pair (doc_id, doc_id + 1_000_000) with len(text) > 200
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    planted = {
+        (int(r.doc_id), int(r.doc_id) + 1_000_000)
+        for r in docs.itertuples()
+        if len(r.text) > 200
+    }
+    found = set(zip(df["doc_a"].astype(int), df["doc_b"].astype(int)))
+    missing = planted - found
+    # LSH recall over 16 bands at ~0.9 Jaccard is effectively 1
+    assert len(missing) <= max(1, len(planted) // 100), f"missed {len(missing)}/{len(planted)}"
+    assert (df["jaccard"] >= 0.6).all()
+    # pairs unique
+    assert len(found) == len(df)
+
+
+def test_embed_neardup_finds_planted(ray_session):
+    from osmwaterwayextractor_ray.pipelines.embeddings import embed_neardup
+
+    df = embed_neardup(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    planted = {(int(v), int(v) + 1_000_000) for v in emb["vec_id"]}
+    found = set(zip(df["vec_a"].astype(int), df["vec_b"].astype(int)))
+    missing = planted - found
+    assert len(missing) <= max(1, len(planted) // 50), f"missed {len(missing)}/{len(planted)}"
+    assert (df["cosine"] >= 0.995).all()
+
+
+def test_simhash_and_langid_deterministic(ray_session):
+    from osmwaterwayextractor_ray.pipelines.textops import langid_pred, simhash_fingerprints
+
+    a = simhash_fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = simhash_fingerprints(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    lp = langid_pred(SF).to_pandas()
+    assert set(lp.columns) == {"doc_id", "lang_pred"}
+    assert len(lp) == len(a)
+
+
+def test_media_features(ray_session):
+    from osmwaterwayextractor_ray.pipelines.multimodal import media_features
+
+    df = media_features(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    assert len(df) == len(docs)
+    merged = df.merge(docs, on="doc_id")
+    assert (merged["n_bytes"] == merged["text"].str.encode("utf-8").str.len()).all()
+    assert (df["width"] >= 64).all() and (df["height"] >= 64).all()
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    edges = e.entry()
+    df = edges.to_pandas()
+    assert len(df) > 0
+    assert {"id", "from_node_id", "to_node_id", "length_m"} <= set(df.columns)
+
+
+def test_waterway_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    nodes = qs["waterway_nodes"](SF).to_pandas()
+    edges = qs["waterway_edges"](SF).to_pandas()
+    assert len(nodes) > 0 and len(edges) > 0
+    assert set(edges["from_node_id"]) <= set(nodes["id"])
+    assert set(edges["to_node_id"]) <= set(nodes["id"])
+    # determinism across runs
+    edges2 = qs["waterway_edges"](SF).to_pandas()
+    a = edges.sort_values("id").reset_index(drop=True)
+    b = edges2.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

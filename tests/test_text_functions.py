@@ -1,0 +1,76 @@
+"""Unit tests for the text kernels (tokenize/quality, langid, MinHash,
+SimHash, winnowing) — deterministic values and semantic properties."""
+
+import numpy as np
+
+from osmwaterwayextractor_ray.functions.text import (
+    char_counts,
+    hamming64,
+    jaccard,
+    langid,
+    minhash_bands,
+    minhash_signature,
+    punct_counts,
+    shingle_hashes,
+    simhash64,
+    token_counts,
+    tokenize,
+    winnow_fingerprints,
+)
+
+
+def test_tokenize_and_counts():
+    assert tokenize("  a  b\tc\n") == ["a", "b", "c"]
+    assert token_counts(["a b", "", "  ", "x"]).tolist() == [2, 0, 0, 1]
+    assert char_counts(["abc", ""]).tolist() == [3, 0]
+    assert punct_counts(["a.b,c!", "none"]).tolist() == [3, 0]
+
+
+def test_langid():
+    assert langid("the cat and the dog is in the house") == "en"
+    assert langid("der hund und die katze ist nicht ein tier") == "de"
+    assert langid("") == "und"
+    assert langid("zzz qqq xxx") == "und"
+
+
+def test_minhash_similarity_estimate():
+    a = "the quick brown fox jumps over the lazy dog " * 20
+    b = a[:-60]  # high-overlap near-duplicate
+    c = "completely different content with other words entirely " * 20
+    sa, sb, sc = (minhash_signature(t) for t in (a, b, c))
+    est_ab = float(np.mean(sa == sb))
+    est_ac = float(np.mean(sa == sc))
+    true_ab = jaccard(a, b)
+    assert est_ab > 0.6 and abs(est_ab - true_ab) < 0.3
+    assert est_ac < 0.2
+    # near-dups share at least one LSH band
+    assert set(minhash_bands(sa)) & set(minhash_bands(sb))
+
+
+def test_minhash_deterministic():
+    s1 = minhash_signature("hello world text")
+    s2 = minhash_signature("hello world text")
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps over the lazy dog " * 10)
+    b = simhash64("the quick brown fox jumps over the lazy dogs " * 10)
+    c = simhash64("entirely unrelated material about databases and queries " * 10)
+    assert 0 <= a < 2**64
+    assert hamming64(a, b) < hamming64(a, c)
+    assert simhash64("") == 0
+
+
+def test_winnowing():
+    f1 = winnow_fingerprints("abcdefghijklmnopqrstuvwxyz" * 10)
+    f2 = winnow_fingerprints("abcdefghijklmnopqrstuvwxyz" * 10)
+    np.testing.assert_array_equal(f1, f2)
+    assert len(f1) >= 1
+    assert winnow_fingerprints("short").dtype == np.uint64
+
+
+def test_shingles():
+    sh = shingle_hashes("abcdef", 5)  # 'abcde', 'bcdef'
+    assert len(sh) == 2
+    assert len(shingle_hashes("ab", 5)) == 1  # short-text fallback
