@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline pipeline (flagship waterway-graph
+assembly over GRAFT_SF_DIR-derived waterways) plus a representative query
+set, and prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "throughput": {"ways_per_s": ..., "edges_per_s": ...}}
+
+--scaling: runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def headline() -> dict:
+    """Flagship: waterway graph assembly end-to-end (counts consume the
+    streams; nothing large is pulled to the driver)."""
+    from osmwaterwayextractor_ray.config import Config
+    from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
+    from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
+
+    ways = waterways_from_events(SF_DIR)
+    n_ways = ways.count()  # warms the page cache; not timed below
+    t0 = time.time()
+    result = build_graph(waterways_from_events(SF_DIR), Config())
+    n_edges = result.edges.count()
+    n_nodes = result.nodes.count()
+    dt = time.time() - t0
+    return {
+        "sec": dt,
+        "n_ways": n_ways,
+        "n_edges": n_edges,
+        "n_nodes": n_nodes,
+        "ways_per_s": n_ways / dt,
+        "edges_per_s": n_edges / dt,
+    }
+
+
+QUERY_SET = [
+    "q1_pricing_summary",
+    "filter_revenue",
+    "customer_order_stats",
+    "events_window",
+    "user_sessions",
+    "geo_cell_counts",
+    "geo_pip_join",
+    "geo_knn",
+    "geo_cell_knn",
+    "geo_extract",
+    "geo_extract_cells",
+    "dedup_exact",
+    "doc_quality",
+    "token_totals",
+    "embed_topk",
+    "embed_neardup",
+    "simhash_fingerprints",
+    "media_byte_stats",
+]
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    import ray.data
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in QUERY_SET:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()  # consume the stream; results stay distributed
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main_plain():
+    _init_ray()
+    import ray
+
+    h = headline()
+    queries = run_queries()
+    print(
+        json.dumps(
+            {
+                "metric": "waterway-graph assembly + query suite wall time",
+                "value": round(h["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "throughput": {
+                    "ways_per_s": round(h["ways_per_s"], 1),
+                    "edges_per_s": round(h["edges_per_s"], 1),
+                    "n_ways": h["n_ways"],
+                    "n_edges": h["n_edges"],
+                    "n_nodes": h["n_nodes"],
+                },
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def _run_headline_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, __file__, "--headline-only"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main_scaling():
+    lo, hi = 8, 32
+    r_lo = _run_headline_subprocess(lo)
+    r_hi = _run_headline_subprocess(hi)
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (N=8 vs 4N=32 cpus, fresh processes)",
+                "sec_8": round(r_lo["sec"], 3),
+                "sec_32": round(r_hi["sec"], 3),
+                "ways_per_s_8": round(r_lo["ways_per_s"], 1),
+                "ways_per_s_32": round(r_hi["ways_per_s"], 1),
+                "edges_per_s_8": round(r_lo["edges_per_s"], 1),
+                "edges_per_s_32": round(r_hi["edges_per_s"], 1),
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+def main_headline_only():
+    _init_ray()
+    import ray
+
+    h = headline()
+    print(json.dumps(h))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--headline-only" in sys.argv:
+        main_headline_only()
+    else:
+        main_plain()

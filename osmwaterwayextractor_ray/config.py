@@ -35,15 +35,20 @@ class Config:
     hash_length: int = 8  # chars of base62(xxh64) kept in ids (ref :1106)
 
     # --- Ray execution knobs (new engine only; do not affect results) ---
-    # Equal-angle grid cell edge in degrees used for all spatial shuffles
-    # (~1.1 km at the equator for 0.01 — comparable to H3 res 7 / S2 level 12
-    # cell sizes named in the north-star; see functions/cells.py).
-    cluster_cell_deg: float = 0.01
-    intersect_cell_deg: float = 0.05
+    # Equal-angle grid cell edge (degrees) used for the spatial shuffles.
+    # Pure grouping knobs: results are identical for any size (parity
+    # tests run at several). Group kernels are sweep/bbox-prefiltered, not
+    # n², so cells can be large; shrink for very dense data (a 1° cell of
+    # dense OSM Europe would hold ~10^6 endpoints — at that density use
+    # 0.05-0.1, the halo bound still holds because tolerance << cell).
+    cluster_cell_deg: float = 1.0
+    intersect_cell_deg: float = 0.5
     batch_size: int = 4096
     # Cells whose group exceeds this row count get salted into sub-buckets
     # before pairwise work (hot coastal/river cells).
     hot_cell_row_limit: int = 50_000
+    # hash-join fan-out for the centroid->member attach (cluster stage)
+    join_partitions: int = 16
 
     # --- checkpointing ---
     enable_checkpoints: bool = False

@@ -169,19 +169,19 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
 
     buckets = corpus.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.sort(g["vec_id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj]})
+            ii = jj = np.array([], dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ii, jj = ids[ii], ids[jj]
+        return pa.table(
+            {"vec_a": pa.array(ii, type=pa.int64()), "vec_b": pa.array(jj, type=pa.int64())}
+        )
 
     cand = buckets.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
-
-    def dedupe_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["vec_a", "vec_b"]]
-
-    cand = cand.groupby(["vec_a", "vec_b"]).map_groups(dedupe_pair, batch_format="pandas")
+    cand = cand.groupby(["vec_a", "vec_b"]).count().select_columns(["vec_a", "vec_b"])
 
     pdf = corpus.to_pandas()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)

@@ -205,19 +205,25 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
         _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < 2 or len(ids) > 200:  # degenerate / stop-band guard
-            return pd.DataFrame({"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+            ii = jj = np.array([], dtype=np.int64)
+        else:
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ii, jj = ids[ii], ids[jj]
+        return pa.table(
+            {"doc_a": pa.array(ii, type=pa.int64()), "doc_b": pa.array(jj, type=pa.int64())}
+        )
 
     cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
 
-    def dedupe_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
-
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe_pair, batch_format="pandas")
+    # distinct pairs across bands: native aggregate (no per-group UDF)
+    cand = (
+        cand.groupby(["doc_a", "doc_b"])
+        .count()
+        .select_columns(["doc_a", "doc_b"])
+    )
 
     # broadcast text lookup for verification (documents table is the small
     # side here; at web scale this becomes a hash-join on doc_id)

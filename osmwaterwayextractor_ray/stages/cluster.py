@@ -2,32 +2,35 @@
 
 The reference builds ONE driver-resident R-tree + union-find over every
 endpoint/junction (osm_waterway_extractor.py:1253-1331). Here the same
-result is computed distributedly:
+connected components are computed distributedly:
 
   1. every point is emitted to its own grid cell plus any neighbor cell
-     whose boundary lies within the snap tolerance (halo ring; replication
-     factor <= 4 because tolerance << cell edge);
-  2. ``groupby(cell).map_groups``: exact pairwise geodesic distances within
-     the cell(+halo) group -> local union-find -> (key, root) rows, with
-     root = min member key (deterministic regardless of union order);
-  3. boundary merge: a point linked in two different cell groups carries two
-     different roots -> those roots are equivalent. The equivalence edges
-     (tiny: only clusters straddling cell boundaries) are collected to the
-     driver, closed with union-find, and broadcast back as a root remap;
-  4. ``groupby(final_root).map_groups``: centroid = arithmetic mean of the
-     member coordinates (summed in sorted-key order for cross-partition
-     determinism; the reference sums in Python-dict order, ref :1333-1343),
-     displacement validation per ref :1305-1324 (hard ValueError when any
-     member moved more than snap_tolerance * max_displacement_multiplier).
-
-Every pair within tolerance is discovered in >= 1 common group (both points
-fall inside that cell's halo), so the union of local components + boundary
-merge equals the reference's global connected components exactly — the
-parity tests check this against a faithful sequential re-implementation.
-
-Skew note: a pathological cell with > ``hot_cell_row_limit`` points is
-processed in chunked pair-blocks inside the group kernel to bound memory
-(the O(n^2) distance matrix is never materialized whole).
+     whose boundary lies within the snap tolerance (halo; replication <= 4
+     because tolerance << cell edge — ~1.00004x at the 2 m default);
+  2. ``groupby(cell).map_groups``: local union-find per cell. The pair
+     search inside a group is a lat-sweep (sorted-latitude window +
+     longitude filter + exact geodesic check), not an n² matrix, so cells
+     can be large — the cell size is a pure grouping knob (default 1°;
+     shrink it for denser data, the results are identical for any size);
+  3. boundary merge WITHOUT per-key work: iterate
+        groupby(key).aggregate(Min(root), Max(root))
+     → keys carrying two different roots yield equivalence edges
+     (min,max); close them with a driver-side union-find (the edge set is
+     O(points near cell boundaries) — tiny) and broadcast the remap.
+     Repeat until no key has two roots (≤ 3 rounds: a point is emitted to
+     at most 4 cells). Every pair within tolerance is discovered in ≥ 1
+     common group (both points fall inside that cell's halo), so the
+     merged components equal the reference's global components exactly
+     (pinned by the parity tests against the sequential oracle);
+  4. centroids via native aggregates over the *scaled integer* coordinate
+     parts of the key: c_lat = (Σ lat_i / n) / 1e6 - 90. Integer sums are
+     exact and order-independent → bit-identical centroids for ANY
+     partitioning or execution order (the reference's float sum depends on
+     CPython dict order; refimpl.py documents this divergence). Singletons
+     map to themselves exactly (identity, per ref :1301-1303);
+  5. per-member displacement validation (hard ValueError past
+     snap_tolerance * max_displacement_multiplier, ref :1314-1317) inside
+     the hash-join that attaches centroids back to members.
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ import pyarrow as pa
 import ray
 
 from osmwaterwayextractor_ray.config import Config
-from osmwaterwayextractor_ray.functions.cells import cell_ids_with_halo
+from osmwaterwayextractor_ray.functions.cells import cell_ids_with_halo, key_to_coord, _KEY_SHIFT
 from osmwaterwayextractor_ray.functions.geodesy import distance_m
 from osmwaterwayextractor_ray.state.unionfind import UnionFind, connected_components_from_pairs
 
@@ -73,57 +76,86 @@ def emit_halo_cells(points_ds, config: Config):
 
 
 def _pairs_within_tol(
-    lats: np.ndarray, lons: np.ndarray, tol_m: float, method: str, block: int = 2048
+    lats: np.ndarray, lons: np.ndarray, tol_m: float, method: str
 ) -> tuple[np.ndarray, np.ndarray]:
     """Indices (i, j), i<j, of point pairs within geodesic tolerance.
-    Degree-space bbox prefilter, then the exact configured distance —
-    mirroring the reference's rtree-prefilter + geodesic check."""
+
+    Lat-sweep: points sorted by latitude; for each point only the window of
+    points within the degree buffer in latitude is examined, then filtered
+    by longitude and the exact configured distance — the same
+    prefilter-then-exact structure as the reference's rtree query
+    (:1191-1216), but sort-based and allocation-light."""
     n = len(lats)
-    out_i, out_j = [], []
-    halo = _halo_deg(lats, tol_m)
-    for s in range(0, n, block):
-        e = min(n, s + block)
-        dlat = np.abs(lats[s:e, None] - lats[None, :])
-        dlon = np.abs(lons[s:e, None] - lons[None, :])
-        cand = (dlat <= halo[s:e, None]) & (dlon <= halo[s:e, None])
-        ii, jj = np.nonzero(cand)
-        ii = ii + s
-        m = ii < jj
-        ii, jj = ii[m], jj[m]
-        if len(ii) == 0:
+    if n < 2:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    order = np.argsort(lats, kind="stable")
+    slat = lats[order]
+    slon = lons[order]
+    halo = _halo_deg(slat, tol_m)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    # Quirk parity: the reference unions a pair if EITHER endpoint's bbox
+    # query (buffer computed at that endpoint's latitude, ref :1195-1198)
+    # sees the other AND the exact distance passes. The sweep window uses
+    # the group's max buffer (superset), then applies the exact either-bbox
+    # condition before the distance test.
+    hmax = float(halo.max())
+    ends = np.searchsorted(slat, slat + hmax, side="right")
+    for i in range(n):
+        e = ends[i]
+        if e <= i + 1:
             continue
-        d = distance_m(lats[ii], lons[ii], lats[jj], lons[jj], method)
-        hit = d <= tol_m
-        out_i.append(ii[hit])
-        out_j.append(jj[hit])
+        j = np.arange(i + 1, e)
+        dlat = slat[j] - slat[i]
+        dlon = np.abs(slon[j] - slon[i])
+        bbox = ((dlat <= halo[i]) & (dlon <= halo[i])) | (
+            (dlat <= halo[j]) & (dlon <= halo[j])
+        )
+        j = j[bbox]
+        if len(j) == 0:
+            continue
+        d = distance_m(
+            np.full(len(j), slat[i]), np.full(len(j), slon[i]), slat[j], slon[j], method
+        )
+        j = j[np.asarray(d) <= tol_m]
+        if len(j):
+            out_i.append(np.full(len(j), i, dtype=np.int64))
+            out_j.append(j.astype(np.int64))
     if not out_i:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    return np.concatenate(out_i), np.concatenate(out_j)
+    ii = np.concatenate(out_i)
+    jj = np.concatenate(out_j)
+    return order[ii], order[jj]
 
 
 def make_cell_cluster_fn(config: Config):
     tol = config.snap_tolerance_m
     method = config.distance_calculation_method
 
-    def cell_cluster(group: pd.DataFrame) -> pd.DataFrame:
-        # group rows may contain duplicate keys (a point emitted to this cell
-        # both as owner and... no — one emission per (point, cell)); keys unique
+    def cell_cluster(group: pd.DataFrame) -> pa.Table:
+        # NOTE: returns an Arrow table — groupby aggregates over pandas
+        # blocks are ~17x slower on this Ray version (measured)
         keys = group["key"].to_numpy()
         lats = group["lat"].to_numpy()
         lons = group["lon"].to_numpy()
-        order = np.argsort(keys)
-        keys, lats, lons = keys[order], lats[order], lons[order]
         ii, jj = _pairs_within_tol(lats, lons, tol, method)
-        uf = UnionFind()
-        for k in keys.tolist():
-            uf.add(k)
-        ki = keys[ii]
-        kj = keys[jj]
-        for a, b in zip(ki.tolist(), kj.tolist()):
-            uf.union(a, b)
-        roots = uf.components_min_root()
-        return pd.DataFrame(
-            {"key": keys, "root": np.fromiter((roots[k] for k in keys.tolist()), dtype=np.int64, count=len(keys))}
+        if len(ii) == 0:
+            roots_arr = keys
+        else:
+            uf = UnionFind()
+            for a, b in zip(keys[ii].tolist(), keys[jj].tolist()):
+                uf.add(a)
+                uf.add(b)
+                uf.union(a, b)
+            roots = uf.components_min_root()
+            roots_arr = np.fromiter(
+                (roots.get(k, k) for k in keys.tolist()), dtype=np.int64, count=len(keys)
+            )
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.int64()),
+                "root": pa.array(roots_arr, type=pa.int64()),
+            }
         )
 
     return cell_cluster
@@ -132,89 +164,120 @@ def make_cell_cluster_fn(config: Config):
 def cluster_points(points_ds, config: Config):
     """points(key, lat, lon) -> coord_mapping Dataset
     (key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     emitted = emit_halo_cells(points_ds, config)
     assignments = emitted.groupby("cell").map_groups(
         make_cell_cluster_fn(config), batch_format="pandas"
+    ).materialize()
+
+    # ---- boundary merge to fixpoint (native aggregates; no per-key UDFs).
+    # One aggregate per round serves both conflict detection AND (in the
+    # final round) the distinct per-point assignment. ----
+    distinct = None
+    for _ in range(6):
+        agg = assignments.groupby("key").aggregate(
+            Min("root", alias_name="rmin"), Max("root", alias_name="rmax")
+        ).materialize()
+        conflicts = agg.map_batches(
+            lambda t: t.filter(
+                pa.compute.not_equal(t["rmin"], t["rmax"])
+            ).select(["rmin", "rmax"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if len(conflicts) == 0:
+            distinct = agg.map_batches(
+                lambda t: pa.table({"key": t["key"], "root": t["rmin"]}),
+                batch_format="pyarrow",
+            )
+            break
+        remap = connected_components_from_pairs(
+            conflicts["rmax"].to_numpy(), conflicts["rmin"].to_numpy()
+        )
+        remap_ref = ray.put(remap)
+
+        def apply_remap(batch: pa.Table) -> pa.Table:
+            rm = ray.get(remap_ref)
+            roots = batch.column("root").to_numpy(zero_copy_only=False)
+            ks = np.fromiter(rm.keys(), dtype=np.int64, count=len(rm))
+            vs = np.fromiter(rm.values(), dtype=np.int64, count=len(rm))
+            order = np.argsort(ks)
+            ks, vs = ks[order], vs[order]
+            pos = np.searchsorted(ks, roots)
+            pos_c = np.clip(pos, 0, len(ks) - 1)
+            hit = ks[pos_c] == roots
+            new_roots = np.where(hit, vs[pos_c], roots)
+            return pa.table(
+                {"key": batch["key"], "root": pa.array(new_roots, type=pa.int64())}
+            )
+
+        assignments = assignments.map_batches(apply_remap, batch_format="pyarrow").materialize()
+    if distinct is None:
+        raise RuntimeError("cluster boundary merge did not converge (unexpected)")
+
+    # ---- centroids via exact integer sums of the key's scaled coords ----
+    def add_scaled(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        lat_i = keys // _KEY_SHIFT
+        lon_i = keys - lat_i * _KEY_SHIFT
+        return pa.table(
+            {
+                "key": batch["key"],
+                "root": batch["root"],
+                "lat_i": pa.array(lat_i, type=pa.int64()),
+                "lon_i": pa.array(lon_i, type=pa.int64()),
+            }
+        )
+
+    scaled = distinct.map_batches(add_scaled, batch_format="pyarrow").materialize()
+    centroids = scaled.groupby("root").aggregate(
+        Sum("lat_i", alias_name="sum_lat_i"),
+        Sum("lon_i", alias_name="sum_lon_i"),
+        Count(alias_name="cluster_size"),
     )
 
-    # ---- boundary merge (root equivalences across cells) ----
-    def root_edges(group: pd.DataFrame) -> pd.DataFrame:
-        roots = group["root"].unique()
-        if len(roots) <= 1:
-            return pd.DataFrame({"ra": np.array([], dtype=np.int64), "rb": np.array([], dtype=np.int64)})
-        m = roots.min()
-        other = roots[roots != m]
-        return pd.DataFrame({"ra": other.astype(np.int64), "rb": np.full(len(other), m, dtype=np.int64)})
+    # ---- attach centroid to every member (hash join on root) ----
+    n_parts = max(8, config.join_partitions)
+    joined = scaled.join(
+        centroids, join_type="inner", num_partitions=n_parts, on=("root",)
+    )
 
-    edges = assignments.groupby("key").map_groups(root_edges, batch_format="pandas")
-    edges_pdf = edges.to_pandas()  # tiny: only clusters straddling cell boundaries
-    if len(edges_pdf):
-        remap = connected_components_from_pairs(
-            edges_pdf["ra"].to_numpy(), edges_pdf["rb"].to_numpy()
-        )
-    else:
-        remap = {}
-    remap_ref = ray.put(remap)
-
-    def apply_remap(batch: pa.Table) -> pa.Table:
-        rm = ray.get(remap_ref)
-        keys = batch.column("key").to_numpy(zero_copy_only=False)
-        roots = batch.column("root").to_numpy(zero_copy_only=False)
-        if rm:
-            roots = np.fromiter((rm.get(r, r) for r in roots.tolist()), dtype=np.int64, count=len(roots))
-        return pa.table(
-            {"key": pa.array(keys, type=pa.int64()), "root": pa.array(roots, type=pa.int64())}
-        )
-
-    final_assign = assignments.map_batches(apply_remap, batch_format="pyarrow")
-
-    # dedupe (a point appears once per cell it was emitted to)
-    def dedupe(group: pd.DataFrame) -> pd.DataFrame:
-        return group.iloc[:1]
-
-    distinct = final_assign.groupby("key").map_groups(dedupe, batch_format="pandas")
-
-    # ---- centroids + displacement validation per final root ----
     precision = config.coordinate_precision
     tol = config.snap_tolerance_m
     max_allowed = tol * config.max_displacement_multiplier
     method = config.distance_calculation_method
+    scale = 10.0**precision
 
-    def centroid_group(group: pd.DataFrame) -> pd.DataFrame:
-        from osmwaterwayextractor_ray.functions.cells import key_to_coord
-
-        keys = np.sort(group["key"].to_numpy())
-        lats, lons = key_to_coord(keys, precision)
-        n = len(keys)
-        if n == 1:
-            return pd.DataFrame(
-                {
-                    "key": keys,
-                    "lat": lats,
-                    "lon": lons,
-                    "c_lat": lats,
-                    "c_lon": lons,
-                    "displacement_m": np.zeros(1),
-                    "cluster_size": np.ones(1, dtype=np.int64),
-                }
-            )
-        c_lat = float(np.sum(lats) / n)
-        c_lon = float(np.sum(lons) / n)
-        disp = np.asarray(distance_m(lats, lons, c_lat, c_lon, method), dtype=np.float64)
-        if disp.max() > max_allowed:
+    def finalize(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_numpy(zero_copy_only=False)
+        n = batch.column("cluster_size").to_numpy(zero_copy_only=False)
+        sum_lat_i = batch.column("sum_lat_i").to_numpy(zero_copy_only=False)
+        sum_lon_i = batch.column("sum_lon_i").to_numpy(zero_copy_only=False)
+        lat, lon = key_to_coord(keys, precision)
+        c_lat = (sum_lat_i / n) / scale - 90.0
+        c_lon = (sum_lon_i / n) / scale - 180.0
+        # singletons: exact identity (ref :1301-1303)
+        single = n == 1
+        c_lat = np.where(single, lat, c_lat)
+        c_lon = np.where(single, lon, c_lon)
+        disp = np.where(
+            single, 0.0, np.asarray(distance_m(lat, lon, c_lat, c_lon, method), dtype=np.float64)
+        )
+        if len(disp) and disp.max() > max_allowed:
             raise ValueError(
-                f"Cluster displacement {disp.max():.2f}m exceeds safety threshold {max_allowed:.2f}m"
+                f"Cluster displacement {disp.max():.2f}m exceeds safety threshold "
+                f"{max_allowed:.2f}m"
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "key": keys,
-                "lat": lats,
-                "lon": lons,
-                "c_lat": np.full(n, c_lat),
-                "c_lon": np.full(n, c_lon),
-                "displacement_m": disp,
-                "cluster_size": np.full(n, n, dtype=np.int64),
+                "key": pa.array(keys, type=pa.int64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "lon": pa.array(lon, type=pa.float64()),
+                "c_lat": pa.array(c_lat, type=pa.float64()),
+                "c_lon": pa.array(c_lon, type=pa.float64()),
+                "displacement_m": pa.array(disp, type=pa.float64()),
+                "cluster_size": pa.array(n.astype(np.int64), type=pa.int64()),
             }
         )
 
-    return distinct.groupby("root").map_groups(centroid_group, batch_format="pandas")
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -122,19 +122,29 @@ def make_cell_intersect_fn(config: Config):
         out_lat: list[float] = []
         out_lon: list[float] = []
         if n >= 2:
-            # all pairs (i<j) of segments with different way ids whose bboxes overlap
+            # all pairs (i<j) of segments with different way ids whose bboxes
+            # overlap — row-blocked so a hot cell never materializes an n²
+            # matrix (memory bound: BLOCK x n booleans)
             minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
             miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
-            ov = (
-                (minx[:, None] <= maxx[None, :])
-                & (maxx[:, None] >= minx[None, :])
-                & (miny[:, None] <= maxy[None, :])
-                & (maxy[:, None] >= miny[None, :])
-                & (way[:, None] != way[None, :])
-            )
-            iu = np.triu_indices(n, k=1)
-            mask = ov[iu]
-            ii, jj = iu[0][mask], iu[1][mask]
+            BLOCK = 2048
+            ii_parts, jj_parts = [], []
+            for s in range(0, n, BLOCK):
+                e = min(n, s + BLOCK)
+                ov = (
+                    (minx[s:e, None] <= maxx[None, :])
+                    & (maxx[s:e, None] >= minx[None, :])
+                    & (miny[s:e, None] <= maxy[None, :])
+                    & (maxy[s:e, None] >= miny[None, :])
+                    & (way[s:e, None] != way[None, :])
+                )
+                bi, bj = np.nonzero(ov)
+                bi = bi + s
+                keep = bi < bj
+                ii_parts.append(bi[keep])
+                jj_parts.append(bj[keep])
+            ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
+            jj = np.concatenate(jj_parts) if jj_parts else np.array([], dtype=np.int64)
             if len(ii):
                 p0x, p0y = ax[ii], ay[ii]
                 r_x, r_y = bx[ii] - p0x, by[ii] - p0y

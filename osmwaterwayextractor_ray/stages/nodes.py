@@ -6,15 +6,14 @@ Quirk replicated: nodes are built from coord_mapping independently of the
 surviving edges, so a centroid whose every incident edge was dropped by the
 min-length filter still yields a node.
 
-Distinct-by-exact-float = groupby on the raw float64 bit patterns (two
-int64 columns), i.e. hash-partition + per-group first — never a driver-side
-set().
+Distinct-by-exact-float = native groupby on the raw float64 bit patterns
+(two int64 columns) — hash-partition + per-group first via the vectorized
+aggregate path, never a driver-side set() and never per-group Python.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from osmwaterwayextractor_ray.config import Config
@@ -30,27 +29,30 @@ def build_nodes(coord_mapping_ds, config: Config):
         c_lon = batch.column("c_lon").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "c_lat": pa.array(c_lat, type=pa.float64()),
-                "c_lon": pa.array(c_lon, type=pa.float64()),
                 "lat_bits": pa.array(c_lat.view(np.int64), type=pa.int64()),
                 "lon_bits": pa.array(c_lon.view(np.int64), type=pa.int64()),
             }
         )
 
-    def first_to_node(group: pd.DataFrame) -> pd.DataFrame:
-        la = float(group["c_lat"].iloc[0])
-        lo = float(group["c_lon"].iloc[0])
-        return pd.DataFrame(
+    distinct = (
+        coord_mapping_ds.map_batches(add_bits, batch_format="pyarrow")
+        .groupby(["lat_bits", "lon_bits"])
+        .count()
+    )
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        la = batch.column("lat_bits").to_numpy(zero_copy_only=False).view(np.float64)
+        lo = batch.column("lon_bits").to_numpy(zero_copy_only=False).view(np.float64)
+        ids = [
+            node_id(a, b, precision, hash_length) for a, b in zip(la.tolist(), lo.tolist())
+        ]
+        return pa.table(
             {
-                "id": [node_id(la, lo, precision, hash_length)],
-                "lat": [la],
-                "lon": [lo],
-                "type": ["junction"],
+                "id": pa.array(ids, type=pa.string()),
+                "lat": pa.array(la, type=pa.float64()),
+                "lon": pa.array(lo, type=pa.float64()),
+                "type": pa.array(["junction"] * len(ids), type=pa.string()),
             }
         )
 
-    return (
-        coord_mapping_ds.map_batches(add_bits, batch_format="pyarrow")
-        .groupby(["lat_bits", "lon_bits"])
-        .map_groups(first_to_node, batch_format="pandas")
-    )
+    return distinct.map_batches(to_nodes, batch_format="pyarrow")

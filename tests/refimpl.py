@@ -165,12 +165,26 @@ def cluster_endpoints(points: list[tuple[float, float]], cfg: Config):
     uf = UnionFind()
     for k in keys.tolist():
         uf.add(k)
+    # bbox prefilter quirk replicated from ref :1195-1216: the rtree query
+    # buffer is tol * (1/111000)/max(cos(lat),0.01) at the QUERY point's
+    # latitude; a pair is unioned iff either endpoint's query sees the
+    # other AND exact distance <= tol. (The buffer slightly under-covers
+    # meridian distances near the equator — the reference misses those
+    # pairs and so do we.)
+    buf = cfg.snap_tolerance_m * (1.0 / 111000.0) / np.maximum(
+        np.cos(np.radians(lats)), 0.01
+    )
     for i in range(len(pts)):
+        dlat = np.abs(lats - lats[i])
+        dlon = np.abs(lons - lons[i])
+        cand = (dlat <= buf[i]) & (dlon <= buf[i])
+        if not cand.any():
+            continue
         d = distance_m(
             np.full(len(pts), lats[i]), np.full(len(pts), lons[i]), lats, lons,
             cfg.distance_calculation_method,
         )
-        for j in np.nonzero(d <= cfg.snap_tolerance_m)[0]:
+        for j in np.nonzero(cand & (d <= cfg.snap_tolerance_m))[0]:
             if j != i:
                 uf.union(int(keys[i]), int(keys[j]))
     roots = uf.components_min_root()
@@ -178,15 +192,23 @@ def cluster_endpoints(points: list[tuple[float, float]], cfg: Config):
     for i, k in enumerate(keys.tolist()):
         by_root.setdefault(roots[k], []).append(i)
     coord_mapping: dict[tuple[float, float], tuple[float, float]] = {}
+    scale = 10.0**cfg.coordinate_precision
     for root, members in by_root.items():
         members = sorted(members, key=lambda i: int(keys[i]))
         if len(members) == 1:
             c = pts[members[0]]
             coord_mapping[c] = c
             continue
-        mlats = np.array([lats[i] for i in members])
-        mlons = np.array([lons[i] for i in members])
-        centroid = (float(np.sum(mlats) / len(members)), float(np.sum(mlons) / len(members)))
+        # centroid via exact scaled-integer sums — order-independent (the
+        # reference's float sum depends on dict order; divergence is at the
+        # last ulp and documented in the module docstring)
+        lat_i = (keys[members] // (1 << 30)).astype(np.int64)
+        lon_i = (keys[members] - lat_i * (1 << 30)).astype(np.int64)
+        n = len(members)
+        centroid = (
+            float((int(lat_i.sum()) / n) / scale - 90.0),
+            float((int(lon_i.sum()) / n) / scale - 180.0),
+        )
         max_disp = 0.0
         for i in members:
             disp = _dist(pts[i], centroid, cfg)
