@@ -47,17 +47,28 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
     t0 = time.time()
     original_count = None
 
-    cleaned = clean_waterways(waterways_ds, config)
-    simplified = simplify_waterways(cleaned, config)
-    with_intersections = detect_and_split(simplified, config)
+    from osmwaterwayextractor_ray.stages.checkpoint import checkpointed
+
+    def _intersections():
+        cleaned = clean_waterways(waterways_ds, config)
+        simplified = simplify_waterways(cleaned, config)
+        return detect_and_split(simplified, config)
 
     # the post-intersection waterways feed both the counting shuffle and the
-    # edge assembly — materialize once so the shared stage isn't re-executed
-    with_intersections = with_intersections.materialize()
+    # edge assembly — checkpoint (param-hashed parquet) or materialize once
+    # so the shared prefix isn't re-executed per consumer
+    with_intersections = checkpointed(_intersections, "intersections", config)
+    if not config.enable_checkpoints:
+        with_intersections = with_intersections.materialize()
 
-    counts = endpoint_junction_counts(with_intersections, config)
-    points = cluster_input_points(counts, config)
-    coord_mapping = cluster_points(points, config).materialize()
+    def _clustering():
+        counts = endpoint_junction_counts(with_intersections, config)
+        points = cluster_input_points(counts, config)
+        return cluster_points(points, config)
+
+    coord_mapping = checkpointed(_clustering, "clustering", config)
+    if not config.enable_checkpoints:
+        coord_mapping = coord_mapping.materialize()
 
     edges = create_edges(with_intersections, coord_mapping, config)
     nodes = build_nodes(coord_mapping, config)

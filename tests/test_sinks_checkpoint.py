@@ -1,0 +1,136 @@
+"""Sinks (parquet/csv/geojson/jsongz/mobile/qa/manifest) + checkpoint layer."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmwaterwayextractor_ray.config import Config
+from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
+from osmwaterwayextractor_ray.sources.waterways import synth_waterways_ds
+from osmwaterwayextractor_ray.stages import sinks
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    cfg = Config(min_fragment_length_m=0.0)
+    r = build_graph(synth_waterways_ds(16), cfg)
+    return r.nodes.materialize(), r.edges.materialize()
+
+
+def test_parquet_and_csv(graph, tmp_path):
+    nodes, edges = graph
+    out = sinks.save_parquet(nodes, edges, str(tmp_path / "pq"))
+    ndf = pd.read_parquet(out["nodes"])
+    edf = pd.read_parquet(out["edges"])
+    assert len(ndf) == nodes.count() and len(edf) == edges.count()
+    assert "lats" in edf.columns
+
+    out = sinks.save_csv(nodes, edges, str(tmp_path / "csv"), compression=False)
+    files = os.listdir(out["edges"])
+    assert files
+    edf_csv = pd.concat([pd.read_csv(os.path.join(out["edges"], f)) for f in files])
+    assert len(edf_csv) == edges.count()
+    assert "coordinates" in edf_csv.columns
+    # coordinates column is the reference's repr-of-tuple-list
+    first = edf_csv["coordinates"].iloc[0]
+    assert first.startswith("[(") and first.endswith(")]")
+
+
+def test_geojson(graph, tmp_path):
+    nodes, edges = graph
+    path = sinks.save_geojson(edges, str(tmp_path / "edges.geojson"))
+    fc = json.load(open(path))
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == edges.count()
+    f0 = fc["features"][0]
+    # (lon, lat) order in geojson
+    lon, lat = f0["geometry"]["coordinates"][0]
+    assert -180 <= lon <= 180 and -90 <= lat <= 90
+    edf = edges.to_pandas()
+    row = edf[edf["id"] == f0["properties"]["id"]].iloc[0]
+    assert lat == row["lats"][0] and lon == row["lons"][0]
+
+
+def test_jsongz(graph, tmp_path):
+    nodes, edges = graph
+    out = sinks.save_jsongz(nodes, edges, str(tmp_path / "g"))
+    jn = json.load(gzip.open(out["nodes"], "rt"))
+    je = json.load(gzip.open(out["edges"], "rt"))
+    assert len(jn) == nodes.count() and len(je) == edges.count()
+    # node indices valid and edges consistent with the sorted-id contract
+    ndf = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    for e in je[:10]:
+        assert 0 <= e["start"] < len(jn) and 0 <= e["end"] < len(jn)
+        assert jn[e["start"]] == [ndf["lat"][e["start"]], ndf["lon"][e["start"]]]
+        assert e["coordinates"][0] == jn[e["start"]]
+
+
+def test_mobile(graph, tmp_path):
+    nodes, edges = graph
+    mnodes, medges = sinks.to_mobile(nodes, edges)
+    assert list(mnodes["id"]) == list(range(1, len(mnodes) + 1))
+    assert list(medges["id"]) == list(range(1, len(medges) + 1))
+    assert medges["from_node_id"].between(1, len(mnodes)).all()
+    out = sinks.save_mobile_csv(nodes, edges, str(tmp_path / "m"))
+    assert os.path.exists(out["nodes"]) and os.path.exists(out["edges"])
+
+
+def test_qa_and_manifest(graph, tmp_path):
+    nodes, edges = graph
+    cfg = Config()
+    qa = {"final_nodes": nodes.count(), "final_edges": edges.count()}
+    p = sinks.save_qa(qa, str(tmp_path / "qa.json"))
+    assert json.load(open(p))["final_nodes"] == nodes.count()
+    m = sinks.generate_manifest("synth16", cfg, qa, {"parquet": "out"})
+    assert m["config_hash"] == sinks.generate_manifest("synth16", cfg, qa, {})["config_hash"]
+    assert m["config_hash"] != sinks.generate_manifest(
+        "synth16", Config(snap_tolerance_m=9.9), qa, {}
+    )["config_hash"]
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    from osmwaterwayextractor_ray.stages.checkpoint import checkpoint_path, checkpointed
+
+    cfg = Config(enable_checkpoints=True, checkpoint_dir=str(tmp_path / "ckpt"),
+                 min_fragment_length_m=0.0)
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return synth_waterways_ds(8)
+
+    ds1 = checkpointed(factory, "intersections", cfg)
+    assert calls["n"] == 1
+    assert ds1.count() == 8
+    manifest = json.load(
+        open(os.path.join(checkpoint_path(cfg, "intersections"), "_manifest.json"))
+    )
+    assert manifest["row_count"] == 8 and manifest["n_files"] >= 1
+    # second run: factory NOT called again
+    ds2 = checkpointed(factory, "intersections", cfg)
+    assert calls["n"] == 1
+    assert ds2.count() == 8
+    # changing a parameter in the step's closure invalidates the cache
+    cfg2 = Config(enable_checkpoints=True, checkpoint_dir=str(tmp_path / "ckpt"),
+                  simplification_tolerance_m=5.0)
+    checkpointed(factory, "intersections", cfg2)
+    assert calls["n"] == 2
+
+
+def test_full_graph_with_checkpoints(ray_session, tmp_path):
+    cfg = Config(enable_checkpoints=True, checkpoint_dir=str(tmp_path / "ck2"),
+                 min_fragment_length_m=0.0)
+    r1 = build_graph(synth_waterways_ds(16), cfg)
+    e1 = r1.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    # resume: same params -> clustering + intersections read from checkpoints
+    r2 = build_graph(synth_waterways_ds(16), cfg)
+    e2 = r2.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(e1, e2)
+    # parity with the non-checkpointed run
+    r3 = build_graph(synth_waterways_ds(16), Config(min_fragment_length_m=0.0))
+    e3 = r3.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(e1, e3)
