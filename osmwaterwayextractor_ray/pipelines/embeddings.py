@@ -25,8 +25,12 @@ DIM = 64
 N_QUERIES = 10
 K = 5
 
-# deterministic LSH hyperplanes (fixed seed, drawn once at import)
-_PLANES = np.random.RandomState(7).standard_normal((16, DIM)).astype(np.float64)
+# deterministic LSH hyperplanes (fixed seed, drawn once at import):
+# 3 bands x 8 bits — recall at cosine 0.995 (angle ~6°) is
+# 1 - (1 - (1-0.018)^8)^3 ≈ 0.9975, with 256 buckets/band bounding the
+# per-bucket pair blowup
+_N_BANDS, _ROWS = 3, 8
+_PLANES = np.random.RandomState(7).standard_normal((_N_BANDS * _ROWS, DIM)).astype(np.float64)
 
 
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -144,9 +148,7 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
 
     corpus = _corpus_with_planted_neighbors(sf_dir).materialize()
 
-    # 4 bands x 4 hyperplanes: a near-dup pair (cos >= 0.995, angle ~6°)
-    # collides in >= 1 band with probability ~1 - 0.07^4 ≈ 0.99998
-    N_BANDS, ROWS = 4, 4
+    N_BANDS, ROWS = _N_BANDS, _ROWS
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
@@ -180,8 +182,10 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
             {"vec_a": pa.array(ii, type=pa.int64()), "vec_b": pa.array(jj, type=pa.int64())}
         )
 
+    from osmwaterwayextractor_ray.stages.fastagg import distinct as fa_distinct
+
     cand = buckets.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
-    cand = cand.groupby(["vec_a", "vec_b"]).count().select_columns(["vec_a", "vec_b"])
+    cand = fa_distinct(cand, ["vec_a", "vec_b"])
 
     pdf = corpus.to_pandas()
     mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)

@@ -235,19 +235,44 @@ FROM events GROUP BY 1, 2
 
 def user_sessions(sf_dir: str, gap_s: int = 1800):
     """Sessionization: per user, events sorted by ts; a gap > 30 min starts
-    a new session. groupby(user).map_groups over the sorted group."""
+    a new session. Users are hash-bucketed (32 buckets); each bucket does
+    one vectorized sort + diff over ALL its users — no per-user Python."""
+    import pyarrow as pa
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > gap_s * 1_000_000
-        return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(1 + gaps.sum())]}
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((uid % 32).astype(np.int64), type=pa.int64())
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        same_user = uid[1:] == uid[:-1]
+        new_sess = same_user & (np.diff(ts) > gap_s * 1_000_000)
+        users, first_idx = np.unique(uid, return_index=True)
+        # per-user new-session counts via segmented sum over the flag array
+        flags = np.concatenate(([0], new_sess.astype(np.int64)))
+        csum = np.cumsum(flags)
+        bounds = np.concatenate((first_idx, [len(uid)]))
+        n_sessions = 1 + (csum[bounds[1:] - 1] - csum[bounds[:-1]])
+        return pa.table(
+            {
+                "user_id": pa.array(users, type=pa.int64()),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 USER_SESSIONS_SQL = """

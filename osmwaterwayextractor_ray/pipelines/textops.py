@@ -48,15 +48,14 @@ def dedup_exact(sf_dir: str):
         h = text_hash64(["" if t is None else t for t in texts])
         return batch.append_column("h", pa.array(h.view(np.int64), type=pa.int64()))
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id").iloc[:1]
-        return g[["doc_id", "text"]]
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192)
+    # min doc_id per content hash; Min(text) is THE text (all texts in a
+    # hash group are identical, collisions aside)
+    return grouped_agg(
+        hashed, ["h"], {"doc_id": ("doc_id", "min"), "text": ("text", "min")}
+    ).select_columns(["doc_id", "text"])
 
 
 DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
@@ -216,14 +215,10 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
             {"doc_a": pa.array(ii, type=pa.int64()), "doc_b": pa.array(jj, type=pa.int64())}
         )
 
-    cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    from osmwaterwayextractor_ray.stages.fastagg import distinct as fa_distinct
 
-    # distinct pairs across bands: native aggregate (no per-group UDF)
-    cand = (
-        cand.groupby(["doc_a", "doc_b"])
-        .count()
-        .select_columns(["doc_a", "doc_b"])
-    )
+    cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    cand = fa_distinct(cand, ["doc_a", "doc_b"])
 
     # broadcast text lookup for verification (documents table is the small
     # side here; at web scale this becomes a hash-join on doc_id)

@@ -164,8 +164,6 @@ def make_cell_cluster_fn(config: Config):
 def cluster_points(points_ds, config: Config):
     """points(key, lat, lon) -> coord_mapping Dataset
     (key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     emitted = emit_halo_cells(points_ds, config)
     assignments = emitted.groupby("cell").map_groups(
         make_cell_cluster_fn(config), batch_format="pandas"
@@ -174,10 +172,15 @@ def cluster_points(points_ds, config: Config):
     # ---- boundary merge to fixpoint (native aggregates; no per-key UDFs).
     # One aggregate per round serves both conflict detection AND (in the
     # final round) the distinct per-point assignment. ----
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
     distinct = None
     for _ in range(6):
-        agg = assignments.groupby("key").aggregate(
-            Min("root", alias_name="rmin"), Max("root", alias_name="rmax")
+        agg = grouped_agg(
+            assignments,
+            ["key"],
+            {"rmin": ("root", "min"), "rmax": ("root", "max")},
+            num_parts=config.join_partitions,
         ).materialize()
         conflicts = agg.map_batches(
             lambda t: t.filter(
@@ -230,16 +233,25 @@ def cluster_points(points_ds, config: Config):
         )
 
     scaled = distinct.map_batches(add_scaled, batch_format="pyarrow").materialize()
-    centroids = scaled.groupby("root").aggregate(
-        Sum("lat_i", alias_name="sum_lat_i"),
-        Sum("lon_i", alias_name="sum_lon_i"),
-        Count(alias_name="cluster_size"),
+    centroids = grouped_agg(
+        scaled,
+        ["root"],
+        {
+            "sum_lat_i": ("lat_i", "sum"),
+            "sum_lon_i": ("lon_i", "sum"),
+            "cluster_size": ("lat_i", "count"),
+        },
+        num_parts=config.join_partitions,
     )
 
-    # ---- attach centroid to every member (hash join on root) ----
-    n_parts = max(8, config.join_partitions)
-    joined = scaled.join(
-        centroids, join_type="inner", num_partitions=n_parts, on=("root",)
+    # ---- attach centroid to every member (partitioned hash join on root;
+    # hot-root salting not needed: a cluster's size is bounded by the snap
+    # tolerance ball, not by data volume) ----
+    joined = hash_join(
+        scaled.select_columns(["key", "root"]),
+        centroids,
+        on=["root"],
+        num_parts=config.join_partitions,
     )
 
     precision = config.coordinate_precision

@@ -61,14 +61,21 @@ def make_partial_counts_fn(config: Config):
 
 
 def endpoint_junction_counts(ds, config: Config):
-    """waterways Dataset -> Dataset(key, ep_count, total_count)."""
+    """waterways Dataset -> Dataset(key, ep_count, total_count).
+
+    Partial counts per batch (the reference's partial/merge structure,
+    :2264-2271) then the vectorized hash-bucket combine (stages/fastagg —
+    the native per-group aggregate is ~130µs/group on this Ray version)."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
     partials = ds.map_batches(
         make_partial_counts_fn(config), batch_format="pyarrow", batch_size=config.batch_size
     )
-    agg = partials.groupby("key").aggregate(
-        Sum("ep", alias_name="ep_count"), Sum("tot", alias_name="total_count")
+    return grouped_agg(
+        partials,
+        ["key"],
+        {"ep_count": ("ep", "sum"), "total_count": ("tot", "sum")},
     )
-    return agg
 
 
 def cluster_input_points(counts_ds, config: Config):

@@ -34,10 +34,11 @@ def build_nodes(coord_mapping_ds, config: Config):
             }
         )
 
-    distinct = (
-        coord_mapping_ds.map_batches(add_bits, batch_format="pyarrow")
-        .groupby(["lat_bits", "lon_bits"])
-        .count()
+    from osmwaterwayextractor_ray.stages.fastagg import distinct as fa_distinct
+
+    distinct = fa_distinct(
+        coord_mapping_ds.map_batches(add_bits, batch_format="pyarrow"),
+        ["lat_bits", "lon_bits"],
     )
 
     def to_nodes(batch: pa.Table) -> pa.Table:

@@ -123,8 +123,19 @@ def generate_qa_metrics(
                 "mean_edge_length_m": float(mean_agg["mean(length_m)"]),
             }
         )
-        with_raw = edges_ds.filter(expr="width_raw != ''").count()
-        with_m = edges_ds.filter(expr="width_m is not null").count()
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def width_counts(t: pa.Table) -> pa.Table:
+            raw = pc.sum(pc.cast(pc.not_equal(t["width_raw"], pa.scalar("")), pa.int64())).as_py() or 0
+            m = pc.sum(pc.cast(pc.is_valid(t["width_m"]), pa.int64())).as_py() or 0
+            return pa.table({"raw": pa.array([raw], type=pa.int64()), "m": pa.array([m], type=pa.int64())})
+
+        wagg = edges_ds.map_batches(width_counts, batch_format="pyarrow").aggregate(
+            Sum("raw", alias_name="raw"), Sum("m", alias_name="m")
+        )
+        with_raw = int(wagg["raw"] or 0)
+        with_m = int(wagg["m"] or 0)
         metrics.update(
             {
                 "pct_edges_with_width_raw": with_raw / n_edges * 100,
