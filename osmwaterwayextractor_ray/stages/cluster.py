@@ -133,12 +133,19 @@ def make_cell_cluster_fn(config: Config):
     method = config.distance_calculation_method
 
     def cell_cluster(group: pd.DataFrame) -> pa.Table:
+        from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+
         # NOTE: returns an Arrow table — groupby aggregates over pandas
         # blocks are ~17x slower on this Ray version (measured)
         keys = group["key"].to_numpy()
         lats = group["lat"].to_numpy()
         lons = group["lon"].to_numpy()
         ii, jj = _pairs_within_tol(lats, lons, tol, method)
+        if len(ii) and "task" in group.columns:
+            sgrp = group["sgrp"].to_numpy()
+            sm = pair_mask_for_task(int(group["task"].iloc[0]), sgrp[ii], sgrp[jj])
+            if sm is not None:  # salted cross task: different sub-groups only
+                ii, jj = ii[sm], jj[sm]
         if len(ii) == 0:
             roots_arr = keys
         else:
@@ -164,8 +171,15 @@ def make_cell_cluster_fn(config: Config):
 def cluster_points(points_ds, config: Config):
     """points(key, lat, lon) -> coord_mapping Dataset
     (key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)."""
-    emitted = emit_halo_cells(points_ds, config)
-    assignments = emitted.groupby("cell").map_groups(
+    from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
+
+    emitted = emit_halo_cells(points_ds, config).materialize()
+    hot = compute_hot_cells(emitted, "cell", config.hot_cell_row_limit)
+    salted = apply_salt(emitted, "cell", "key", hot)
+    # A point of a salted hot cell appears in S tasks and can come back
+    # with S different local roots — exactly what the boundary-merge
+    # fixpoint below reconciles (same mechanism as cross-cell halo merges).
+    assignments = salted.groupby("task").map_groups(
         make_cell_cluster_fn(config), batch_format="pandas"
     ).materialize()
 
@@ -175,7 +189,7 @@ def cluster_points(points_ds, config: Config):
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
 
     distinct = None
-    for _ in range(6):
+    for _ in range(12):  # halo ≤ 4 cells/point; salting adds ≤ log(S) rounds
         agg = grouped_agg(
             assignments,
             ["key"],

@@ -112,7 +112,11 @@ def make_cell_intersect_fn(config: Config):
     cell_deg = config.intersect_cell_deg
 
     def cell_intersect(group: pd.DataFrame) -> pd.DataFrame:
+        from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+
+        task = int(group["task"].iloc[0])
         cell = int(group["cell"].iloc[0])
+        sgrp = group["sgrp"].to_numpy()
         way = group["way_id"].to_numpy()
         ax = group["lon1"].to_numpy()
         ay = group["lat1"].to_numpy()
@@ -141,8 +145,12 @@ def make_cell_intersect_fn(config: Config):
                 bi, bj = np.nonzero(ov)
                 bi = bi + s
                 keep = bi < bj
-                ii_parts.append(bi[keep])
-                jj_parts.append(bj[keep])
+                bi, bj = bi[keep], bj[keep]
+                sm = pair_mask_for_task(task, sgrp[bi], sgrp[bj])
+                if sm is not None:  # salted cross task: different sub-groups only
+                    bi, bj = bi[sm], bj[sm]
+                ii_parts.append(bi)
+                jj_parts.append(bj)
             ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
             jj = np.concatenate(jj_parts) if jj_parts else np.array([], dtype=np.int64)
             if len(ii):
@@ -193,9 +201,17 @@ def make_cell_intersect_fn(config: Config):
 
 
 def detect_intersections(ds, config: Config):
-    """waterways -> Dataset(lat, lon) of distinct intersection points."""
-    segs = emit_segments(ds, config)
-    return segs.groupby("cell").map_groups(make_cell_intersect_fn(config), batch_format="pandas")
+    """waterways -> Dataset(lat, lon) of distinct intersection points.
+    Hot cells (> hot_cell_row_limit segments) are salted into triangle
+    sub-tasks (stages/salt.py) before the pairwise kernel."""
+    from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
+
+    segs = emit_segments(ds, config).materialize()
+    hot = compute_hot_cells(segs, "cell", config.hot_cell_row_limit)
+    salted = apply_salt(segs, "cell", "way_id", hot)
+    return salted.groupby("task").map_groups(
+        make_cell_intersect_fn(config), batch_format="pandas"
+    )
 
 
 class IntersectionSplitter:

@@ -178,3 +178,14 @@ def test_random_networks_parity(ray_session):
     ref_nodes, ref_edges, _ = refimpl.build_graph(waterways, cfg)
     result = build_graph(_pylist_to_ds(waterways), cfg)
     _assert_graph_parity(result, ref_nodes, ref_edges)
+
+
+def test_hot_cell_salting_parity(ray_session):
+    """Forcing a tiny hot-cell limit makes every cell salt into triangle
+    sub-tasks; the result must be identical to the unsalted run (and to
+    the sequential oracle)."""
+    n = 40
+    cfg_salted = Config(min_fragment_length_m=0.0, hot_cell_row_limit=10)
+    ref_nodes, ref_edges, _ = refimpl.build_graph(_ds_to_motif_pylist(n), cfg_salted)
+    result = build_graph(synth_waterways_ds(n), cfg_salted)
+    _assert_graph_parity(result, ref_nodes, ref_edges)
