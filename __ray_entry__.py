@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_counts": textops.winnow_counts,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
+        "embed_topk_ivf": embeddings.embed_topk_ivf,
         "embed_neardup": embeddings.embed_neardup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,

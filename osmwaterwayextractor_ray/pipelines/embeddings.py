@@ -213,3 +213,103 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
             )
 
     return cand.map_batches(Verify, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+
+
+# ---- IVF-style bucketed ANN (the scale path for similarity search) ----
+
+N_COARSE = 16   # coarse centroids (deterministic: the first N_COARSE vectors)
+N_PROBE = 4     # buckets searched per query
+
+
+def embed_topk_ivf(sf_dir: str):
+    """Approximate top-k: vectors are assigned to their nearest coarse
+    centroid inside map_batches (one matmul per batch), shuffled once by
+    bucket, and each query searches only its N_PROBE nearest buckets —
+    the IVF structure that keeps ANN sub-linear at 10^9+ vectors. The
+    coarse "codebook" here is deterministic (first N_COARSE vectors);
+    swapping in k-means centroids changes recall, not the pipeline shape.
+
+    Returns (qid, vec_id, cosine) like embed_topk; recall vs brute force
+    is pinned by tests (approximate by design -> rows-only check)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    emb_col = qt.column("embedding")
+
+    def _rows(mask_ids) -> np.ndarray:
+        sel = [int(i) for i in np.nonzero(mask_ids)[0]]
+        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
+
+    coarse = _rows(ids_all < N_COARSE)
+    coarse_n = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
+    q_mat = _rows(ids_all < N_QUERIES)
+    q_ids = ids_all[ids_all < N_QUERIES]
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # each query probes its N_PROBE nearest coarse buckets
+    q_aff = qn @ coarse_n.T
+    q_probe = np.argsort(-q_aff, axis=1)[:, :N_PROBE]
+    shared = ray.put((coarse_n, q_ids, qn, q_probe))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    class AssignBucket:
+        def __init__(self):
+            self.coarse_n, _, _, _ = ray.get(shared)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            bucket = np.argmax(matn @ self.coarse_n.T, axis=1).astype(np.int64)
+            flat = matn.ravel()
+            offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket, type=pa.int64()),
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embn": pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.float64())
+                    ),
+                }
+            )
+
+    bucketed = ds.map_batches(AssignBucket, batch_format="pyarrow", batch_size=4096,
+                              concurrency=(1, 4))
+
+    def search_bucket(g: pd.DataFrame) -> pa.Table:
+        coarse_n, q_ids, qn, q_probe = ray.get(shared)
+        b = int(g["bucket"].iloc[0])
+        probing = np.nonzero((q_probe == b).any(axis=1))[0]
+        if len(probing) == 0:
+            return pa.table(
+                {"qid": pa.array([], type=pa.int64()), "vec_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        ids = g["vec_id"].to_numpy()
+        mat = np.array(g["embn"].tolist(), dtype=np.float64)
+        sims = qn[probing] @ mat.T
+        out_q, out_v, out_s = [], [], []
+        for row, qi in enumerate(probing):
+            qid = int(q_ids[qi])
+            mask = ids != qid
+            cand = np.nonzero(mask)[0]
+            order = cand[np.lexsort((ids[cand], -sims[row][cand]))][:K]
+            out_q.append(np.full(len(order), qid, dtype=np.int64))
+            out_v.append(ids[order])
+            out_s.append(sims[row][order])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cosine": pa.array(np.round(np.concatenate(out_s), 6), type=pa.float64()),
+            }
+        )
+
+    partials = bucketed.groupby("bucket").map_groups(search_bucket, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")

@@ -86,3 +86,20 @@ def test_waterway_queries_run(ray_session):
     a = edges.sort_values("id").reset_index(drop=True)
     b = edges2.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_embed_topk_ivf_recall(ray_session):
+    """IVF (N_PROBE=4 of 16 buckets) must recover a solid fraction of the
+    exact top-k, and every returned (qid, vec_id, cosine) must be a true
+    cosine (subset correctness)."""
+    from osmwaterwayextractor_ray.pipelines.embeddings import embed_topk, embed_topk_ivf
+
+    exact = embed_topk(SF).to_pandas()
+    approx = embed_topk_ivf(SF).to_pandas()
+    exact_set = set(zip(exact["qid"], exact["vec_id"]))
+    approx_set = set(zip(approx["qid"], approx["vec_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+    # cosines of overlapping pairs agree
+    m = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] - m["cosine_a"]).abs().max() < 1e-9
