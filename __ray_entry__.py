@@ -52,6 +52,12 @@ def _wg(sf_dir: str, what: str):
     return edges.drop_columns(["lats", "lons"])
 
 
+def _tiles(sf_dir: str):
+    from osmwaterwayextractor_ray.pipelines.tiles import waterway_tiles
+
+    return waterway_tiles(sf_dir).drop_columns(["vector_payload", "raster_payload"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmwaterwayextractor_ray.pipelines import (
         embeddings,
@@ -83,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship graph assembly (rows-only; parity pinned in tests/) ---
         "waterway_nodes": lambda sf: _wg(sf, "nodes"),
         "waterway_edges": lambda sf: _wg(sf, "edges"),
+        "waterway_tiles": _tiles,
         # --- training-data text ops ---
         "dedup_exact": textops.dedup_exact,
         "doc_quality": textops.doc_quality,

@@ -46,20 +46,33 @@ def _init_ray():
     ctx.execution_options.verbose_progress = False
 
 
+WAYS_REPEAT = int(os.environ.get("BENCH_WAYS_REPEAT", "4"))
+
+
 def headline() -> dict:
     """Flagship: waterway graph assembly end-to-end (counts consume the
-    streams; nothing large is pulled to the driver)."""
+    streams; nothing large is pulled to the driver).
+
+    One full untimed warm-up run first: it warms the OS page cache AND
+    spins up Ray's worker/actor pools, so the timed run measures
+    steady-state compute + shuffle throughput rather than process
+    cold-start (the per-worker cold start otherwise dominates at high
+    num_cpus and small inputs, inverting the scaling signal)."""
     from osmwaterwayextractor_ray.config import Config
     from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
     from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
 
-    ways = waterways_from_events(SF_DIR)
-    n_ways = ways.count()  # warms the page cache; not timed below
+    def run():
+        result = build_graph(
+            waterways_from_events(SF_DIR, repeat=WAYS_REPEAT), Config()
+        )
+        return result.edges.count(), result.nodes.count()
+
+    run()  # warm-up (untimed)
     t0 = time.time()
-    result = build_graph(waterways_from_events(SF_DIR), Config())
-    n_edges = result.edges.count()
-    n_nodes = result.nodes.count()
+    n_edges, n_nodes = run()
     dt = time.time() - t0
+    n_ways = waterways_from_events(SF_DIR, repeat=WAYS_REPEAT).count()
     return {
         "sec": dt,
         "n_ways": n_ways,

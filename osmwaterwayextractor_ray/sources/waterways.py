@@ -82,10 +82,12 @@ def synth_waterways_ds(n_ways: int):
     return rd.from_arrow(_motif_table(n_ways))
 
 
-def waterways_from_events(sf_dir: str, batch_size: int = 8192):
-    """One synthetic waterway per `events` row — the deterministic
-    per-row derivation keeps input size tied to the scale factor while the
-    data itself stays fully reproducible."""
+def waterways_from_events(sf_dir: str, batch_size: int = 8192, repeat: int = 1):
+    """Synthetic waterways derived from the `events` rows (``repeat`` ways
+    per event) — the deterministic per-row derivation keeps input size tied
+    to the scale factor while the data itself stays fully reproducible.
+    ``repeat`` > 1 scales the benchmark workload without changing the
+    derivation scheme (way w = event_id * repeat + r)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
@@ -98,19 +100,20 @@ def waterways_from_events(sf_dir: str, batch_size: int = 8192):
         offsets = [0]
         names, wtypes, widths = [], [], []
         for eid in ids.tolist():
-            w = int(eid)
-            g, t = divmod(w, 4)
-            coords, name, wtype, width = _MOTIF[t]
-            dlat = 0.1 * ((g // 100) % 380)
-            dlon = 0.1 * (g % 100)
-            for la, lo in coords:
-                flat_lat.append(round(la + dlat - 19.0, 6))
-                flat_lon.append(round(lo + dlon, 6))
-            offsets.append(len(flat_lat))
-            way_ids.append(w + 1)
-            names.append(name)
-            wtypes.append(wtype)
-            widths.append(width)
+            for r in range(repeat):
+                w = int(eid) * repeat + r
+                g, t = divmod(w, 4)
+                coords, name, wtype, width = _MOTIF[t]
+                dlat = 0.1 * ((g // 100) % 380)
+                dlon = 0.1 * (g % 100)
+                for la, lo in coords:
+                    flat_lat.append(round(la + dlat - 19.0, 6))
+                    flat_lon.append(round(lo + dlon, 6))
+                offsets.append(len(flat_lat))
+                way_ids.append(w + 1)
+                names.append(name)
+                wtypes.append(wtype)
+                widths.append(width)
         return waterways_table(
             np.asarray(way_ids), flat_lat, flat_lon, np.asarray(offsets), names, wtypes, widths
         )

@@ -178,9 +178,9 @@ def make_cell_intersect_fn(config: Config):
                     lo_ = np.maximum(0.0, np.minimum(t0, t1))
                     hi_ = np.minimum(1.0, np.maximum(t0, t1))
                     touch = (lo_ == hi_) & (rl2 > 0.0)
-                    ti = ci[touch]
-                    px.extend((ax[ti] + lo_[touch] * r_x[ti]).tolist())
-                    py.extend((ay[ti] + lo_[touch] * r_y[ti]).tolist())
+                    ti = ci[touch]  # indices into the PAIR arrays (p0*, r_*)
+                    px.extend((p0x[ti] + lo_[touch] * r_x[ti]).tolist())
+                    py.extend((p0y[ti] + lo_[touch] * r_y[ti]).tolist())
                 out_lon, out_lat = px, py
         if not out_lat:
             return pd.DataFrame({"lat": np.array([], dtype=np.float64), "lon": np.array([], dtype=np.float64)})

@@ -189,3 +189,33 @@ def test_hot_cell_salting_parity(ray_session):
     ref_nodes, ref_edges, _ = refimpl.build_graph(_ds_to_motif_pylist(n), cfg_salted)
     result = build_graph(synth_waterways_ds(n), cfg_salted)
     _assert_graph_parity(result, ref_nodes, ref_edges)
+
+
+def test_dense_crossing_network_parity(ray_session):
+    """Many ways crossing inside a single cell — exercises the pairwise
+    kernel where pair indices diverge from segment indices (regression:
+    collinear-touch used pair indices on segment arrays)."""
+    waterways = []
+    wid = 1
+    # a grid of horizontal and vertical ways all crossing each other,
+    # plus collinear continuations that touch end-to-end
+    for i in range(8):
+        y = 10.0 + i * 0.003
+        waterways.append({"id": wid, "coordinates": [(y, 20.0), (y, 20.03)],
+                          "tags": {"waterway": "river", "name": f"h{i}"}})
+        wid += 1
+    for j in range(8):
+        x = 20.0 + j * 0.003
+        waterways.append({"id": wid, "coordinates": [(10.0 - 0.001, x), (10.0 + 0.025, x)],
+                          "tags": {"waterway": "stream", "name": f"v{j}"}})
+        wid += 1
+    # collinear touching chains
+    waterways.append({"id": wid, "coordinates": [(10.05, 20.0), (10.05, 20.01)],
+                      "tags": {"waterway": "river", "name": "c1"}})
+    wid += 1
+    waterways.append({"id": wid, "coordinates": [(10.05, 20.01), (10.05, 20.02)],
+                      "tags": {"waterway": "river", "name": "c2"}})
+    cfg = Config(min_fragment_length_m=0.0)
+    ref_nodes, ref_edges, _ = refimpl.build_graph(waterways, cfg)
+    result = build_graph(_pylist_to_ds(waterways), cfg)
+    _assert_graph_parity(result, ref_nodes, ref_edges)
