@@ -45,8 +45,11 @@ class Config:
     intersect_cell_deg: float = 0.5
     batch_size: int = 4096
     # Cells whose group exceeds this row count get salted into sub-buckets
-    # before pairwise work (hot coastal/river cells).
+    # before pairwise work (hot coastal/river cells). The intersect kernel
+    # is block-quadratic per cell -> low limit; the cluster kernel is a
+    # lat-sweep -> it tolerates much larger cells before salting pays off.
     hot_cell_row_limit: int = 50_000
+    cluster_hot_row_limit: int = 1_000_000
     # hash-join fan-out for the centroid->member attach (cluster stage)
     join_partitions: int = 16
 

@@ -21,6 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from osmwaterwayextractor_ray.stages._pool import pool_max
+
 DIM = 64
 N_QUERIES = 10
 K = 5
@@ -89,7 +91,7 @@ def embed_topk(sf_dir: str):
             )
 
     partials = ds.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -212,7 +214,7 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
                 }
             )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4))
+    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=8192, concurrency=(1, pool_max()))
 
 
 # ---- IVF-style bucketed ANN (the scale path for similarity search) ----
@@ -276,7 +278,7 @@ def embed_topk_ivf(sf_dir: str):
             )
 
     bucketed = ds.map_batches(AssignBucket, batch_format="pyarrow", batch_size=4096,
-                              concurrency=(1, 4))
+                              concurrency=(1, pool_max()))
 
     def search_bucket(g: pd.DataFrame) -> pa.Table:
         coarse_n, q_ids, qn, q_probe = ray.get(shared)

@@ -26,6 +26,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from osmwaterwayextractor_ray.stages._pool import pool_max
+
 # lat in [-5, 4.99], lon in [-10, 9.99] on a 0.01° lattice
 _LAT_MOD, _LAT_DIV, _LAT_OFF = 1000, 100.0, 5.0
 _LON_MOD, _LON_DIV, _LON_OFF = 2000, 100.0, 10.0
@@ -146,7 +148,7 @@ def pip_join(sf_dir: str):
                 }
             )
 
-    return pts.map_batches(PIP, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4))
+    return pts.map_batches(PIP, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max()))
 
 
 def _triangle_sql(pid: int, verts) -> str:
@@ -223,7 +225,7 @@ def knn(sf_dir: str):
             )
 
     partials = pts.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=65536, concurrency=(1, 4)
+        PartialTopK, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max())
     )
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:

@@ -16,6 +16,8 @@ import pyarrow as pa
 
 from osmwaterwayextractor_ray.functions.hashing import xxh64
 
+from osmwaterwayextractor_ray.stages._pool import pool_max
+
 
 def media_from_documents(sf_dir: str):
     """Synthesize an opaque binary payload column from the documents table
@@ -90,7 +92,7 @@ def media_features(sf_dir: str):
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=256,  # binary rows are wide — keep batches small
-        concurrency=(1, 4),
+        concurrency=(1, pool_max()),
     )
 
 

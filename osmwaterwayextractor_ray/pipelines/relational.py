@@ -24,6 +24,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from osmwaterwayextractor_ray.stages._pool import pool_max
+
 
 def q1_pricing_summary(sf_dir: str):
     import ray.data as rd
@@ -148,7 +150,7 @@ def customer_order_stats(sf_dir: str):
             return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        orders.map_batches(JoinSegment, batch_format="pyarrow", batch_size=32768, concurrency=(1, 4))
+        orders.map_batches(JoinSegment, batch_format="pyarrow", batch_size=32768, concurrency=(1, pool_max()))
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
         .map_batches(

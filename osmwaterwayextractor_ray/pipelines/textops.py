@@ -22,6 +22,8 @@ import pyarrow as pa
 
 from osmwaterwayextractor_ray.functions.hashing import text_hash64
 from osmwaterwayextractor_ray.functions.text import (
+
+from osmwaterwayextractor_ray.stages._pool import pool_max
     char_counts,
     jaccard,
     langid,
@@ -201,7 +203,7 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     corpus = _corpus_with_planted_dups(sf_dir).materialize()
 
     bands = corpus.map_batches(
-        _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+        _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
@@ -244,7 +246,7 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
                 }
             )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4))
+    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max()))
 
 
 def simhash_fingerprints(sf_dir: str):

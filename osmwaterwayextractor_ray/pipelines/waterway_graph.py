@@ -48,6 +48,13 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
     original_count = None
 
     from osmwaterwayextractor_ray.stages.checkpoint import checkpointed
+    from osmwaterwayextractor_ray.stages._pool import pool_max
+
+    # Spread the input across ~4 blocks per CPU: downstream actor pools can
+    # only parallelize across blocks, and a source that arrives in a handful
+    # of large blocks (small parquet files, dense synth batches) would cap
+    # every stage's parallelism at that block count.
+    waterways_ds = waterways_ds.repartition(4 * pool_max())
 
     def _intersections():
         cleaned = clean_waterways(waterways_ds, config)
@@ -70,8 +77,15 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
     if not config.enable_checkpoints:
         coord_mapping = coord_mapping.materialize()
 
-    edges = create_edges(with_intersections, coord_mapping, config)
-    nodes = build_nodes(coord_mapping, config)
+    # coord_mapping is collected ONCE (sorted key->centroid arrays in the
+    # object store) and shared by the edge-assembly broadcast AND the node
+    # build (stages/edges.py documents the partitioned-hash-join fallback
+    # for when the mapping outgrows broadcast budgets at full web scale)
+    from osmwaterwayextractor_ray.stages.edges import collect_coord_mapping
+
+    mapping_ref = collect_coord_mapping(coord_mapping, config)
+    edges = create_edges(with_intersections, coord_mapping, config, mapping_ref=mapping_ref)
+    nodes = build_nodes(coord_mapping, config, mapping_ref=mapping_ref)
 
     qa: dict = {}
     if with_qa:

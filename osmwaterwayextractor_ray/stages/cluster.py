@@ -174,7 +174,14 @@ def cluster_points(points_ds, config: Config):
     from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
 
     emitted = emit_halo_cells(points_ds, config).materialize()
-    hot = compute_hot_cells(emitted, "cell", config.hot_cell_row_limit)
+    # cheap skip: if the whole dataset is smaller than the per-cell limit,
+    # no cell can be hot and the counting pre-pass is pure overhead
+    limit = config.cluster_hot_row_limit
+    hot = (
+        compute_hot_cells(emitted, "cell", limit)
+        if emitted.count() > limit
+        else {}
+    )
     salted = apply_salt(emitted, "cell", "key", hot)
     # A point of a salted hot cell appears in S tasks and can come back
     # with S different local roots — exactly what the boundary-merge
@@ -188,49 +195,74 @@ def cluster_points(points_ds, config: Config):
     # final round) the distinct per-point assignment. ----
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
 
-    distinct = None
-    for _ in range(12):  # halo ≤ 4 cells/point; salting adds ≤ log(S) rounds
-        agg = grouped_agg(
-            assignments,
-            ["key"],
-            {"rmin": ("root", "min"), "rmax": ("root", "max")},
-            num_parts=config.join_partitions,
-        ).materialize()
-        conflicts = agg.map_batches(
-            lambda t: t.filter(
-                pa.compute.not_equal(t["rmin"], t["rmax"])
-            ).select(["rmin", "rmax"]),
-            batch_format="pyarrow",
-        ).to_pandas()
-        if len(conflicts) == 0:
-            distinct = agg.map_batches(
-                lambda t: pa.table({"key": t["key"], "root": t["rmin"]}),
-                batch_format="pyarrow",
-            )
-            break
-        remap = connected_components_from_pairs(
-            conflicts["rmax"].to_numpy(), conflicts["rmin"].to_numpy()
-        )
-        remap_ref = ray.put(remap)
+    # ---- boundary merge in ONE pass: hash-bucket by key (every copy of a
+    # key lands in the same bucket), emit per key its min root as the
+    # primary assignment plus — for keys that saw >1 distinct root — every
+    # other root as an equivalence row. The full per-key root SETS make the
+    # driver union-find closure complete in a single round (the min/max
+    # fixpoint alternative needs a round per extra root). ----
+    def merge_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
 
-        def apply_remap(batch: pa.Table) -> pa.Table:
-            rm = ray.get(remap_ref)
-            roots = batch.column("root").to_numpy(zero_copy_only=False)
+        from osmwaterwayextractor_ray.stages.fastagg import _bucket
+
+        df = batch.to_pandas().drop_duplicates(["key", "root"])
+        df["__part"] = _bucket(df, ["key"], config.join_partitions)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def merge_combine(g) -> pa.Table:
+        import pandas as pd
+
+        g = g.drop_duplicates(["key", "root"])
+        mins = g.groupby("key", sort=False)["root"].transform("min")
+        primary = g["root"] == mins
+        n_roots = g.groupby("key", sort=False)["root"].transform("size")
+        out = pd.DataFrame(
+            {
+                "key": g["key"],
+                "root": g["root"],
+                "min_root": mins,
+                "primary": primary,
+                "conflicted": n_roots > 1,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = (
+        assignments.map_batches(merge_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge_combine, batch_format="pandas")
+        .materialize()
+    )
+    conflicts = merged.map_batches(
+        lambda t: t.filter(t["conflicted"]).select(["root", "min_root"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # tiny: only clusters straddling cell/salt-task borders
+    if len(conflicts):
+        remap = connected_components_from_pairs(
+            conflicts["root"].to_numpy(), conflicts["min_root"].to_numpy()
+        )
+    else:
+        remap = {}
+    remap_ref = ray.put(remap)
+
+    def finalize_distinct(batch: pa.Table) -> pa.Table:
+        rm = ray.get(remap_ref)
+        t = batch.filter(batch["primary"])
+        roots = t.column("root").to_numpy(zero_copy_only=False)
+        if rm:
             ks = np.fromiter(rm.keys(), dtype=np.int64, count=len(rm))
             vs = np.fromiter(rm.values(), dtype=np.int64, count=len(rm))
             order = np.argsort(ks)
             ks, vs = ks[order], vs[order]
-            pos = np.searchsorted(ks, roots)
-            pos_c = np.clip(pos, 0, len(ks) - 1)
-            hit = ks[pos_c] == roots
-            new_roots = np.where(hit, vs[pos_c], roots)
-            return pa.table(
-                {"key": batch["key"], "root": pa.array(new_roots, type=pa.int64())}
-            )
+            pos = np.clip(np.searchsorted(ks, roots), 0, len(ks) - 1)
+            hit = ks[pos] == roots
+            roots = np.where(hit, vs[pos], roots)
+        return pa.table(
+            {"key": t["key"], "root": pa.array(roots, type=pa.int64())}
+        )
 
-        assignments = assignments.map_batches(apply_remap, batch_format="pyarrow").materialize()
-    if distinct is None:
-        raise RuntimeError("cluster boundary merge did not converge (unexpected)")
+    distinct = merged.map_batches(finalize_distinct, batch_format="pyarrow")
 
     # ---- centroids via exact integer sums of the key's scaled coords ----
     def add_scaled(batch: pa.Table) -> pa.Table:
@@ -246,27 +278,35 @@ def cluster_points(points_ds, config: Config):
             }
         )
 
-    scaled = distinct.map_batches(add_scaled, batch_format="pyarrow").materialize()
-    centroids = grouped_agg(
-        scaled,
-        ["root"],
-        {
-            "sum_lat_i": ("lat_i", "sum"),
-            "sum_lon_i": ("lon_i", "sum"),
-            "cluster_size": ("lat_i", "count"),
-        },
-        num_parts=config.join_partitions,
-    )
+    scaled = distinct.map_batches(add_scaled, batch_format="pyarrow")
 
-    # ---- attach centroid to every member (partitioned hash join on root;
-    # hot-root salting not needed: a cluster's size is bounded by the snap
-    # tolerance ball, not by data volume) ----
-    joined = hash_join(
-        scaled.select_columns(["key", "root"]),
-        centroids,
-        on=["root"],
-        num_parts=config.join_partitions,
-    )
+    # ---- centroid + member-attach FUSED into one bucket shuffle: every row
+    # of a root hashes to the same bucket, so the per-root integer sums AND
+    # the per-member output rows come out of a single groupby(__part) pass
+    # (a separate aggregate + hash join would cost two more sort barriers;
+    # hot-root salting is not needed because a cluster's size is bounded by
+    # the snap-tolerance ball, not by data volume) ----
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket
+
+    n_parts = max(8, config.join_partitions)
+
+    def bucket_by_root(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        part = _bucket(df, ["root"], n_parts)
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    bucketed = scaled.map_batches(bucket_by_root, batch_format="pyarrow")
+
+    def centroid_bucket(g) -> pa.Table:
+        grp = g.groupby("root", sort=False)
+        sum_lat_i = grp["lat_i"].transform("sum").to_numpy()
+        sum_lon_i = grp["lon_i"].transform("sum").to_numpy()
+        n = grp["lat_i"].transform("size").to_numpy()
+        return _finalize_arrays(
+            g["key"].to_numpy(), n, sum_lat_i, sum_lon_i
+        )
 
     precision = config.coordinate_precision
     tol = config.snap_tolerance_m
@@ -274,11 +314,7 @@ def cluster_points(points_ds, config: Config):
     method = config.distance_calculation_method
     scale = 10.0**precision
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        keys = batch.column("key").to_numpy(zero_copy_only=False)
-        n = batch.column("cluster_size").to_numpy(zero_copy_only=False)
-        sum_lat_i = batch.column("sum_lat_i").to_numpy(zero_copy_only=False)
-        sum_lon_i = batch.column("sum_lon_i").to_numpy(zero_copy_only=False)
+    def _finalize_arrays(keys, n, sum_lat_i, sum_lon_i) -> pa.Table:
         lat, lon = key_to_coord(keys, precision)
         c_lat = (sum_lat_i / n) / scale - 90.0
         c_lon = (sum_lon_i / n) / scale - 180.0
@@ -306,4 +342,4 @@ def cluster_points(points_ds, config: Config):
             }
         )
 
-    return joined.map_batches(finalize, batch_format="pyarrow")
+    return bucketed.groupby("__part").map_groups(centroid_bucket, batch_format="pandas")

@@ -20,9 +20,39 @@ from osmwaterwayextractor_ray.config import Config
 from osmwaterwayextractor_ray.functions.hashing import node_id
 
 
-def build_nodes(coord_mapping_ds, config: Config):
+def build_nodes(coord_mapping_ds, config: Config, mapping_ref=None):
     precision = config.coordinate_precision
     hash_length = config.hash_length
+
+    if mapping_ref is not None:
+        # Fast path: coord_mapping was already collected for the edge-stage
+        # broadcast (stages/edges.collect_coord_mapping) — dedupe the exact
+        # float centroid pairs on those arrays (vectorized lexsort, no extra
+        # shuffle) and distribute only the id hashing.
+        import ray
+        import ray.data as rd
+
+        m = ray.get(mapping_ref)
+        a = m["c_lat"].view(np.int64)
+        b = m["c_lon"].view(np.int64)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.ones(len(a_s), dtype=bool)
+        first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        uniq = pa.table(
+            {
+                "lat_bits": pa.array(a_s[first], type=pa.int64()),
+                "lon_bits": pa.array(b_s[first], type=pa.int64()),
+            }
+        )
+        from osmwaterwayextractor_ray.stages._pool import pool_max
+
+        n_chunks = max(1, min(pool_max(), uniq.num_rows // 4096))
+        step = -(-uniq.num_rows // n_chunks) if uniq.num_rows else 1
+        chunks = [uniq.slice(i, step) for i in range(0, max(uniq.num_rows, 1), step)]
+        return rd.from_arrow(chunks).map_batches(
+            _make_to_nodes(precision, hash_length), batch_format="pyarrow"
+        )
 
     def add_bits(batch: pa.Table) -> pa.Table:
         c_lat = batch.column("c_lat").to_numpy(zero_copy_only=False)
@@ -41,6 +71,12 @@ def build_nodes(coord_mapping_ds, config: Config):
         ["lat_bits", "lon_bits"],
     )
 
+    return distinct.map_batches(
+        _make_to_nodes(precision, hash_length), batch_format="pyarrow"
+    )
+
+
+def _make_to_nodes(precision: int, hash_length: int):
     def to_nodes(batch: pa.Table) -> pa.Table:
         la = batch.column("lat_bits").to_numpy(zero_copy_only=False).view(np.float64)
         lo = batch.column("lon_bits").to_numpy(zero_copy_only=False).view(np.float64)
@@ -56,4 +92,4 @@ def build_nodes(coord_mapping_ds, config: Config):
             }
         )
 
-    return distinct.map_batches(to_nodes, batch_format="pyarrow")
+    return to_nodes
