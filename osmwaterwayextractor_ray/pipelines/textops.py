@@ -21,9 +21,8 @@ import pandas as pd
 import pyarrow as pa
 
 from osmwaterwayextractor_ray.functions.hashing import text_hash64
-from osmwaterwayextractor_ray.functions.text import (
-
 from osmwaterwayextractor_ray.stages._pool import pool_max
+from osmwaterwayextractor_ray.functions.text import (
     char_counts,
     jaccard,
     langid,
