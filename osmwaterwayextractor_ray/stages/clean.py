@@ -60,8 +60,11 @@ def make_clean_fn(config: Config):
     def clean(batch: pa.Table) -> pa.Table:
         lats, offsets = list_column(batch, "lats")
         lons, _ = list_column(batch, "lons")
-        lats = np.round(lats, precision)
-        lons = np.round(lons, precision)
+        # + 0.0 normalizes -0.0 -> +0.0 (the reference's float-tuple dict
+        # keys treat them as equal but keep whichever repr was seen first —
+        # an order-dependent id; we pin the deterministic choice)
+        lats = np.round(lats, precision) + 0.0
+        lons = np.round(lons, precision) + 0.0
         n_v = len(lats)
         if n_v == 0:
             return _rebuild(batch, np.zeros(0, dtype=bool), offsets, lats, lons)

@@ -12,25 +12,28 @@ connected components are computed distributedly:
      longitude filter + exact geodesic check), not an n² matrix, so cells
      can be large — the cell size is a pure grouping knob (default 1°;
      shrink it for denser data, the results are identical for any size);
-  3. boundary merge WITHOUT per-key work: iterate
-        groupby(key).aggregate(Min(root), Max(root))
-     → keys carrying two different roots yield equivalence edges
-     (min,max); close them with a driver-side union-find (the edge set is
-     O(points near cell boundaries) — tiny) and broadcast the remap.
-     Repeat until no key has two roots (≤ 3 rounds: a point is emitted to
-     at most 4 cells). Every pair within tolerance is discovered in ≥ 1
-     common group (both points fall inside that cell's halo), so the
-     merged components equal the reference's global components exactly
-     (pinned by the parity tests against the sequential oracle);
-  4. centroids via native aggregates over the *scaled integer* coordinate
-     parts of the key: c_lat = (Σ lat_i / n) / 1e6 - 90. Integer sums are
-     exact and order-independent → bit-identical centroids for ANY
-     partitioning or execution order (the reference's float sum depends on
-     CPython dict order; refimpl.py documents this divergence). Singletons
-     map to themselves exactly (identity, per ref :1301-1303);
+  3. SINGLE-PASS boundary merge: hash-bucket the (key, root) assignments
+     by key (every replica of a key lands in one bucket), emit per key the
+     min root as its primary assignment plus — for keys that saw more than
+     one distinct root — every other root as an equivalence row. The full
+     per-key root sets make the driver union-find closure complete in one
+     round (a min/max fixpoint needs a round per extra root). The
+     equivalence set is O(points near cell/salt borders) — tiny. Every
+     pair within tolerance is discovered in ≥ 1 common group (both points
+     fall inside that cell's halo), so the merged components equal the
+     reference's global components exactly (pinned by the parity tests
+     against the sequential oracle);
+  4. centroid + member-attach fused into ONE bucket shuffle on the root:
+     per-root exact integer sums of the key's scaled coordinate parts
+     (c_lat = (Σ lat_i / n) / 1e6 - 90) via a vectorized in-bucket
+     transform. Integer sums are exact and order-independent →
+     bit-identical centroids for ANY partitioning or execution order (the
+     reference's float sum depends on CPython dict order; refimpl.py
+     documents this divergence). Singletons map to themselves exactly
+     (identity, per ref :1301-1303);
   5. per-member displacement validation (hard ValueError past
      snap_tolerance * max_displacement_multiplier, ref :1314-1317) inside
-     the hash-join that attaches centroids back to members.
+     the same bucket pass.
 """
 
 from __future__ import annotations

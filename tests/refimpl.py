@@ -48,7 +48,7 @@ def process_waterways(waterways: list[dict], cfg: Config) -> list[dict]:
         coords = w["coordinates"]
         if len(coords) < 2:
             continue
-        rc = [(round(a, cfg.coordinate_precision), round(b, cfg.coordinate_precision)) for a, b in coords]
+        rc = [(round(a, cfg.coordinate_precision) + 0.0, round(b, cfg.coordinate_precision) + 0.0) for a, b in coords]
         ded = [rc[0]]
         for c in rc[1:]:
             if c != ded[-1]:
