@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         pages,
         relational,
+        relational2,
         textops,
     )
 
@@ -77,6 +78,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "events_window": relational.events_window,
         "user_sessions": relational.user_sessions,
+        "q3_top_revenue": relational2.q3_top_revenue,
+        "q6_revenue": relational2.q6_revenue,
+        "events_props_sum": relational2.events_props_sum,
+        "top_tokens": relational2.top_tokens,
+        "orders_monthly": relational2.orders_monthly,
+        "supplier_region_rollup": relational2.supplier_region_rollup,
+        "part_type_stats": relational2.part_type_stats,
+        "embed_norms": relational2.embed_norms,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -115,12 +124,21 @@ def oracle_sql() -> dict[str, str]:
         multimodal,
         pages,
         relational,
+        relational2,
         textops,
         embeddings,
     )
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_revenue": relational2.Q3_TOP_REVENUE_SQL,
+        "q6_revenue": relational2.Q6_REVENUE_SQL,
+        "events_props_sum": relational2.EVENTS_PROPS_SUM_SQL,
+        "top_tokens": relational2.TOP_TOKENS_SQL,
+        "orders_monthly": relational2.ORDERS_MONTHLY_SQL,
+        "supplier_region_rollup": relational2.SUPPLIER_REGION_ROLLUP_SQL,
+        "part_type_stats": relational2.PART_TYPE_STATS_SQL,
+        "embed_norms": relational2.EMBED_NORMS_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

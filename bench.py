@@ -85,6 +85,11 @@ def headline() -> dict:
 
 QUERY_SET = [
     "q1_pricing_summary",
+    "q3_top_revenue",
+    "q6_revenue",
+    "events_props_sum",
+    "top_tokens",
+    "orders_monthly",
     "filter_revenue",
     "customer_order_stats",
     "events_window",

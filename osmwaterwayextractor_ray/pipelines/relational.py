@@ -63,16 +63,20 @@ def q1_pricing_summary(sf_dir: str):
             lambda t: t.set_column(
                 t.schema.get_field_index("sum_base_price"),
                 "sum_base_price",
-                pc.round(t["sum_base_price"], 2),
+                pc.cast(pc.round(pc.multiply(t["sum_base_price"], pa.scalar(100.0)), 0), pa.int64()),
             )
             .set_column(
                 t.schema.get_field_index("sum_disc_price"),
                 "sum_disc_price",
-                pc.round(t["sum_disc_price"], 2),
+                pc.cast(pc.round(pc.multiply(t["sum_disc_price"], pa.scalar(100.0)), 0), pa.int64()),
             )
             .set_column(
                 t.schema.get_field_index("sum_qty"), "sum_qty", pc.round(t["sum_qty"], 2)
-            ),
+            )
+            .rename_columns([
+                "l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price_cents", "sum_disc_price_cents", "count_order",
+            ]),
             batch_format="pyarrow",
         )
     )
@@ -82,8 +86,8 @@ def q1_pricing_summary(sf_dir: str):
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -157,8 +161,8 @@ def customer_order_stats(sf_dir: str):
             lambda t: t.set_column(
                 t.schema.get_field_index("total_price"),
                 "total_price",
-                pc.round(t["total_price"], 2),
-            ),
+                pc.cast(pc.round(pc.multiply(t["total_price"], pa.scalar(100.0)), 0), pa.int64()),
+            ).rename_columns(["c_mktsegment", "n_orders", "total_price_cents"]),
             batch_format="pyarrow",
         )
     )
@@ -166,7 +170,7 @@ def customer_order_stats(sf_dir: str):
 
 
 CUSTOMER_ORDER_STATS_SQL = """
-SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS total_price
+SELECT c.c_mktsegment, count(*) AS n_orders, CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_price_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """

@@ -1,0 +1,327 @@
+"""Second batch of oracle-checked relational/text/embedding queries:
+multi-way broadcast joins, date bucketing, JSON-prop extraction, global
+token top-k, vector norms. Each has a DuckDB oracle in __ray_entry__."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osmwaterwayextractor_ray.stages._pool import pool_max
+from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+
+def q3_top_revenue(sf_dir: str):
+    """TPC-H Q3 shape: customer(segment) ⨝ orders(date<) ⨝ lineitem(ship>)
+    → revenue per order → top 10. Both dimension sides broadcast."""
+    import ray
+    import ray.data as rd
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cut = np.datetime64("1995-03-15", "us")
+    sel = orders[(orders["o_custkey"].isin(building)) & (orders["o_orderdate"].values < cut)]
+    okeys_ref = ray.put(set(sel["o_orderkey"]))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        okeys = _ray.get(okeys_ref)
+        df = batch.to_pandas()
+        df = df[(df["l_shipdate"].values > cut) & df["l_orderkey"].isin(okeys)]
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_agg(partials, ["l_orderkey"], {"revenue": ("revenue", "sum")})
+
+    def round_rev(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("revenue"), "revenue", pc.round(t["revenue"], 2)
+        )
+
+    return (
+        agg.map_batches(round_rev, batch_format="pyarrow")
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+Q3_TOP_REVENUE_SQL = """
+SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q6_revenue(sf_dir: str):
+    """Single-row filtered aggregate (TPC-H Q6 shape)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo = np.datetime64("1994-01-01", "us")
+    hi = np.datetime64("1995-01-01", "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = (
+            (df["l_shipdate"].values >= lo)
+            & (df["l_shipdate"].values < hi)
+            & (df["l_discount"] >= 0.05)
+            & (df["l_discount"] <= 0.07)
+            & (df["l_quantity"] < 24)
+        )
+        return pa.table({"r": [float((df.loc[m, "l_extendedprice"] * df.loc[m, "l_discount"]).sum())]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).aggregate(
+        Sum("r", alias_name="revenue")
+    )
+    # integer cents: robust to last-ulp float-sum differences vs the oracle
+    cents = int(np.rint(float(agg["revenue"] or 0.0) * 100))
+    return pd.DataFrame([{"revenue_cents": cents}])
+
+
+Q6_REVENUE_SQL = """
+SELECT CAST(round(coalesce(sum(l_extendedprice * l_discount), 0) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def events_props_sum(sf_dir: str):
+    """JSON property extraction: parse props='{"k": N}' per event, sum k by
+    event_type (stateless vectorized-ish map + small grouped sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        ks = np.fromiter(
+            (json.loads(p)["k"] for p in batch.column("props").to_pylist()),
+            dtype=np.int64,
+            count=len(types),
+        )
+        df = pd.DataFrame({"event_type": types, "k": ks, "one": 1})
+        g = df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n=("one", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+
+
+EVENTS_PROPS_SUM_SQL = """
+SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Global token frequency top-k over documents (partial counts per
+    batch → hash-bucket combine → sort+limit)."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(tokenize(t or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    agg = grouped_agg(partials, ["token"], {"n_occurrences": ("n", "sum")})
+    return agg.sort(["n_occurrences", "token"], descending=[True, False]).limit(k)
+
+
+TOP_TOKENS_SQL = r"""
+SELECT t AS token, count(*) AS n_occurrences
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')) AS t
+  FROM documents
+)
+GROUP BY t ORDER BY n_occurrences DESC, token LIMIT 20
+"""
+
+
+def orders_monthly(sf_dir: str):
+    """Event-time month bucketing: count + sum per (year, month)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["year"] = df["o_orderdate"].dt.year.astype(np.int64)
+        df["month"] = df["o_orderdate"].dt.month.astype(np.int64)
+        g = df.groupby(["year", "month"], as_index=False).agg(
+            n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["year", "month"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("total"),
+                "total",
+                pc.cast(pc.round(pc.multiply(t["total"], pa.scalar(100.0)), 0), pa.int64()),
+            ).rename_columns(["year", "month", "n_orders", "total_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+       count(*) AS n_orders, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1, 2
+"""
+
+
+def supplier_region_rollup(sf_dir: str):
+    """3-level dimension rollup (supplier ⨝ nation ⨝ region), all
+    broadcast — no shuffle at all."""
+    import ray.data as rd
+    import ray
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put((n2r, r2name))
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def roll(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        n2r_, r2name_ = _ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(lambda n: r2name_[n2r_[n]])
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        supp.map_batches(roll, batch_format="pyarrow", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("total_acctbal", alias_name="total_acctbal"),
+        )
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("total_acctbal"),
+                "total_acctbal",
+                pc.cast(pc.round(pc.multiply(t["total_acctbal"], pa.scalar(100.0)), 0), pa.int64()),
+            ).rename_columns(["r_name", "n_suppliers", "total_acctbal_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SUPPLIER_REGION_ROLLUP_SQL = """
+SELECT r.r_name, count(*) AS n_suppliers, CAST(round(sum(s.s_acctbal) * 100) AS BIGINT) AS total_acctbal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def part_type_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
+    return (
+        ds.groupby("p_type")
+        .aggregate(Count(alias_name="n_parts"), Mean("p_retailprice", alias_name="avg_price"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("avg_price"), "avg_price", pc.round(t["avg_price"], 4)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY p_type
+"""
+
+
+def embed_norms(sf_dir: str):
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.pipelines.embeddings import _emb_matrix
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "l2_norm": pa.array(
+                    np.round(np.sqrt((mat * mat).sum(axis=1)), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow", batch_size=8192)
+
+
+EMBED_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
