@@ -212,3 +212,15 @@ def points_in_ring(
             xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
             inside ^= crosses & (x < xint)
     return inside
+
+
+def points_in_polygon(
+    pt_lats: np.ndarray, pt_lons: np.ndarray, rings: "list[tuple[np.ndarray, np.ndarray]]"
+) -> np.ndarray:
+    """Point-in-polygon with holes: even-odd rule across ALL rings (outer
+    ring first, hole rings after — a point inside an odd number of rings is
+    inside the polygon). Each ring is (lats, lons)."""
+    inside = np.zeros(len(np.asarray(pt_lats)), dtype=bool)
+    for ring_lats, ring_lons in rings:
+        inside ^= points_in_ring(pt_lats, pt_lons, ring_lats, ring_lons)
+    return inside

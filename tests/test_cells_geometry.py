@@ -127,3 +127,15 @@ def test_points_in_ring():
     # (1.0, 0.5) sits in the notch (outside); (1.5, 1.0) is inside
     res = points_in_ring(np.array([1.0, 1.5]), np.array([0.5, 1.0]), rl, rn)
     assert res.tolist() == [False, True]
+
+
+def test_points_in_polygon_with_hole():
+    from osmwaterwayextractor_ray.functions.geometry import points_in_polygon
+
+    outer = (np.array([0.0, 0.0, 4.0, 4.0]), np.array([0.0, 4.0, 4.0, 0.0]))
+    hole = (np.array([1.0, 1.0, 3.0, 3.0]), np.array([1.0, 3.0, 3.0, 1.0]))
+    lats = np.array([0.5, 2.0, 3.5, 5.0])
+    lons = np.array([0.5, 2.0, 3.5, 5.0])
+    res = points_in_polygon(lats, lons, [outer, hole])
+    # inside outer, inside hole (=outside polygon), inside outer, outside
+    assert res.tolist() == [True, False, True, False]
