@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_rollup": relational2.supplier_region_rollup,
         "part_type_stats": relational2.part_type_stats,
         "embed_norms": relational2.embed_norms,
+        "purchase_attribution": relational2.purchase_attribution,
+        "events_sliding_window": relational2.events_sliding_window,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -139,6 +141,8 @@ def oracle_sql() -> dict[str, str]:
         "supplier_region_rollup": relational2.SUPPLIER_REGION_ROLLUP_SQL,
         "part_type_stats": relational2.PART_TYPE_STATS_SQL,
         "embed_norms": relational2.EMBED_NORMS_SQL,
+        "purchase_attribution": relational2.PURCHASE_ATTRIBUTION_SQL,
+        "events_sliding_window": relational2.EVENTS_SLIDING_WINDOW_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

@@ -325,3 +325,123 @@ SELECT vec_id,
              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 6) AS l2_norm
 FROM embeddings
 """
+
+
+def purchase_attribution(sf_dir: str):
+    """As-of join within the events stream: for every 'purchase', the most
+    recent prior 'click' of the same user (classic attribution). Per-user
+    co-group (hash-bucketed) + pandas merge_asof over the sorted group —
+    the as-of pattern from the Ray guide. Ties on identical timestamps
+    resolved toward the click with the largest event_id among the latest.
+    Output: purchase event_id, user_id, attributed click event_id (or -1)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = batch.filter(
+            _pc.is_in(batch["event_type"], value_set=pa.array(["purchase", "click"]))
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("__part", pa.array((uid % 16).astype(np.int64), type=pa.int64()))
+
+    def asof(g: pd.DataFrame) -> pa.Table:
+        out_pid, out_uid, out_cid = [], [], []
+        for uid, u in g.groupby("user_id", sort=False):
+            u = u.sort_values(["ts", "event_id"])
+            clicks = u[u["event_type"] == "click"]
+            purchases = u[u["event_type"] == "purchase"]
+            if len(purchases) == 0:
+                continue
+            cts = clicks["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            cid = clicks["event_id"].to_numpy()
+            pts = purchases["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            idx = np.searchsorted(cts, pts, side="right") - 1
+            attributed = np.where(idx >= 0, cid[np.clip(idx, 0, None)], -1)
+            out_pid.extend(purchases["event_id"].tolist())
+            out_uid.extend([int(uid)] * len(purchases))
+            out_cid.extend(attributed.tolist())
+        return pa.table(
+            {
+                "purchase_id": pa.array(out_pid, type=pa.int64()),
+                "user_id": pa.array(out_uid, type=pa.int64()),
+                "click_id": pa.array(out_cid, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id,
+       coalesce((
+         SELECT c.click_id FROM c
+         WHERE c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+       ), -1) AS click_id
+FROM p
+"""
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding 2-hour windows stepping hourly: each event lands in two
+    windows (flat emission inside map_batches), counts + value sums per
+    (window_start, event_type)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = np.floor(ts_us.astype(np.float64) / 3600e6).astype(np.int64)
+        types = batch.column("event_type").to_pylist()
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "window_start": np.concatenate([hour, hour - 1]),
+                "event_type": types + types,
+                "value": np.concatenate([vals, vals]),
+                "one": 1,
+            }
+        )
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("one", "sum"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+EVENTS_SLIDING_WINDOW_SQL = """
+SELECT w AS window_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT unnest(ARRAY[
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT),
+           CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT) - 1
+         ]) AS w,
+         event_type, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
