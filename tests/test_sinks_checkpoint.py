@@ -134,3 +134,49 @@ def test_full_graph_with_checkpoints(ray_session, tmp_path):
     r3 = build_graph(synth_waterways_ds(16), Config(min_fragment_length_m=0.0))
     e3 = r3.edges.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(e1, e3)
+
+
+def test_pipeline_steps_protocol(ray_session):
+    """The PipelineStep composition must produce the same result as the
+    direct stage chain, and custom steps slot in."""
+    import pyarrow as pa
+
+    from osmwaterwayextractor_ray.pipelines.steps import (
+        DEFAULT_LINE_STEPS,
+        PipelineStep,
+        run_steps,
+        step_param_hash,
+    )
+    from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+    from osmwaterwayextractor_ray.stages.intersect import detect_and_split
+    from osmwaterwayextractor_ray.sources.waterways import synth_waterways_ds
+
+    cfg = Config(min_fragment_length_m=0.0)
+    via_steps = run_steps(synth_waterways_ds(8), DEFAULT_LINE_STEPS, cfg).to_pandas()
+    direct = detect_and_split(
+        simplify_waterways(clean_waterways(synth_waterways_ds(8), cfg), cfg), cfg
+    ).to_pandas()
+    a = via_steps.sort_values("way_id").reset_index(drop=True)
+    b = direct.sort_values("way_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # custom user step conforms to the protocol
+    class DropShort:
+        name = "drop_short"
+        params = ()
+
+        def apply(self, ds, config):
+            return ds.map_batches(
+                lambda t: t.filter(pa.compute.greater(pa.compute.list_value_length(t["lats"]), 2)),
+                batch_format="pyarrow",
+            )
+
+    assert isinstance(DropShort(), PipelineStep)
+    out = run_steps(synth_waterways_ds(8), list(DEFAULT_LINE_STEPS) + [DropShort()], cfg)
+    assert out.count() <= len(b)
+    # param hashes respond to the declared params only
+    h1 = step_param_hash(DEFAULT_LINE_STEPS[2], cfg)
+    h2 = step_param_hash(DEFAULT_LINE_STEPS[2], Config(snap_tolerance_m=9.0))
+    h3 = step_param_hash(DEFAULT_LINE_STEPS[0], Config(snap_tolerance_m=9.0))
+    assert h1 != h2
+    assert step_param_hash(DEFAULT_LINE_STEPS[0], cfg) == h3  # clean ignores snap
