@@ -48,7 +48,7 @@ def q1_pricing_summary(sf_dir: str):
                 count_order=("l_quantity", "size"),
             )
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
     out = (
@@ -151,7 +151,7 @@ def customer_order_stats(sf_dir: str):
             g = df.groupby("c_mktsegment", as_index=False).agg(
                 n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum")
             )
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         orders.map_batches(JoinSegment, batch_format="pyarrow", batch_size=32768, concurrency=(1, pool_max()))

@@ -43,7 +43,7 @@ def q3_top_revenue(sf_dir: str):
         df = df[(df["l_shipdate"].values > cut) & df["l_orderkey"].isin(okeys)]
         df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
         g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     agg = grouped_agg(partials, ["l_orderkey"], {"revenue": ("revenue", "sum")})
@@ -130,7 +130,7 @@ def events_props_sum(sf_dir: str):
         g = df.groupby("event_type", as_index=False).agg(
             sum_k=("k", "sum"), n=("one", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -197,7 +197,7 @@ def orders_monthly(sf_dir: str):
         g = df.groupby(["year", "month"], as_index=False).agg(
             n_orders=("o_totalprice", "size"), total=("o_totalprice", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
@@ -245,7 +245,7 @@ def supplier_region_rollup(sf_dir: str):
         g = df.groupby("r_name", as_index=False).agg(
             n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
 
@@ -418,7 +418,7 @@ def events_sliding_window(sf_dir: str):
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             n_events=("one", "sum"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)

@@ -125,7 +125,7 @@ def token_totals(sf_dir: str):
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
         df = pd.DataFrame({"source": batch.column("source").to_pylist(), "n": token_counts(texts)})
         g = df.groupby("source", as_index=False)["n"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)

@@ -211,7 +211,7 @@ def cluster_points(points_ds, config: Config):
 
         df = batch.to_pandas().drop_duplicates(["key", "root"])
         df["__part"] = _bucket(df, ["key"], config.join_partitions)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     def merge_combine(g) -> pa.Table:
         import pandas as pd
@@ -229,7 +229,7 @@ def cluster_points(points_ds, config: Config):
                 "conflicted": n_roots > 1,
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         assignments.map_batches(merge_partial, batch_format="pyarrow")

@@ -62,7 +62,7 @@ def grouped_agg(
             **{out: (col, op) for out, (col, op) in partial_cols.items()}
         )
         g["__part"] = _bucket(g, keys, num_parts)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
@@ -70,7 +70,7 @@ def grouped_agg(
         out = g.groupby(keys, as_index=False, sort=False).agg(
             **{out_c: (out_c, op) for out_c, op in combine_ops.items()}
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return partials.groupby("__part").map_groups(combine, batch_format="pandas")
 
@@ -81,7 +81,7 @@ def distinct(ds, keys: list[str], num_parts: int = 32, batch_size: int = 65536):
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()[keys].drop_duplicates()
         df["__part"] = _bucket(df, keys, num_parts)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
@@ -140,6 +140,6 @@ def hash_join(
         lg = g.filter(pc.equal(g["__side"], pa.scalar(0, pa.int8()))).select(lnames).to_pandas()
         rg = g.filter(pc.equal(g["__side"], pa.scalar(1, pa.int8()))).select(rnames).to_pandas()
         out = lg.merge(rg, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
