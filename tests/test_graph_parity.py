@@ -219,3 +219,22 @@ def test_dense_crossing_network_parity(ray_session):
     ref_nodes, ref_edges, _ = refimpl.build_graph(waterways, cfg)
     result = build_graph(_pylist_to_ds(waterways), cfg)
     _assert_graph_parity(result, ref_nodes, ref_edges)
+
+
+def test_partitioning_invariance(ray_session):
+    """SURVEY §5(d): identical sorted outputs regardless of input block
+    structure (the single-node stand-in for 'two parallelism levels' — the
+    block count is what parallelism changes)."""
+    import pandas as pd
+
+    cfg = Config(min_fragment_length_m=0.0)
+    base = synth_waterways_ds(48)
+    outs = []
+    for blocks in (1, 7, 31):
+        r = build_graph(base.repartition(blocks), cfg)
+        e = r.edges.to_pandas().sort_values("id").reset_index(drop=True)
+        n = r.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+        outs.append((e, n))
+    for e, n in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0][0], e)
+        pd.testing.assert_frame_equal(outs[0][1], n)
