@@ -52,6 +52,11 @@ class Config:
     cluster_hot_row_limit: int = 1_000_000
     # hash-join fan-out for the centroid->member attach (cluster stage)
     join_partitions: int = 16
+    # edge assembly: "broadcast" collects coord_mapping (O(junctions)) to
+    # the object store once — right up to ~10^8 junctions; "distributed"
+    # keeps everything as partitioned hash joins (the 10^12-page regime).
+    # Identical results (pinned by tests).
+    edge_assembly: str = "broadcast"
 
     # --- checkpointing ---
     enable_checkpoints: bool = False

@@ -77,15 +77,23 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
     if not config.enable_checkpoints:
         coord_mapping = coord_mapping.materialize()
 
-    # coord_mapping is collected ONCE (sorted key->centroid arrays in the
-    # object store) and shared by the edge-assembly broadcast AND the node
-    # build (stages/edges.py documents the partitioned-hash-join fallback
-    # for when the mapping outgrows broadcast budgets at full web scale)
-    from osmwaterwayextractor_ray.stages.edges import collect_coord_mapping
+    if config.edge_assembly == "distributed":
+        # partitioned hash joins end to end — no driver-resident mapping
+        # (the 10^12-junction regime); identical results, pinned by tests
+        from osmwaterwayextractor_ray.stages.edges import create_edges_distributed
 
-    mapping_ref = collect_coord_mapping(coord_mapping, config)
-    edges = create_edges(with_intersections, coord_mapping, config, mapping_ref=mapping_ref)
-    nodes = build_nodes(coord_mapping, config, mapping_ref=mapping_ref)
+        edges = create_edges_distributed(with_intersections, coord_mapping, config)
+        nodes = build_nodes(coord_mapping, config)
+    else:
+        # coord_mapping is collected ONCE (sorted key->centroid arrays in
+        # the object store) and shared by the edge-assembly broadcast AND
+        # the node build — the same state the reference ships to its worker
+        # pool (:525-550); O(junctions), fine up to ~10^8
+        from osmwaterwayextractor_ray.stages.edges import collect_coord_mapping
+
+        mapping_ref = collect_coord_mapping(coord_mapping, config)
+        edges = create_edges(with_intersections, coord_mapping, config, mapping_ref=mapping_ref)
+        nodes = build_nodes(coord_mapping, config, mapping_ref=mapping_ref)
 
     qa: dict = {}
     if with_qa:

@@ -238,3 +238,50 @@ def test_partitioning_invariance(ray_session):
     for e, n in outs[1:]:
         pd.testing.assert_frame_equal(outs[0][0], e)
         pd.testing.assert_frame_equal(outs[0][1], n)
+
+
+def test_distributed_edge_assembly_equals_broadcast(ray_session):
+    """The fully distributed edge path (partitioned hash joins, no
+    driver-resident coord_mapping) must produce exactly the broadcast
+    path's edges."""
+    import pandas as pd
+
+    from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+    from osmwaterwayextractor_ray.stages.cluster import cluster_points
+    from osmwaterwayextractor_ray.stages.edges import create_edges, create_edges_distributed
+    from osmwaterwayextractor_ray.stages.endpoints import (
+        cluster_input_points,
+        endpoint_junction_counts,
+    )
+    from osmwaterwayextractor_ray.stages.intersect import detect_and_split
+
+    cfg = Config(min_fragment_length_m=0.0, snap_tolerance_m=5.0)
+    wx = detect_and_split(
+        simplify_waterways(clean_waterways(synth_waterways_ds(40), cfg), cfg), cfg
+    ).materialize()
+    cm = cluster_points(
+        cluster_input_points(endpoint_junction_counts(wx, cfg), cfg), cfg
+    ).materialize()
+
+    broadcast = create_edges(wx, cm, cfg).to_pandas()
+    distributed = create_edges_distributed(wx, cm, cfg).to_pandas()
+    a = broadcast.sort_values("id").reset_index(drop=True)
+    b = distributed.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_full_graph_distributed_mode(ray_session):
+    """build_graph(edge_assembly='distributed') end-to-end equals the
+    broadcast-mode graph."""
+    import pandas as pd
+
+    cfg_b = Config(min_fragment_length_m=0.0)
+    cfg_d = Config(min_fragment_length_m=0.0, edge_assembly="distributed")
+    rb = build_graph(synth_waterways_ds(24), cfg_b)
+    rd_ = build_graph(synth_waterways_ds(24), cfg_d)
+    eb = rb.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    ed = rd_.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eb, ed)
+    nb = rb.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    nd = rd_.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(nb, nd)
