@@ -142,10 +142,11 @@ def test_scaled_motif_parity(ray_session):
     _assert_graph_parity(result, ref_nodes, ref_edges)
 
 
-def test_random_networks_parity(ray_session):
+@pytest.mark.parametrize("seed", [1234, 777, 424242])
+def test_random_networks_parity(ray_session, seed):
     """Deterministic pseudo-random networks: near-miss endpoints around the
     snap tolerance, crossings, short fragments, consecutive duplicates."""
-    rng = np.random.default_rng(1234)
+    rng = np.random.default_rng(seed)
     waterways = []
     wid = 1
     for _ in range(30):
