@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_norms": relational2.embed_norms,
         "purchase_attribution": relational2.purchase_attribution,
         "events_sliding_window": relational2.events_sliding_window,
+        "urgent_lineitems": relational2.urgent_lineitems,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_norms": relational2.EMBED_NORMS_SQL,
         "purchase_attribution": relational2.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding_window": relational2.EVENTS_SLIDING_WINDOW_SQL,
+        "urgent_lineitems": relational2.URGENT_LINEITEMS_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

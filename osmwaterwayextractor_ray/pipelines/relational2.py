@@ -445,3 +445,50 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+def urgent_lineitems(sf_dir: str):
+    """Semi-join via a broadcast Bloom filter: lineitems of URGENT orders.
+    The Bloom prefilter (1% FPR) drops ~non-matching rows inside
+    map_batches; survivors are verified exactly against the key set (at
+    web scale the exact check becomes a partitioned hash join over the
+    ~1% survivors — functions/bloom.py documents the budget math)."""
+    import ray
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.functions.bloom import BloomFilter
+
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    urgent = orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_orderkey"].to_numpy()
+    bf = BloomFilter(max(len(urgent), 1))
+    if len(urgent):
+        bf.add(urgent)
+    exact = set(urgent.tolist())
+    side_ref = ray.put((bf, exact))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bf_, exact_ = _ray.get(side_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        cand = bf_.contains(keys)
+        if not cand.any():
+            return batch.slice(0, 0)
+        t = batch.filter(pa.array(cand))
+        keys2 = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        verified = np.fromiter((int(k) in exact_ for k in keys2), dtype=bool, count=len(keys2))
+        return t.filter(pa.array(verified))
+
+    return li.map_batches(semi, batch_format="pyarrow", batch_size=65536)
+
+
+URGENT_LINEITEMS_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""

@@ -74,3 +74,22 @@ def test_shingles():
     sh = shingle_hashes("abcdef", 5)  # 'abcde', 'bcdef'
     assert len(sh) == 2
     assert len(shingle_hashes("ab", 5)) == 1  # short-text fallback
+
+
+def test_bloom_filter():
+    import numpy as np
+
+    from osmwaterwayextractor_ray.functions.bloom import BloomFilter
+
+    keys = np.arange(0, 10000, 2, dtype=np.int64)  # evens
+    bf = BloomFilter(len(keys), fpr=0.01)
+    bf.add(keys)
+    assert bf.contains(keys).all()  # no false negatives, ever
+    odds = np.arange(1, 10001, 2, dtype=np.int64)
+    fpr = bf.contains(odds).mean()
+    assert fpr < 0.05, fpr
+    # mergeable
+    bf2 = BloomFilter(len(keys), fpr=0.01)
+    bf2.add(odds[:100])
+    bf2.m == bf.m and bf.merge(bf2)
+    assert bf.contains(odds[:100]).all()
