@@ -90,6 +90,8 @@ QUERY_SET = [
     "events_props_sum",
     "top_tokens",
     "orders_monthly",
+    "urgent_lineitems",
+    "purchase_attribution",
     "filter_revenue",
     "customer_order_stats",
     "events_window",
