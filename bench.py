@@ -8,9 +8,9 @@ set, and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
    "throughput": {"ways_per_s": ..., "edges_per_s": ...}}
 
---scaling: runs the headline pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and reports both
-throughputs plus scaling efficiency (t8/t32)/(32/8).
+--scaling: runs the headline pipeline in FRESH processes at N and 4N
+CPUs (default N=2, override SCALE_LO/SCALE_HI) on the same input and
+reports both throughputs plus scaling efficiency (t_N/t_4N)/(4N/N).
 """
 
 from __future__ import annotations
