@@ -38,19 +38,32 @@ def task_salt_pair(tasks: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def compute_hot_cells(emitted_ds, cell_col: str, limit: int) -> dict[int, int]:
-    """cell -> salt factor S for cells above the row limit (tiny result)."""
-    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    """cell -> salt factor S for cells above the row limit (tiny result).
 
-    counts = grouped_agg(emitted_ds, [cell_col], {"n": (cell_col, "count")})
-    pdf = counts.map_batches(
-        lambda t: t.filter(pa.compute.greater(t["n"], pa.scalar(limit))),
-        batch_format="pyarrow",
-    ).to_pandas()
+    One map pass of per-block partial counts (np.unique per block) combined
+    on the driver — no shuffle. The collected partials are bounded by the
+    number of distinct cells actually touched (spatial shuffles here use
+    ≥0.1° cells, so ≤ a few hundred thousand rows even planet-wide)."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch.column(cell_col).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    pdf = emitted_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if len(pdf) == 0:  # empty Datasets lose their schema in to_pandas
         return {}
+    totals = pdf.groupby("cell", sort=False)["n"].sum()
+    hot = totals[totals > limit]
     out: dict[int, int] = {}
-    for cell, n in zip(pdf[cell_col].tolist(), pdf["n"].tolist()):
-        out[int(cell)] = min(MAX_SALT, int(-(-n // limit)))
+    for cell, n in hot.items():
+        out[int(cell)] = min(MAX_SALT, int(-(-int(n) // limit)))
     return out
 
 
