@@ -64,11 +64,23 @@ class Config:
 
     @classmethod
     def from_yaml(cls, path: str) -> "Config":
+        """Load a flat engine config OR the reference's nested config.yaml
+        layout (sections processing:/clustering:/ids:/output:/qa:/caching:,
+        flattened exactly as the reference's Config.from_yaml does,
+        osm_waterway_extractor.py:163-237). Unknown keys (e.g. the
+        reference's parallel_workers, server_formats) are ignored — Ray's
+        executor replaces that machinery."""
         import yaml
 
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
-        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        flat: dict[str, Any] = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):
+                flat.update(v)  # one level of reference-style sections
+            else:
+                flat[k] = v
+        known = {k: v for k, v in flat.items() if k in cls.__dataclass_fields__}
         return cls(**known)
 
     def result_params(self) -> dict[str, Any]:

@@ -180,3 +180,23 @@ def test_pipeline_steps_protocol(ray_session):
     h3 = step_param_hash(DEFAULT_LINE_STEPS[0], Config(snap_tolerance_m=9.0))
     assert h1 != h2
     assert step_param_hash(DEFAULT_LINE_STEPS[0], cfg) == h3  # clean ignores snap
+
+
+def test_reference_config_yaml_loads():
+    """Both of the reference's shipped YAML configs load with their values
+    (nested sections flattened, unknown knobs ignored) — a reference user
+    can point the CLI at their existing config file."""
+    cfg = Config.from_yaml("/root/reference/config.yaml")
+    assert cfg.snap_tolerance_m == 6.0
+    assert cfg.coordinate_precision == 5
+    assert cfg.max_displacement_multiplier == 3.0
+    assert cfg.waterway_types == ["river", "canal"]
+    assert cfg.enable_geometry_simplification is True
+    assert cfg.simplification_tolerance_m == 5.0
+
+    cfg2 = Config.from_yaml("/root/reference/test_config_no_simplify.yaml")
+    assert cfg2.enable_geometry_simplification is False
+    assert cfg2.snap_tolerance_m == 5.0
+    # flat engine-style config still loads
+    cfg3 = Config.from_yaml("config.example.yaml")
+    assert cfg3.snap_tolerance_m == 2.0 and cfg3.edge_assembly == "broadcast"
