@@ -253,22 +253,134 @@ class IntersectionSplitter:
         return self.pt_lat[idx], self.pt_lon[idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batched splitter: candidate→segment projection is ONE vectorized
+        pass over every (candidate, segment) pair in the batch (ragged
+        layout via repeat/cumsum indexing + reduceat minima); only the
+        candidate bucket query and the actual insertions stay per-way."""
         lats, offsets = list_column(batch, "lats")
         lons, _ = list_column(batch, "lons")
         way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
         names = str_column(batch, "name")
         wtypes = str_column(batch, "wtype")
         widths = str_column(batch, "width")
+        n_ways = len(offsets) - 1
+        n_verts = np.diff(offsets)
 
+        def passthrough():
+            return waterways_table(
+                way_ids, lats, lons, offsets, names, wtypes, widths
+            )
+
+        if len(self.pt_lat) == 0 or len(lats) < 2:
+            return passthrough()
+
+        # --- per-way candidate query (cheap bucket lookups) ---
+        cand_lat_parts: list[np.ndarray] = []
+        cand_lon_parts: list[np.ndarray] = []
+        n_c = np.zeros(n_ways, dtype=np.int64)
+        for r in range(n_ways):
+            s, e = int(offsets[r]), int(offsets[r + 1])
+            if e - s < 2:
+                continue
+            cl, cn = self._candidates(
+                lats[s:e].min(), lons[s:e].min(), lats[s:e].max(), lons[s:e].max()
+            )
+            if len(cl):
+                cand_lat_parts.append(cl)
+                cand_lon_parts.append(cn)
+                n_c[r] = len(cl)
+        C = int(n_c.sum())
+        if C == 0:
+            return passthrough()
+        cand_lat = np.concatenate(cand_lat_parts)
+        cand_lon = np.concatenate(cand_lon_parts)
+        cand_start = np.concatenate(([0], np.cumsum(n_c)))
+
+        # --- one vectorized (candidate x segment) projection pass ---
+        way_of_cand = np.repeat(np.arange(n_ways), n_c)
+        n_s = np.maximum(n_verts - 1, 0)
+        ppc = n_s[way_of_cand]  # segments examined per candidate
+        P = int(ppc.sum())
+        pair_start = np.concatenate(([0], np.cumsum(ppc)))[:-1]
+        cand_of_pair = np.repeat(np.arange(C), ppc)
+        local_seg = np.arange(P) - np.repeat(pair_start, ppc)
+        vg = np.repeat(offsets[way_of_cand], ppc) + local_seg  # first vertex of segment
+
+        ax, ay = lons[vg], lats[vg]
+        bx, by = lons[vg + 1], lats[vg + 1]
+        px, py = cand_lon[cand_of_pair], cand_lat[cand_of_pair]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        safe = np.where(L2 == 0.0, 1.0, L2)
+        t = ((px - ax) * dx + (py - ay) * dy) / safe
+        t = np.where(L2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+        ex = px - (ax + t * dx)
+        ey = py - (ay + t * dy)
+        d2 = ex * ex + ey * ey
+
+        # degree-space cumulative vertex positions (shared across ways; the
+        # within-way difference never crosses a bridge segment)
+        seg_len_all = np.sqrt(
+            np.diff(lons) ** 2 + np.diff(lats) ** 2
+        )
+        cs = np.concatenate(([0.0], np.cumsum(seg_len_all)))
+        base = np.repeat(cs[offsets[way_of_cand]], ppc)
+        pos_pair = (cs[vg] - base) + t * seg_len_all[vg]
+
+        dmin = np.minimum.reduceat(d2, pair_start)
+        cond = d2 == np.repeat(dmin, ppc)
+        idxP = np.where(cond, np.arange(P), P)
+        first = np.minimum.reduceat(idxP, pair_start)  # first argmin per cand
+        dist = np.sqrt(dmin)
+        pos = pos_pair[first]
+        on = dist < self.tol_deg  # ref :2097 strict <
+
+        # --- per-way insertion (only ways with on-line candidates) ---
         out_lat: list[float] = []
         out_lon: list[float] = []
         out_off = [0]
-        for r in range(len(offsets) - 1):
+        for r in range(n_ways):
             s, e = int(offsets[r]), int(offsets[r + 1])
-            wlat, wlon = lats[s:e], lons[s:e]
-            new_lat, new_lon = self._split_one(wlat, wlon)
-            out_lat.extend(new_lat)
-            out_lon.extend(new_lon)
+            c0, c1 = int(cand_start[r]), int(cand_start[r + 1])
+            sel = on[c0:c1]
+            if e - s < 2 or not sel.any():
+                out_lat.extend(lats[s:e].tolist())
+                out_lon.extend(lons[s:e].tolist())
+                out_off.append(len(out_lat))
+                continue
+            p_pos = pos[c0:c1][sel]
+            p_lat = cand_lat[c0:c1][sel]
+            p_lon = cand_lon[c0:c1][sel]
+            order = np.argsort(p_pos, kind="stable")
+            p_pos, p_lat, p_lon = p_pos[order], p_lat[order], p_lon[order]
+            vpos = cs[s:e] - cs[s]
+            new_lat: list[float] = []
+            new_lon: list[float] = []
+            seen: set[tuple[float, float]] = set()
+            wlat_l = lats[s:e].tolist()
+            wlon_l = lons[s:e].tolist()
+            n = e - s
+            for i in range(n):
+                new_lat.append(wlat_l[i])
+                new_lon.append(wlon_l[i])
+                seen.add((wlat_l[i], wlon_l[i]))
+                if i < n - 1:
+                    in_seg = (p_pos > vpos[i]) & (p_pos < vpos[i + 1])  # strict, ref :2126
+                    for la_, lo_ in zip(p_lat[in_seg].tolist(), p_lon[in_seg].tolist()):
+                        rla = round(la_, self.precision)
+                        rlo = round(lo_, self.precision)
+                        if (rla, rlo) not in seen:
+                            new_lat.append(rla)
+                            new_lon.append(rlo)
+                            seen.add((rla, rlo))
+            ded_lat = [new_lat[0]]
+            ded_lon = [new_lon[0]]
+            for la_, lo_ in zip(new_lat[1:], new_lon[1:]):
+                if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
+                    ded_lat.append(la_)
+                    ded_lon.append(lo_)
+            out_lat.extend(ded_lat)
+            out_lon.extend(ded_lon)
             out_off.append(len(out_lat))
         return waterways_table(
             way_ids,
