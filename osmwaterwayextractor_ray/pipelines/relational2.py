@@ -140,7 +140,8 @@ def events_props_sum(sf_dir: str):
 
 
 EVENTS_PROPS_SUM_SQL = """
-SELECT event_type, sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """

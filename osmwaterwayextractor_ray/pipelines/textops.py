@@ -110,7 +110,7 @@ def lang_doc_stats(sf_dir: str):
 
 
 LANG_DOC_STATS_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -136,7 +136,7 @@ def token_totals(sf_dir: str):
 
 TOKEN_TOTALS_SQL = r"""
 SELECT source,
-       sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> ''))) AS total_tokens
+       CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> ''))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY source
 """
 
