@@ -145,10 +145,13 @@ def _corpus_with_planted_neighbors(sf_dir: str):
 
 def embed_neardup(sf_dir: str, threshold: float = 0.995):
     """Candidate pairs from 16-bit sign-LSH buckets, verified with exact
-    float64 cosine >= threshold. Returns (vec_a, vec_b, cosine), a < b."""
-    import ray
+    float64 cosine >= threshold. Returns (vec_a, vec_b, cosine), a < b.
 
-    corpus = _corpus_with_planted_neighbors(sf_dir).materialize()
+    The exact-cosine verify is fully distributed: candidate pairs are
+    hash-joined back to the corpus embeddings twice (vec_a side, vec_b
+    side) — no whole-corpus driver matrix / broadcast; the plant stage is
+    deterministic so re-reading the parquet per join side streams."""
+    corpus = _corpus_with_planted_neighbors(sf_dir)
 
     N_BANDS, ROWS = _N_BANDS, _ROWS
 
@@ -189,32 +192,55 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
     cand = buckets.groupby(["band", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
     cand = fa_distinct(cand, ["vec_a", "vec_b"])
 
-    pdf = corpus.to_pandas()
-    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    lookup = {int(v): i for i, v in enumerate(pdf["vec_id"])}
-    verify_ref = ray.put((lookup, matn))
+    # distributed exact-cosine verify: pairs ⋈ corpus on vec_a, then vec_b,
+    # shipping pre-normalized embeddings through the partitioned join
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
 
-    class Verify:
-        def __init__(self):
-            self.lookup, self.matn = ray.get(verify_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("vec_a").to_numpy(zero_copy_only=False)
-            b = batch.column("vec_b").to_numpy(zero_copy_only=False)
-            ia = np.array([self.lookup[int(x)] for x in a], dtype=np.int64)
-            ib = np.array([self.lookup[int(x)] for x in b], dtype=np.int64)
-            cos = np.einsum("ij,ij->i", self.matn[ia], self.matn[ib]) if len(ia) else np.array([])
-            keep = cos >= threshold
+    def _emb_side(id_col: str, emb_col: str):
+        def rn(batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
             return pa.table(
                 {
-                    "vec_a": pa.array(a[keep], type=pa.int64()),
-                    "vec_b": pa.array(b[keep], type=pa.int64()),
-                    "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+                    id_col: pa.array(ids, type=pa.int64()),
+                    emb_col: pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(matn.ravel(), type=pa.float64()),
+                    ),
                 }
             )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=8192, concurrency=(1, pool_max()))
+        return _corpus_with_planted_neighbors(sf_dir).map_batches(
+            rn, batch_format="pyarrow", batch_size=4096
+        )
+
+    paired = hash_join(cand, _emb_side("vec_a", "emb_a"), on=["vec_a"])
+    paired = hash_join(paired, _emb_side("vec_b", "emb_b"), on=["vec_b"])
+
+    def _list_matrix(col) -> np.ndarray:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return np.array(arr.to_pylist(), dtype=np.float64).reshape(-1, DIM)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").to_numpy(zero_copy_only=False)
+        b = batch.column("vec_b").to_numpy(zero_copy_only=False)
+        if len(a):
+            ma = _list_matrix(batch.column("emb_a"))
+            mb = _list_matrix(batch.column("emb_b"))
+            cos = np.einsum("ij,ij->i", ma, mb)
+        else:
+            cos = np.array([])
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], type=pa.int64()),
+                "vec_b": pa.array(b[keep], type=pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
 # ---- IVF-style bucketed ANN (the scale path for similarity search) ----

@@ -196,10 +196,14 @@ class _MinHashStage:
 def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     """Candidate pairs from LSH buckets, verified with exact shingle
     Jaccard >= threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
-    doc_b, deduplicated across buckets."""
-    import ray
+    doc_b, deduplicated across buckets.
 
-    corpus = _corpus_with_planted_dups(sf_dir).materialize()
+    The exact-Jaccard verify is fully distributed: candidate pairs are
+    hash-joined back to the corpus text twice (doc_a side, doc_b side)
+    with fastagg.hash_join — no whole-corpus driver materialization or
+    broadcast; the corpus plant stage is deterministic so re-reading the
+    parquet per join side streams instead of pinning the dataset."""
+    corpus = _corpus_with_planted_dups(sf_dir)
 
     bands = corpus.map_batches(
         _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
@@ -221,31 +225,36 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
     cand = fa_distinct(cand, ["doc_a", "doc_b"])
 
-    # broadcast text lookup for verification (documents table is the small
-    # side here; at web scale this becomes a hash-join on doc_id)
-    texts_pdf = corpus.to_pandas()
-    text_ref = ray.put(dict(zip(texts_pdf["doc_id"], texts_pdf["text"])))
+    # distributed exact-Jaccard verify: pairs ⋈ corpus on doc_a, then doc_b
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(text_ref)
+    def _text_side(id_col: str, text_col: str):
+        def rn(batch: pa.Table) -> pa.Table:
+            return pa.table({id_col: batch["doc_id"], text_col: batch["text"]})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-            b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-            jac = np.array(
-                [jaccard(self.texts[int(x)], self.texts[int(y)]) for x, y in zip(a, b)]
-            )
-            keep = jac >= threshold
-            return pa.table(
-                {
-                    "doc_a": pa.array(a[keep], type=pa.int64()),
-                    "doc_b": pa.array(b[keep], type=pa.int64()),
-                    "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
-                }
-            )
+        return _corpus_with_planted_dups(sf_dir).map_batches(
+            rn, batch_format="pyarrow", batch_size=8192
+        )
 
-    return cand.map_batches(Verify, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max()))
+    paired = hash_join(cand, _text_side("doc_a", "text_a"), on=["doc_a"])
+    paired = hash_join(paired, _text_side("doc_b", "text_b"), on=["doc_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        jac = np.array([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        keep = jac >= threshold if len(jac) else np.zeros(0, dtype=bool)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), type=pa.float64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 def simhash_fingerprints(sf_dir: str):
