@@ -23,12 +23,7 @@ from typing import Any
 
 from osmwaterwayextractor_ray.config import Config
 from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
-from osmwaterwayextractor_ray.stages.cluster import cluster_points
 from osmwaterwayextractor_ray.stages.edges import create_edges
-from osmwaterwayextractor_ray.stages.endpoints import (
-    cluster_input_points,
-    endpoint_junction_counts,
-)
 from osmwaterwayextractor_ray.stages.intersect import detect_and_split
 from osmwaterwayextractor_ray.stages.nodes import build_nodes
 from osmwaterwayextractor_ray.stages.qa import generate_qa_metrics
@@ -42,7 +37,12 @@ class GraphResult:
     qa: dict
 
 
-def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = False) -> GraphResult:
+def build_graph(
+    waterways_ds,
+    config: Config | None = None,
+    with_qa: bool = False,
+    spread_input: bool = True,
+) -> GraphResult:
     config = config or Config()
     t0 = time.time()
     original_count = None
@@ -53,8 +53,12 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
     # Spread the input across ~4 blocks per CPU: downstream actor pools can
     # only parallelize across blocks, and a source that arrives in a handful
     # of large blocks (small parquet files, dense synth batches) would cap
-    # every stage's parallelism at that block count.
-    waterways_ds = waterways_ds.repartition(4 * pool_max())
+    # every stage's parallelism at that block count. Sources that already
+    # arrive well-partitioned (waterways_from_events repartitions its tiny
+    # id column before the synthesis map) pass spread_input=False to skip
+    # this full-data movement.
+    if spread_input:
+        waterways_ds = waterways_ds.repartition(4 * pool_max())
 
     def _intersections():
         cleaned = clean_waterways(waterways_ds, config)
@@ -69,6 +73,18 @@ def build_graph(waterways_ds, config: Config | None = None, with_qa: bool = Fals
         with_intersections = with_intersections.materialize()
 
     def _clustering():
+        # two-shuffle path: skinny (key, ep, tot) partial-agg shuffle, then
+        # the small cell shuffle over junction/endpoint points only. The
+        # fused single-shuffle alternative (cluster_points_from_ways) was
+        # measured ~20% SLOWER at 32 cpus: it pushes every per-batch
+        # partial-count row (6 wide columns) through the sort instead of
+        # the narrow hash-bucket combine + a tiny cell shuffle.
+        from osmwaterwayextractor_ray.stages.cluster import cluster_points
+        from osmwaterwayextractor_ray.stages.endpoints import (
+            cluster_input_points,
+            endpoint_junction_counts,
+        )
+
         counts = endpoint_junction_counts(with_intersections, config)
         points = cluster_input_points(counts, config)
         return cluster_points(points, config)

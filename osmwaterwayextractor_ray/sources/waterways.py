@@ -90,32 +90,38 @@ def waterways_from_events(sf_dir: str, batch_size: int = 8192, repeat: int = 1):
     derivation scheme (way w = event_id * repeat + r)."""
     import ray.data as rd
 
+    from osmwaterwayextractor_ray.stages._pool import pool_max
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    # spread the tiny id column across the cluster BEFORE the (heavier)
+    # synthesis map: a single-file read arrives in a handful of blocks and
+    # would cap to_ways' parallelism at that block count
+    ds = ds.repartition(4 * pool_max())
+
+    # motif geometry as arrays for the vectorized synthesis below
+    _m_lat = np.array([[la for la, _ in coords] for coords, *_ in _MOTIF])  # (4, 3)
+    _m_lon = np.array([[lo for _, lo in coords] for coords, *_ in _MOTIF])
+    _m_name = np.array([name for _, name, _, _ in _MOTIF])
+    _m_type = np.array([wtype for _, _, wtype, _ in _MOTIF])
+    _m_width = np.array([width for _, _, _, width in _MOTIF])
 
     def to_ways(batch: pa.Table) -> pa.Table:
-        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
-        way_ids = []
-        flat_lat: list[float] = []
-        flat_lon: list[float] = []
-        offsets = [0]
-        names, wtypes, widths = [], [], []
-        for eid in ids.tolist():
-            for r in range(repeat):
-                w = int(eid) * repeat + r
-                g, t = divmod(w, 4)
-                coords, name, wtype, width = _MOTIF[t]
-                dlat = 0.1 * ((g // 100) % 380)
-                dlon = 0.1 * (g % 100)
-                for la, lo in coords:
-                    flat_lat.append(round(la + dlat - 19.0, 6))
-                    flat_lon.append(round(lo + dlon, 6))
-                offsets.append(len(flat_lat))
-                way_ids.append(w + 1)
-                names.append(name)
-                wtypes.append(wtype)
-                widths.append(width)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (ids[:, None] * repeat + np.arange(repeat, dtype=np.int64)).ravel()
+        g, t = np.divmod(w, 4)
+        dlat = 0.1 * ((g // 100) % 380) - 19.0
+        dlon = 0.1 * (g % 100)
+        flat_lat = np.round(_m_lat[t] + dlat[:, None], 6).ravel()
+        flat_lon = np.round(_m_lon[t] + dlon[:, None], 6).ravel()
+        offsets = np.arange(0, (len(w) + 1) * 3, 3, dtype=np.int64)
         return waterways_table(
-            np.asarray(way_ids), flat_lat, flat_lon, np.asarray(offsets), names, wtypes, widths
+            w + 1,
+            flat_lat,
+            flat_lon,
+            offsets,
+            _m_name[t].tolist(),
+            _m_type[t].tolist(),
+            _m_width[t].tolist(),
         )
 
     return ds.map_batches(to_ways, batch_format="pyarrow", batch_size=batch_size)

@@ -131,12 +131,30 @@ def _pairs_within_tol(
     return order[ii], order[jj]
 
 
-def make_cell_cluster_fn(config: Config):
+def make_cell_cluster_fn(config: Config, combine_counts: bool = False):
+    """Per-cell-task kernel. With ``combine_counts=True`` the group rows are
+    per-batch partial endpoint/junction counts (key, lat, lon, ep, tot):
+    the kernel first sums counts per key (global totals — every batch's
+    partial row for a key lands in the same halo cell set) and applies the
+    cluster-input predicate (ep >= 1 or tot > 1) before the union-find,
+    fusing the reference's separate counting pass (ref :2286-2316) into
+    the single cell shuffle."""
     tol = config.snap_tolerance_m
     method = config.distance_calculation_method
 
     def cell_cluster(group: pd.DataFrame) -> pa.Table:
         from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+
+        if combine_counts:
+            agg = {"ep": ("ep", "sum"), "tot": ("tot", "sum"),
+                   "lat": ("lat", "first"), "lon": ("lon", "first")}
+            if "sgrp" in group.columns:
+                agg["sgrp"] = ("sgrp", "first")
+            g = group.groupby("key", sort=False, as_index=False).agg(**agg)
+            g = g[(g["ep"] >= 1) | (g["tot"] > 1)]
+            if "task" in group.columns and len(group):
+                g = g.assign(task=group["task"].iloc[0])
+            group = g
 
         # NOTE: returns an Arrow table — groupby aggregates over pandas
         # blocks are ~17x slower on this Ray version (measured)
@@ -171,12 +189,44 @@ def make_cell_cluster_fn(config: Config):
     return cell_cluster
 
 
-def cluster_points(points_ds, config: Config):
-    """points(key, lat, lon) -> coord_mapping Dataset
-    (key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)."""
+def emit_halo_partials(ways_ds, config: Config):
+    """waterways -> (cell, key, lat, lon, ep, tot) per-batch partial counts
+    with halo-cell replication — the fused-shuffle input (counting and
+    clustering share ONE cell shuffle; see make_cell_cluster_fn)."""
+    from osmwaterwayextractor_ray.functions.cells import cell_ids_with_halo, key_to_coord
+    from osmwaterwayextractor_ray.stages.endpoints import make_partial_counts_fn
+
+    partial = make_partial_counts_fn(config)
+    cell_deg = config.cluster_cell_deg
+    tol = config.snap_tolerance_m
+    precision = config.coordinate_precision
+
+    def emit(batch: pa.Table) -> pa.Table:
+        t = partial(batch)
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        ep = t.column("ep").to_numpy(zero_copy_only=False)
+        tot = t.column("tot").to_numpy(zero_copy_only=False)
+        lat, lon = key_to_coord(keys, precision)
+        rows, cells = cell_ids_with_halo(lat, lon, cell_deg, _halo_deg(lat, tol))
+        return pa.table(
+            {
+                "cell": pa.array(cells, type=pa.int64()),
+                "key": pa.array(keys[rows], type=pa.int64()),
+                "lat": pa.array(lat[rows], type=pa.float64()),
+                "lon": pa.array(lon[rows], type=pa.float64()),
+                "ep": pa.array(ep[rows], type=pa.int64()),
+                "tot": pa.array(tot[rows], type=pa.int64()),
+            }
+        )
+
+    return ways_ds.map_batches(emit, batch_format="pyarrow", batch_size=config.batch_size)
+
+
+def _cluster_assignments(emitted, config: Config, combine_counts: bool):
+    """Shared tail: hot-cell salting + per-cell-task union-find."""
     from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
 
-    emitted = emit_halo_cells(points_ds, config).materialize()
+    emitted = emitted.materialize()
     # cheap skip: if the whole dataset is smaller than the per-cell limit,
     # no cell can be hot and the counting pre-pass is pure overhead
     limit = config.cluster_hot_row_limit
@@ -189,10 +239,28 @@ def cluster_points(points_ds, config: Config):
     # A point of a salted hot cell appears in S tasks and can come back
     # with S different local roots — exactly what the boundary-merge
     # fixpoint below reconciles (same mechanism as cross-cell halo merges).
-    assignments = salted.groupby("task").map_groups(
-        make_cell_cluster_fn(config), batch_format="pandas"
-    ).materialize()
+    return salted.groupby("task").map_groups(
+        make_cell_cluster_fn(config, combine_counts=combine_counts), batch_format="pandas"
+    )
 
+
+def cluster_points_from_ways(ways_ds, config: Config):
+    """Fused counting+clustering: waterways -> coord_mapping with ONE cell
+    shuffle (no separate endpoint_junction_counts key shuffle). Identical
+    results to cluster_points(cluster_input_points(endpoint_junction_counts
+    (ways))) — pinned by tests."""
+    assignments = _cluster_assignments(emit_halo_partials(ways_ds, config), config, True)
+    return _finish_clustering(assignments, config)
+
+
+def cluster_points(points_ds, config: Config):
+    """points(key, lat, lon) -> coord_mapping Dataset
+    (key, lat, lon, c_lat, c_lon, displacement_m, cluster_size)."""
+    assignments = _cluster_assignments(emit_halo_cells(points_ds, config), config, False)
+    return _finish_clustering(assignments, config)
+
+
+def _finish_clustering(assignments, config: Config):
     # ---- boundary merge to fixpoint (native aggregates; no per-key UDFs).
     # One aggregate per round serves both conflict detection AND (in the
     # final round) the distinct per-point assignment. ----

@@ -286,3 +286,34 @@ def test_full_graph_distributed_mode(ray_session):
     nb = rb.nodes.to_pandas().sort_values("id").reset_index(drop=True)
     nd = rd_.nodes.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(nb, nd)
+
+
+def test_fused_clustering_equals_unfused(ray_session):
+    """cluster_points_from_ways (ONE fused cell shuffle) must equal the
+    two-shuffle path (endpoint_junction_counts -> cluster_input_points ->
+    cluster_points) exactly, including under forced hot-cell salting."""
+    import pandas as pd
+
+    from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+    from osmwaterwayextractor_ray.stages.cluster import cluster_points, cluster_points_from_ways
+    from osmwaterwayextractor_ray.stages.endpoints import (
+        cluster_input_points,
+        endpoint_junction_counts,
+    )
+    from osmwaterwayextractor_ray.stages.intersect import detect_and_split
+
+    for cfg in [
+        Config(min_fragment_length_m=0.0, snap_tolerance_m=5.0),
+        Config(min_fragment_length_m=0.0, snap_tolerance_m=5.0, cluster_hot_row_limit=4),
+    ]:
+        wx = detect_and_split(
+            simplify_waterways(clean_waterways(synth_waterways_ds(60), cfg), cfg), cfg
+        ).materialize()
+        unfused = cluster_points(
+            cluster_input_points(endpoint_junction_counts(wx, cfg), cfg), cfg
+        ).to_pandas().sort_values("key").reset_index(drop=True)
+        fused = (
+            cluster_points_from_ways(wx, cfg)
+            .to_pandas().sort_values("key").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fused, unfused)
