@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_join": geo.pip_join,
         "geo_knn": geo.knn,
         "geo_cell_knn": geo.cell_knn,
+        "geo_cell_knn_halo": geo.cell_knn_halo,
         # --- pages + stateful extraction (A5) ---
         "geo_extract": pages.geo_extract,
         "geo_extract_cells": pages.geo_extract_cells,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip_join": geo.PIP_JOIN_SQL,
         "geo_knn": geo.KNN_SQL,
         "geo_cell_knn": geo.CELL_KNN_SQL,
+        "geo_cell_knn_halo": geo.CELL_KNN_HALO_SQL,
         "geo_extract": pages.GEO_EXTRACT_SQL,
         "geo_extract_cells": pages.GEO_EXTRACT_CELLS_SQL,
         # byte-identity invariant: n_mismatches must be 0 over all pages
