@@ -57,6 +57,12 @@ class Config:
     # keeps everything as partitioned hash joins (the 10^12-page regime).
     # Identical results (pinned by tests).
     edge_assembly: str = "broadcast"
+    # intersection splitting: "broadcast" ships the (small) sorted point
+    # index to every task; "distributed" joins points to ways by PBSM cell
+    # (partitioned hash join + way-bucket co-group) — for topologies whose
+    # junction count outgrows the broadcast budget. Identical results
+    # (pinned by tests).
+    intersection_splitter: str = "broadcast"
 
     # --- checkpointing ---
     enable_checkpoints: bool = False

@@ -169,7 +169,12 @@ def polyline_lengths_m(
     seg = np.asarray(seg, dtype=np.float64).copy()
     ends = offsets[1:-1] - 1  # index of last vertex of each line except the final one
     seg[ends] = 0.0
-    csum = np.concatenate(([0.0], np.cumsum(seg)))
-    starts = offsets[:-1]
-    stops = np.maximum(offsets[1:] - 1, starts)
-    return csum[stops] - csum[starts]
+    # Per-line sequential sums via reduceat — NOT a batch-global cumsum
+    # prefix difference, whose low bits would depend on which other lines
+    # share the batch (results must not vary with block structure). The
+    # zeroed bridge segment a range picks up is exact (+0.0). Degenerate
+    # (<2-vertex) lines get a clipped/empty reduceat range whose garbage
+    # value is masked to 0.
+    starts = np.minimum(offsets[:-1], len(seg) - 1)
+    sums = np.add.reduceat(seg, starts)
+    return np.where(np.diff(offsets) >= 2, sums, 0.0)

@@ -35,11 +35,12 @@ import ray
 
 from osmwaterwayextractor_ray.config import Config
 from osmwaterwayextractor_ray.functions.cells import cell_id, n_lon
-from osmwaterwayextractor_ray.functions.geometry import (
-    project_points_on_polyline,
-    vertex_positions,
+from osmwaterwayextractor_ray.stages._arrow import (
+    empty_waterways_table,
+    list_column,
+    str_column,
+    waterways_table,
 )
-from osmwaterwayextractor_ray.stages._arrow import list_column, str_column, waterways_table
 
 from osmwaterwayextractor_ray.stages._pool import pool_max
 
@@ -124,6 +125,14 @@ def make_cell_intersect_fn(config: Config):
         ay = group["lat1"].to_numpy()
         bx = group["lon2"].to_numpy()
         by = group["lat2"].to_numpy()
+        # Sort the group's segments by a total deterministic key: the i<j
+        # pairing below assigns which segment is "p" vs "s" in the
+        # intersection formula, and the two role assignments round
+        # differently — without this sort the low bits of a point's
+        # coordinates would depend on block arrival order (results varied
+        # with num_cpus, observed at sf0.01).
+        o = np.lexsort((sgrp, by, bx, ay, ax, way))
+        sgrp, way, ax, ay, bx, by = sgrp[o], way[o], ax[o], ay[o], bx[o], by[o]
         n = len(way)
         out_lat: list[float] = []
         out_lon: list[float] = []
@@ -253,10 +262,8 @@ class IntersectionSplitter:
         return self.pt_lat[idx], self.pt_lon[idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Batched splitter: candidate→segment projection is ONE vectorized
-        pass over every (candidate, segment) pair in the batch (ragged
-        layout via repeat/cumsum indexing + reduceat minima); only the
-        candidate bucket query and the actual insertions stay per-way."""
+        """Batched splitter: per-way candidate bucket query (cheap), then
+        the shared vectorized projection/insertion kernel."""
         lats, offsets = list_column(batch, "lats")
         lons, _ = list_column(batch, "lons")
         way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
@@ -264,17 +271,10 @@ class IntersectionSplitter:
         wtypes = str_column(batch, "wtype")
         widths = str_column(batch, "width")
         n_ways = len(offsets) - 1
-        n_verts = np.diff(offsets)
-
-        def passthrough():
-            return waterways_table(
-                way_ids, lats, lons, offsets, names, wtypes, widths
-            )
 
         if len(self.pt_lat) == 0 or len(lats) < 2:
-            return passthrough()
+            return waterways_table(way_ids, lats, lons, offsets, names, wtypes, widths)
 
-        # --- per-way candidate query (cheap bucket lookups) ---
         cand_lat_parts: list[np.ndarray] = []
         cand_lon_parts: list[np.ndarray] = []
         n_c = np.zeros(n_ways, dtype=np.int64)
@@ -289,155 +289,152 @@ class IntersectionSplitter:
                 cand_lat_parts.append(cl)
                 cand_lon_parts.append(cn)
                 n_c[r] = len(cl)
-        C = int(n_c.sum())
-        if C == 0:
-            return passthrough()
-        cand_lat = np.concatenate(cand_lat_parts)
-        cand_lon = np.concatenate(cand_lon_parts)
-        cand_start = np.concatenate(([0], np.cumsum(n_c)))
-
-        # --- one vectorized (candidate x segment) projection pass ---
-        way_of_cand = np.repeat(np.arange(n_ways), n_c)
-        n_s = np.maximum(n_verts - 1, 0)
-        ppc = n_s[way_of_cand]  # segments examined per candidate
-        P = int(ppc.sum())
-        pair_start = np.concatenate(([0], np.cumsum(ppc)))[:-1]
-        cand_of_pair = np.repeat(np.arange(C), ppc)
-        local_seg = np.arange(P) - np.repeat(pair_start, ppc)
-        vg = np.repeat(offsets[way_of_cand], ppc) + local_seg  # first vertex of segment
-
-        ax, ay = lons[vg], lats[vg]
-        bx, by = lons[vg + 1], lats[vg + 1]
-        px, py = cand_lon[cand_of_pair], cand_lat[cand_of_pair]
-        dx, dy = bx - ax, by - ay
-        L2 = dx * dx + dy * dy
-        safe = np.where(L2 == 0.0, 1.0, L2)
-        t = ((px - ax) * dx + (py - ay) * dy) / safe
-        t = np.where(L2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
-        ex = px - (ax + t * dx)
-        ey = py - (ay + t * dy)
-        d2 = ex * ex + ey * ey
-
-        # degree-space cumulative vertex positions (shared across ways; the
-        # within-way difference never crosses a bridge segment)
-        seg_len_all = np.sqrt(
-            np.diff(lons) ** 2 + np.diff(lats) ** 2
+        cand_lat = (
+            np.concatenate(cand_lat_parts) if cand_lat_parts else np.array([], dtype=np.float64)
         )
-        cs = np.concatenate(([0.0], np.cumsum(seg_len_all)))
-        base = np.repeat(cs[offsets[way_of_cand]], ppc)
-        pos_pair = (cs[vg] - base) + t * seg_len_all[vg]
+        cand_lon = (
+            np.concatenate(cand_lon_parts) if cand_lon_parts else np.array([], dtype=np.float64)
+        )
+        return _split_ways_with_candidates(
+            way_ids, lats, lons, offsets, names, wtypes, widths,
+            cand_lat, cand_lon, n_c, self.tol_deg, self.precision,
+        )
 
-        dmin = np.minimum.reduceat(d2, pair_start)
-        cond = d2 == np.repeat(dmin, ppc)
-        idxP = np.where(cond, np.arange(P), P)
-        first = np.minimum.reduceat(idxP, pair_start)  # first argmin per cand
-        dist = np.sqrt(dmin)
-        pos = pos_pair[first]
-        on = dist < self.tol_deg  # ref :2097 strict <
 
-        # --- per-way insertion (only ways with on-line candidates) ---
-        out_lat: list[float] = []
-        out_lon: list[float] = []
-        out_off = [0]
-        for r in range(n_ways):
-            s, e = int(offsets[r]), int(offsets[r + 1])
-            c0, c1 = int(cand_start[r]), int(cand_start[r + 1])
-            sel = on[c0:c1]
-            if e - s < 2 or not sel.any():
-                out_lat.extend(lats[s:e].tolist())
-                out_lon.extend(lons[s:e].tolist())
-                out_off.append(len(out_lat))
-                continue
-            p_pos = pos[c0:c1][sel]
-            p_lat = cand_lat[c0:c1][sel]
-            p_lon = cand_lon[c0:c1][sel]
-            order = np.argsort(p_pos, kind="stable")
-            p_pos, p_lat, p_lon = p_pos[order], p_lat[order], p_lon[order]
-            vpos = cs[s:e] - cs[s]
-            new_lat: list[float] = []
-            new_lon: list[float] = []
-            seen: set[tuple[float, float]] = set()
-            wlat_l = lats[s:e].tolist()
-            wlon_l = lons[s:e].tolist()
-            n = e - s
-            for i in range(n):
-                new_lat.append(wlat_l[i])
-                new_lon.append(wlon_l[i])
-                seen.add((wlat_l[i], wlon_l[i]))
-                if i < n - 1:
-                    in_seg = (p_pos > vpos[i]) & (p_pos < vpos[i + 1])  # strict, ref :2126
-                    for la_, lo_ in zip(p_lat[in_seg].tolist(), p_lon[in_seg].tolist()):
-                        rla = round(la_, self.precision)
-                        rlo = round(lo_, self.precision)
-                        if (rla, rlo) not in seen:
-                            new_lat.append(rla)
-                            new_lon.append(rlo)
-                            seen.add((rla, rlo))
-            ded_lat = [new_lat[0]]
-            ded_lon = [new_lon[0]]
-            for la_, lo_ in zip(new_lat[1:], new_lon[1:]):
-                if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
-                    ded_lat.append(la_)
-                    ded_lon.append(lo_)
-            out_lat.extend(ded_lat)
-            out_lon.extend(ded_lon)
+def _split_ways_with_candidates(
+    way_ids,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    offsets: np.ndarray,
+    names,
+    wtypes,
+    widths,
+    cand_lat: np.ndarray,
+    cand_lon: np.ndarray,
+    n_c: np.ndarray,
+    tol_deg: float,
+    precision: int,
+) -> pa.Table:
+    """Shared batched splitter kernel: candidate→segment projection is ONE
+    vectorized pass over every (candidate, segment) pair (ragged layout via
+    repeat/cumsum indexing + reduceat minima); only the insertions stay
+    per-way. ``n_c[r]`` = number of candidate points for way row ``r``;
+    candidate arrays are their way-order concatenation. Candidate ORDER
+    within a way is irrelevant: insertion sorts by (position, lat, lon) —
+    a total order — so the broadcast and distributed paths agree exactly.
+    Insertion contract is the reference's (:2094-2152)."""
+    n_ways = len(offsets) - 1
+    n_verts = np.diff(offsets)
+
+    def passthrough():
+        return waterways_table(way_ids, lats, lons, offsets, names, wtypes, widths)
+
+    if len(lats) < 2:
+        return passthrough()
+    n_s = np.maximum(n_verts - 1, 0)
+    # drop candidates attached to degenerate (<2-vertex) ways so the
+    # reduceat segment ranges below are never empty
+    if ((n_s == 0) & (n_c > 0)).any():
+        keep = np.repeat(n_s > 0, n_c)
+        cand_lat, cand_lon = cand_lat[keep], cand_lon[keep]
+        n_c = np.where(n_s > 0, n_c, 0)
+    C = int(n_c.sum())
+    if C == 0:
+        return passthrough()
+    cand_start = np.concatenate(([0], np.cumsum(n_c)))
+
+    # --- one vectorized (candidate x segment) projection pass ---
+    way_of_cand = np.repeat(np.arange(n_ways), n_c)
+    ppc = n_s[way_of_cand]  # segments examined per candidate
+    P = int(ppc.sum())
+    pair_start = np.concatenate(([0], np.cumsum(ppc)))[:-1]
+    cand_of_pair = np.repeat(np.arange(C), ppc)
+    local_seg = np.arange(P) - np.repeat(pair_start, ppc)
+    vg = np.repeat(offsets[way_of_cand], ppc) + local_seg  # first vertex of segment
+
+    ax, ay = lons[vg], lats[vg]
+    bx, by = lons[vg + 1], lats[vg + 1]
+    px, py = cand_lon[cand_of_pair], cand_lat[cand_of_pair]
+    dx, dy = bx - ax, by - ay
+    L2 = dx * dx + dy * dy
+    safe = np.where(L2 == 0.0, 1.0, L2)
+    t = ((px - ax) * dx + (py - ay) * dy) / safe
+    t = np.where(L2 == 0.0, 0.0, np.clip(t, 0.0, 1.0))
+    ex = px - (ax + t * dx)
+    ey = py - (ay + t * dy)
+    d2 = ex * ex + ey * ey
+
+    # degree-space cumulative vertex positions (shared across ways; the
+    # within-way difference never crosses a bridge segment)
+    seg_len_all = np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2)
+    cs = np.concatenate(([0.0], np.cumsum(seg_len_all)))
+    base = np.repeat(cs[offsets[way_of_cand]], ppc)
+    pos_pair = (cs[vg] - base) + t * seg_len_all[vg]
+
+    dmin = np.minimum.reduceat(d2, pair_start)
+    cond = d2 == np.repeat(dmin, ppc)
+    idxP = np.where(cond, np.arange(P), P)
+    first = np.minimum.reduceat(idxP, pair_start)  # first argmin per cand
+    dist = np.sqrt(dmin)
+    pos = pos_pair[first]
+    on = dist < tol_deg  # ref :2097 strict <
+
+    # --- per-way insertion (only ways with on-line candidates) ---
+    out_lat: list[float] = []
+    out_lon: list[float] = []
+    out_off = [0]
+    for r in range(n_ways):
+        s, e = int(offsets[r]), int(offsets[r + 1])
+        c0, c1 = int(cand_start[r]), int(cand_start[r + 1])
+        sel = on[c0:c1]
+        if e - s < 2 or not sel.any():
+            out_lat.extend(lats[s:e].tolist())
+            out_lon.extend(lons[s:e].tolist())
             out_off.append(len(out_lat))
-        return waterways_table(
-            way_ids,
-            np.asarray(out_lat, dtype=np.float64),
-            np.asarray(out_lon, dtype=np.float64),
-            np.asarray(out_off, dtype=np.int64),
-            names,
-            wtypes,
-            widths,
-        )
-
-    def _split_one(self, wlat: np.ndarray, wlon: np.ndarray):
-        if len(wlat) < 2 or len(self.pt_lat) == 0:
-            return wlat.tolist(), wlon.tolist()
-        cand_lat, cand_lon = self._candidates(wlat.min(), wlon.min(), wlat.max(), wlon.max())
-        if len(cand_lat) == 0:
-            return wlat.tolist(), wlon.tolist()
-        dist, pos = project_points_on_polyline(wlat, wlon, cand_lat, cand_lon)
-        on_line = dist < self.tol_deg  # ref :2097 strict <
-        if not on_line.any():
-            return wlat.tolist(), wlon.tolist()
-        p_pos = pos[on_line]
-        p_lat = cand_lat[on_line]
-        p_lon = cand_lon[on_line]
-        order = np.argsort(p_pos, kind="stable")
+            continue
+        p_pos = pos[c0:c1][sel]
+        p_lat = cand_lat[c0:c1][sel]
+        p_lon = cand_lon[c0:c1][sel]
+        order = np.lexsort((p_lon, p_lat, p_pos))  # position, total tie-break
         p_pos, p_lat, p_lon = p_pos[order], p_lat[order], p_lon[order]
-        vpos = vertex_positions(wlat, wlon)
-
+        vpos = cs[s:e] - cs[s]
         new_lat: list[float] = []
         new_lon: list[float] = []
         seen: set[tuple[float, float]] = set()
-        n = len(wlat)
-        wlat_l = wlat.tolist()
-        wlon_l = wlon.tolist()
+        wlat_l = lats[s:e].tolist()
+        wlon_l = lons[s:e].tolist()
+        n = e - s
         for i in range(n):
             new_lat.append(wlat_l[i])
             new_lon.append(wlon_l[i])
             seen.add((wlat_l[i], wlon_l[i]))
             if i < n - 1:
-                seg_s = vpos[i]
-                seg_e = vpos[i + 1]
-                in_seg = (p_pos > seg_s) & (p_pos < seg_e)  # strict, ref :2126
+                in_seg = (p_pos > vpos[i]) & (p_pos < vpos[i + 1])  # strict, ref :2126
                 for la_, lo_ in zip(p_lat[in_seg].tolist(), p_lon[in_seg].tolist()):
-                    rla = round(la_, self.precision)
-                    rlo = round(lo_, self.precision)
+                    rla = round(la_, precision)
+                    rlo = round(lo_, precision)
                     if (rla, rlo) not in seen:
                         new_lat.append(rla)
                         new_lon.append(rlo)
                         seen.add((rla, rlo))
-        # consecutive-duplicate removal (ref :2138-2142)
         ded_lat = [new_lat[0]]
         ded_lon = [new_lon[0]]
         for la_, lo_ in zip(new_lat[1:], new_lon[1:]):
             if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
                 ded_lat.append(la_)
                 ded_lon.append(lo_)
-        return ded_lat, ded_lon
+        out_lat.extend(ded_lat)
+        out_lon.extend(ded_lon)
+        out_off.append(len(out_lat))
+    return waterways_table(
+        way_ids,
+        np.asarray(out_lat, dtype=np.float64),
+        np.asarray(out_lon, dtype=np.float64),
+        np.asarray(out_off, dtype=np.int64),
+        names,
+        wtypes,
+        widths,
+    )
 
 
 def split_at_intersections(ds, points_ds, config: Config):
@@ -461,6 +458,171 @@ def split_at_intersections(ds, points_ds, config: Config):
     )
 
 
+def split_at_intersections_distributed(ds, points_ds, config: Config):
+    """Distributed twin of ``split_at_intersections``: no driver-resident
+    point index, no broadcast. Points carry their PBSM cell; each way
+    emits the cells its tol-expanded SEGMENT bboxes touch (deduped per
+    way — a tighter candidate superset than the broadcast path's whole-way
+    bbox lattice, but both contain every point within tol of the line, and
+    the strict dist<tol test plus the order-free insertion sort make the
+    outputs exactly equal); a partitioned hash join on cell attaches the
+    candidate points; ways + candidates then co-group by way_id hash
+    bucket and run the shared kernel. For topologies whose junction count
+    outgrows the broadcast budget. Pinned equal to the broadcast path by
+    tests (both modes, end-to-end)."""
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket, hash_join
+
+    cell_deg = config.intersect_cell_deg
+    tol_deg = config.snap_tolerance_m * 1e-5
+    NL = n_lon(cell_deg)
+    n_parts = max(8, config.join_partitions)
+    precision = config.coordinate_precision
+
+    def point_cells(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "cell": pa.array(cell_id(lat, lon, cell_deg), type=pa.int64()),
+                "p_lat": pa.array(lat, type=pa.float64()),
+                "p_lon": pa.array(lon, type=pa.float64()),
+            }
+        )
+
+    pts = points_ds.map_batches(point_cells, batch_format="pyarrow")
+
+    def way_cells(batch: pa.Table) -> pa.Table:
+        """(cell, way_id) for every grid cell touched by a tol-expanded
+        segment bbox, deduped per way (a point within tol of the line is
+        within tol of some segment, hence inside this cover)."""
+        lats, offsets = list_column(batch, "lats")
+        lons, _ = list_column(batch, "lons")
+        way_ids = batch.column("way_id").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "cell": pa.array([], type=pa.int64()),
+                "way_id": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(lats) < 2:
+            return empty
+        row_of_vertex = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
+        a_lat, a_lon = lats[:-1], lons[:-1]
+        b_lat, b_lon = lats[1:], lons[1:]
+        same_row = row_of_vertex[:-1] == row_of_vertex[1:]
+        a_lat, a_lon, b_lat, b_lon = (
+            a_lat[same_row],
+            a_lon[same_row],
+            b_lat[same_row],
+            b_lon[same_row],
+        )
+        seg_way = way_ids[row_of_vertex[:-1][same_row]]
+        if not len(seg_way):
+            return empty
+        la0 = np.floor((np.minimum(a_lat, b_lat) - tol_deg + 90.0) / cell_deg).astype(np.int64)
+        la1 = np.floor((np.maximum(a_lat, b_lat) + tol_deg + 90.0) / cell_deg).astype(np.int64)
+        lo0 = np.floor((np.minimum(a_lon, b_lon) - tol_deg + 180.0) / cell_deg).astype(np.int64)
+        lo1 = np.floor((np.maximum(a_lon, b_lon) + tol_deg + 180.0) / cell_deg).astype(np.int64)
+        counts = (la1 - la0 + 1) * (lo1 - lo0 + 1)
+        seg_idx = np.repeat(np.arange(len(seg_way)), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)))
+        local = np.arange(cum[-1]) - cum[seg_idx]
+        width = (lo1 - lo0 + 1)[seg_idx]
+        cells = (la0[seg_idx] + local // width) * NL + (lo0[seg_idx] + local % width)
+        w = seg_way[seg_idx]
+        o = np.lexsort((cells, w))
+        w, cells = w[o], cells[o]
+        keep = np.ones(len(w), dtype=bool)
+        keep[1:] = (w[1:] != w[:-1]) | (cells[1:] != cells[:-1])
+        return pa.table(
+            {
+                "cell": pa.array(cells[keep], type=pa.int64()),
+                "way_id": pa.array(w[keep], type=pa.int64()),
+            }
+        )
+
+    wcells = ds.map_batches(way_cells, batch_format="pyarrow", batch_size=config.batch_size)
+    # (cell, way_id, p_lat, p_lon): each pair appears exactly once — the
+    # cell cover is deduped per way and each point lives in one cell
+    pairs = hash_join(wcells, pts, on=["cell"], num_parts=n_parts)
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
+        return pa.table(
+            {
+                "way_id": batch["way_id"],
+                "p_lat": batch["p_lat"],
+                "p_lon": batch["p_lon"],
+                "lats": pa.nulls(n, type=pa.list_(pa.float64())),
+                "lons": pa.nulls(n, type=pa.list_(pa.float64())),
+                "name": pa.nulls(n, type=pa.string()),
+                "wtype": pa.nulls(n, type=pa.string()),
+                "width": pa.nulls(n, type=pa.string()),
+                "__part": pa.array(part, type=pa.int64()),
+                "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def tag_way(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
+        return pa.table(
+            {
+                "way_id": batch["way_id"],
+                "p_lat": pa.nulls(n, type=pa.float64()),
+                "p_lon": pa.nulls(n, type=pa.float64()),
+                "lats": batch["lats"],
+                "lons": batch["lons"],
+                "name": batch["name"],
+                "wtype": batch["wtype"],
+                "width": batch["width"],
+                "__part": pa.array(part, type=pa.int64()),
+                "__side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    both = pairs.map_batches(tag_cand, batch_format="pyarrow").union(
+        ds.map_batches(tag_way, batch_format="pyarrow")
+    )
+
+    def split_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ways_t = g.filter(_pc.equal(g["__side"], pa.scalar(1, pa.int8())))
+        if ways_t.num_rows == 0:
+            return empty_waterways_table()
+        cand_t = g.filter(_pc.equal(g["__side"], pa.scalar(0, pa.int8())))
+        lats, offsets = list_column(ways_t, "lats")
+        lons, _ = list_column(ways_t, "lons")
+        way_ids = ways_t.column("way_id").to_numpy(zero_copy_only=False)
+        names = str_column(ways_t, "name")
+        wtypes = str_column(ways_t, "wtype")
+        widths = str_column(ways_t, "width")
+        cw = cand_t.column("way_id").to_numpy(zero_copy_only=False)
+        cl = cand_t.column("p_lat").to_numpy(zero_copy_only=False).astype(np.float64)
+        cn = cand_t.column("p_lon").to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.argsort(cw, kind="stable")
+        cw, cl, cn = cw[o], cl[o], cn[o]
+        s_ = np.searchsorted(cw, way_ids, side="left")
+        e_ = np.searchsorted(cw, way_ids, side="right")
+        n_c = e_ - s_
+        tot = int(n_c.sum())
+        if tot:
+            base = np.concatenate(([0], np.cumsum(n_c)))[:-1]
+            idx = np.repeat(s_ - base, n_c) + np.arange(tot)
+            cand_lat, cand_lon = cl[idx], cn[idx]
+        else:
+            cand_lat = np.array([], dtype=np.float64)
+            cand_lon = np.array([], dtype=np.float64)
+        return _split_ways_with_candidates(
+            way_ids, lats, lons, offsets, names, wtypes, widths,
+            cand_lat, cand_lon, n_c, tol_deg, precision,
+        )
+
+    return both.groupby("__part").map_groups(split_bucket, batch_format="pyarrow")
+
+
 def detect_and_split(ds, config: Config):
     if not config.enable_intersection_detection:
         return ds
@@ -468,4 +630,6 @@ def detect_and_split(ds, config: Config):
     # or the whole upstream lineage (clean+simplify) executes twice
     ds = ds.materialize()
     points = detect_intersections(ds, config)
+    if config.intersection_splitter == "distributed":
+        return split_at_intersections_distributed(ds, points, config)
     return split_at_intersections(ds, points, config)

@@ -317,3 +317,52 @@ def test_fused_clustering_equals_unfused(ray_session):
             .to_pandas().sort_values("key").reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(fused, unfused)
+
+
+def test_distributed_splitter_equals_broadcast(ray_session):
+    """The distributed splitter (cell hash-join + way-bucket co-group, no
+    broadcast point index) must produce exactly the broadcast splitter's
+    ways."""
+    import pandas as pd
+
+    from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+    from osmwaterwayextractor_ray.stages.intersect import (
+        detect_intersections,
+        split_at_intersections,
+        split_at_intersections_distributed,
+    )
+
+    cfg = Config(min_fragment_length_m=0.0, snap_tolerance_m=5.0)
+    base = simplify_waterways(
+        clean_waterways(synth_waterways_ds(40), cfg), cfg
+    ).materialize()
+    points = detect_intersections(base, cfg).materialize()
+    a = split_at_intersections(base, points, cfg).to_pandas()
+    b = split_at_intersections_distributed(base, points, cfg).to_pandas()
+    for df in (a, b):
+        df["lats"] = df["lats"].map(tuple)
+        df["lons"] = df["lons"].map(tuple)
+    a = a.sort_values("way_id").reset_index(drop=True)
+    b = b.sort_values("way_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_full_graph_all_distributed_mode(ray_session):
+    """build_graph with BOTH distributed paths (splitter + edge assembly)
+    end-to-end equals the broadcast-mode graph."""
+    import pandas as pd
+
+    cfg_b = Config(min_fragment_length_m=0.0)
+    cfg_d = Config(
+        min_fragment_length_m=0.0,
+        intersection_splitter="distributed",
+        edge_assembly="distributed",
+    )
+    rb = build_graph(synth_waterways_ds(24), cfg_b)
+    rd_ = build_graph(synth_waterways_ds(24), cfg_d)
+    eb = rb.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    ed = rd_.edges.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eb, ed)
+    nb = rb.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    nd = rd_.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(nb, nd)
