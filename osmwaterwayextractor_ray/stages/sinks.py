@@ -62,24 +62,23 @@ def save_csv(nodes_ds, edges_ds, out_dir: str, compression: bool = True) -> dict
     return {"nodes": f"{out_dir}/nodes.csv", "edges": f"{out_dir}/edges.csv"}
 
 
-def save_geojson(edges_ds, path: str) -> str:
-    """GeoJSON FeatureCollection of edges with the (lat,lon)->(lon,lat)
-    flip (ref :2884-2899). Streamed feature-by-feature to the file."""
-    with open(path, "w") as f:
-        f.write('{"type": "FeatureCollection", "features": [')
-        first = True
-        for batch in edges_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            lats, offsets = list_column(batch, "lats")
-            lons, _ = list_column(batch, "lons")
-            ids = batch.column("id").to_pylist()
-            lengths = batch.column("length_m").to_pylist()
-            names = batch.column("name").to_pylist()
-            types = batch.column("type").to_pylist()
-            widths = batch.column("width_m").to_pylist()
-            lat_l, lon_l = lats.tolist(), lons.tolist()
-            for i in range(len(ids)):
-                s, e = offsets[i], offsets[i + 1]
-                feature = {
+def _feature_strings(batch: pa.Table) -> list[str]:
+    """GeoJSON Feature JSON strings for an edge batch, with the
+    (lat,lon)->(lon,lat) flip (ref :2884-2899)."""
+    lats, offsets = list_column(batch, "lats")
+    lons, _ = list_column(batch, "lons")
+    ids = batch.column("id").to_pylist()
+    lengths = batch.column("length_m").to_pylist()
+    names = batch.column("name").to_pylist()
+    types = batch.column("type").to_pylist()
+    widths = batch.column("width_m").to_pylist()
+    lat_l, lon_l = lats.tolist(), lons.tolist()
+    out = []
+    for i in range(len(ids)):
+        s, e = offsets[i], offsets[i + 1]
+        out.append(
+            json.dumps(
+                {
                     "type": "Feature",
                     "geometry": {
                         "type": "LineString",
@@ -93,124 +92,234 @@ def save_geojson(edges_ds, path: str) -> str:
                         "width_m": widths[i],
                     },
                 }
-                f.write(("" if first else ",") + json.dumps(feature))
-                first = False
-        f.write("]}")
+            )
+        )
+    return out
+
+
+def _shard_column(batch: pa.Table, shards: int) -> pa.Table:
+    """Deterministic shard assignment from the edge-id hash (pandas
+    siphash with its fixed default key — stable across processes)."""
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(batch.column("id").to_pylist(), dtype=object))
+    return batch.append_column(
+        "__shard", pa.array((h % np.uint64(shards)).astype(np.int64), type=pa.int64())
+    )
+
+
+def save_geojson(edges_ds, path: str, shards: int | None = None) -> str:
+    """GeoJSON of edges. Default: ONE FeatureCollection file streamed
+    feature-by-feature (the reference's layout, :2884-2899 — driver memory
+    is bounded by a batch, but the single file is a throughput bottleneck
+    for huge graphs). ``shards=N``: `path` becomes a DIRECTORY of N part
+    files written in parallel by the cluster, each a self-contained
+    FeatureCollection holding the edges whose id-hash maps to that shard,
+    sorted by id — per-part contents are deterministic and independent of
+    partitioning, so a failed write can be resumed per part."""
+    if shards is None:
+        with open(path, "w") as f:
+            f.write('{"type": "FeatureCollection", "features": [')
+            first = True
+            for batch in edges_ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                for s in _feature_strings(batch):
+                    f.write(("" if first else ",") + s)
+                    first = False
+            f.write("]}")
+        return path
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        sh = int(g.column("__shard")[0].as_py())
+        g = g.sort_by("id")
+        part = os.path.join(path, f"part-{sh:05d}.geojson")
+        with open(part, "w") as f:
+            f.write('{"type": "FeatureCollection", "features": [')
+            f.write(",".join(_feature_strings(g)))
+            f.write("]}")
+        return pa.table(
+            {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
+        )
+
+    edges_ds.map_batches(
+        lambda t: _shard_column(t, shards), batch_format="pyarrow"
+    ).groupby("__shard").map_groups(write_shard, batch_format="pyarrow").materialize()
     return path
 
 
-def _sorted_node_index(nodes_ds) -> tuple[list, dict[str, int]]:
-    """Nodes sorted by deterministic id -> positional index (the explicit
-    ordering contract replacing the reference's dict-iteration order)."""
-    rows = nodes_ds.sort("id").take_all()
-    idx = {r["id"]: i for i, r in enumerate(rows)}
-    return rows, idx
+def _node_index_stream(nodes_ds):
+    """(materialized nodes sorted by id, id -> positional rank dict).
+
+    The explicit ordering contract replacing the reference's
+    dict-iteration order. The dict is the broadcast small side for edge
+    renumbering — the same O(nodes) mapping the reference serializes to
+    its pool workers — built by streaming id batches (never a take_all
+    row list); node payloads are re-streamed from the returned sorted
+    Dataset."""
+    sorted_nodes = nodes_ds.sort("id").materialize()
+    idx: dict[str, int] = {}
+    base = 0
+    for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for i, v in enumerate(b.column("id").to_pylist()):
+            idx[v] = base + i
+        base += b.num_rows
+    return sorted_nodes, idx
 
 
-def save_jsongz(nodes_ds, edges_ds, base: str) -> dict:
+def _edge_json_strings(batch: pa.Table, idx: dict[str, int]) -> list[str]:
+    """Compact legacy edge JSON (ref :2810-2839) with positional node ids."""
+    lats, offsets = list_column(batch, "lats")
+    lons, _ = list_column(batch, "lons")
+    froms = batch.column("from_node_id").to_pylist()
+    tos = batch.column("to_node_id").to_pylist()
+    lengths = batch.column("length_m").to_pylist()
+    lat_l, lon_l = lats.tolist(), lons.tolist()
+    out = []
+    for i in range(len(froms)):
+        s, e = offsets[i], offsets[i + 1]
+        out.append(
+            json.dumps(
+                {
+                    "start": idx[froms[i]],
+                    "end": idx[tos[i]],
+                    "length": lengths[i],
+                    "coordinates": [[lat_l[k], lon_l[k]] for k in range(s, e)],
+                },
+                separators=(",", ":"),
+            )
+        )
+    return out
+
+
+def save_jsongz(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dict:
     """Legacy compact format (ref :2784-2839): nodes = [[lat,lon],...] with
-    positional ids; edges reference node indices."""
+    positional ids; edges reference node indices. Node payload and edges
+    are streamed batch-by-batch (driver holds one batch + the id->rank
+    dict, never full row lists). ``shards=N`` writes the edges as N
+    deterministic id-hash part files in parallel instead of one file."""
     import ray
 
-    rows, idx = _sorted_node_index(nodes_ds)
-    nodes_payload = [[r["lat"], r["lon"]] for r in rows]
+    sorted_nodes, idx = _node_index_stream(nodes_ds)
     nodes_file = f"{base}.nodes.json.gz"
     with gzip.open(nodes_file, "wt", encoding="utf-8") as f:
-        json.dump(nodes_payload, f, separators=(",", ":"))
+        f.write("[")
+        first = True
+        for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for la, lo in zip(b.column("lat").to_pylist(), b.column("lon").to_pylist()):
+                f.write(("" if first else ",") + json.dumps([la, lo], separators=(",", ":")))
+                first = False
+        f.write("]")
 
     idx_ref = ray.put(idx)
 
     def to_jsongz(batch: pa.Table) -> pa.Table:
         m = ray.get(idx_ref)
-        lats, offsets = list_column(batch, "lats")
-        lons, _ = list_column(batch, "lons")
-        froms = batch.column("from_node_id").to_pylist()
-        tos = batch.column("to_node_id").to_pylist()
-        lengths = batch.column("length_m").to_pylist()
-        lat_l, lon_l = lats.tolist(), lons.tolist()
-        out = []
-        for i in range(len(froms)):
-            s, e = offsets[i], offsets[i + 1]
-            out.append(
-                json.dumps(
-                    {
-                        "start": m[froms[i]],
-                        "end": m[tos[i]],
-                        "length": lengths[i],
-                        "coordinates": [[lat_l[k], lon_l[k]] for k in range(s, e)],
-                    },
-                    separators=(",", ":"),
-                )
-            )
-        return pa.table({"j": pa.array(out, type=pa.string())})
+        return pa.table({"j": pa.array(_edge_json_strings(batch, m), type=pa.string())})
 
-    edges_file = f"{base}.edges.json.gz"
-    # sorted by edge id for a deterministic file; streamed assembly
-    parts = edges_ds.sort("id").map_batches(to_jsongz, batch_format="pyarrow")
-    with gzip.open(edges_file, "wt", encoding="utf-8") as f:
-        f.write("[")
-        first = True
-        for batch in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
-            for s in batch.column("j").to_pylist():
-                f.write(("" if first else ",") + s)
-                first = False
-        f.write("]")
-    return {"nodes": nodes_file, "edges": edges_file}
+    if shards is None:
+        edges_file = f"{base}.edges.json.gz"
+        # sorted by edge id for a deterministic file; streamed assembly
+        parts = edges_ds.sort("id").map_batches(to_jsongz, batch_format="pyarrow")
+        with gzip.open(edges_file, "wt", encoding="utf-8") as f:
+            f.write("[")
+            first = True
+            for batch in parts.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                for s in batch.column("j").to_pylist():
+                    f.write(("" if first else ",") + s)
+                    first = False
+            f.write("]")
+        return {"nodes": nodes_file, "edges": edges_file}
+
+    parts_dir = f"{base}.edges.parts"
+    os.makedirs(parts_dir, exist_ok=True)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        sh = int(g.column("__shard")[0].as_py())
+        g = g.sort_by("id")
+        part = os.path.join(parts_dir, f"part-{sh:05d}.json.gz")
+        with gzip.open(part, "wt", encoding="utf-8") as f:
+            f.write("[" + ",".join(_edge_json_strings(g, m)) + "]")
+        return pa.table(
+            {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
+        )
+
+    edges_ds.map_batches(
+        lambda t: _shard_column(t, shards), batch_format="pyarrow"
+    ).groupby("__shard").map_groups(write_shard, batch_format="pyarrow").materialize()
+    return {"nodes": nodes_file, "edges": parts_dir}
+
+
+def _renumber_batch(batch: pa.Table, base: int, idx: dict[str, int]) -> pa.Table:
+    froms = batch.column("from_node_id").to_pylist()
+    tos = batch.column("to_node_id").to_pylist()
+    return pa.table(
+        {
+            "id": pa.array(range(base + 1, base + 1 + len(froms)), type=pa.int64()),
+            "from_node_id": pa.array([idx[x] + 1 for x in froms], type=pa.int64()),
+            "to_node_id": pa.array([idx[x] + 1 for x in tos], type=pa.int64()),
+            "length_m": batch["length_m"],
+            "name": batch["name"],
+            "type": batch["type"],
+            "width_m": batch["width_m"],
+        }
+    )
 
 
 def to_mobile(nodes_ds, edges_ds):
-    """Mobile format (ref :2912-2941): sequential int ids. Ordering
-    contract: mobile node id = 1 + rank of the node's deterministic id in
-    sorted order; mobile edge id likewise. Node-rank assignment per block =
-    global offset of the block + local position (no driver-side counter)."""
-    import ray
-
-    rows, idx = _sorted_node_index(nodes_ds)
-    mobile_nodes = [
-        {"id": i + 1, "lat": r["lat"], "lon": r["lon"]} for i, r in enumerate(rows)
-    ]
-    idx_ref = ray.put(idx)
-
-    sorted_edges = edges_ds.sort("id")
-
-    def renumber(batch: pa.Table, base: int) -> pa.Table:
-        m = ray.get(idx_ref)
-        froms = batch.column("from_node_id").to_pylist()
-        tos = batch.column("to_node_id").to_pylist()
-        return pa.table(
-            {
-                "id": pa.array(range(base + 1, base + 1 + len(froms)), type=pa.int64()),
-                "from_node_id": pa.array([m[x] + 1 for x in froms], type=pa.int64()),
-                "to_node_id": pa.array([m[x] + 1 for x in tos], type=pa.int64()),
-                "length_m": batch["length_m"],
-                "name": batch["name"],
-                "type": batch["type"],
-                "width_m": batch["width_m"],
-            }
-        )
-
-    # per-block base offsets from block row counts (global sequential ids
-    # without a driver loop)
+    """Mobile format (ref :2912-2941) as driver-resident DataFrames —
+    small-scale / test convenience; the scale sink is ``save_mobile_csv``,
+    which streams. Ordering contract: mobile node id = 1 + rank of the
+    node's deterministic id in sorted order; mobile edge id likewise."""
     import pandas as pd
 
+    sorted_nodes, idx = _node_index_stream(nodes_ds)
+    ndf = sorted_nodes.to_pandas()
+    mobile_nodes = pd.DataFrame(
+        {"id": np.arange(1, len(ndf) + 1), "lat": ndf["lat"], "lon": ndf["lon"]}
+    )
     blocks = []
     base = 0
-    for batch in sorted_edges.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        blocks.append(renumber(batch, base).to_pandas())
+    for batch in edges_ds.sort("id").iter_batches(batch_size=8192, batch_format="pyarrow"):
+        blocks.append(_renumber_batch(batch, base, idx).to_pandas())
         base += batch.num_rows
     mobile_edges = (
         pd.concat(blocks, ignore_index=True) if blocks else pd.DataFrame(
             columns=["id", "from_node_id", "to_node_id", "length_m", "name", "type", "width_m"]
         )
     )
-    return pd.DataFrame(mobile_nodes), mobile_edges
+    return mobile_nodes, mobile_edges
 
 
 def save_mobile_csv(nodes_ds, edges_ds, base: str) -> dict:
-    mnodes, medges = to_mobile(nodes_ds, edges_ds)
+    """Mobile CSVs with each renumbered block streamed straight into the
+    gzip writer — driver memory is bounded by one batch regardless of
+    graph size (no pd.concat of the full edge set)."""
+    import pandas as pd
+
+    sorted_nodes, idx = _node_index_stream(nodes_ds)
     nf, ef = f"{base}.mobile.nodes.csv.gz", f"{base}.mobile.edges.csv.gz"
-    mnodes.to_csv(nf, index=False, compression="gzip")
-    medges.to_csv(ef, index=False, compression="gzip")
+    with gzip.open(nf, "wt", encoding="utf-8", newline="") as f:
+        first = True
+        base_i = 0
+        for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            pd.DataFrame(
+                {
+                    "id": np.arange(base_i + 1, base_i + 1 + b.num_rows),
+                    "lat": b.column("lat").to_pylist(),
+                    "lon": b.column("lon").to_pylist(),
+                }
+            ).to_csv(f, index=False, header=first)
+            first = False
+            base_i += b.num_rows
+    with gzip.open(ef, "wt", encoding="utf-8", newline="") as f:
+        first = True
+        base_i = 0
+        for b in edges_ds.sort("id").iter_batches(batch_size=8192, batch_format="pyarrow"):
+            _renumber_batch(b, base_i, idx).to_pandas().to_csv(f, index=False, header=first)
+            first = False
+            base_i += b.num_rows
     return {"nodes": nf, "edges": ef}
 
 

@@ -200,3 +200,48 @@ def test_reference_config_yaml_loads():
     # flat engine-style config still loads
     cfg3 = Config.from_yaml("config.example.yaml")
     assert cfg3.snap_tolerance_m == 2.0 and cfg3.edge_assembly == "broadcast"
+
+
+def test_geojson_sharded(graph, tmp_path):
+    """Sharded geojson parts must union to exactly the single-file features."""
+    nodes, edges = graph
+    single = sinks.save_geojson(edges, str(tmp_path / "one.geojson"))
+    outdir = sinks.save_geojson(edges, str(tmp_path / "parts"), shards=4)
+    feats = []
+    for fn in sorted(os.listdir(outdir)):
+        fc = json.load(open(os.path.join(outdir, fn)))
+        assert fc["type"] == "FeatureCollection"
+        feats.extend(fc["features"])
+    one = json.load(open(single))["features"]
+    key = lambda f: f["properties"]["id"]
+    assert sorted(feats, key=key) == sorted(one, key=key)
+
+
+def test_jsongz_sharded(graph, tmp_path):
+    nodes, edges = graph
+    out1 = sinks.save_jsongz(nodes, edges, str(tmp_path / "g1"))
+    out2 = sinks.save_jsongz(nodes, edges, str(tmp_path / "g2"), shards=3)
+    assert json.load(gzip.open(out1["nodes"], "rt")) == json.load(
+        gzip.open(out2["nodes"], "rt")
+    )
+    je1 = json.load(gzip.open(out1["edges"], "rt"))
+    je2 = []
+    for fn in sorted(os.listdir(out2["edges"])):
+        je2.extend(json.load(gzip.open(os.path.join(out2["edges"], fn), "rt")))
+    k = lambda e: (e["start"], e["end"], e["length"])
+    assert sorted(je1, key=k) == sorted(je2, key=k)
+
+
+def test_mobile_streaming_equals_dataframe(graph, tmp_path):
+    """save_mobile_csv (streamed, no pd.concat) must write exactly the
+    to_mobile DataFrames."""
+    nodes, edges = graph
+    mnodes, medges = sinks.to_mobile(nodes, edges)
+    out = sinks.save_mobile_csv(nodes, edges, str(tmp_path / "m"))
+    ndf = pd.read_csv(out["nodes"])
+    edf = pd.read_csv(out["edges"])
+    for c in ("name", "type"):
+        edf[c] = edf[c].fillna("")
+        medges[c] = medges[c].fillna("")
+    pd.testing.assert_frame_equal(ndf, mnodes.reset_index(drop=True), check_dtype=False)
+    pd.testing.assert_frame_equal(edf, medges, check_dtype=False)
