@@ -2,11 +2,11 @@
 
 Reference: ``_generate_qa_metrics`` (osm_waterway_extractor.py:2662-2701) +
 cluster metrics (:1345-1365). Percentiles use the reference's
-sorted-index convention (``values[int(n * q)]``), computed here from a
-distributed sort + take rather than a driver-side full sort; counts come
-from Dataset aggregates. At fixture/bench scale the exact sorted-index
-value is computed; at web scale the same code path works because only the
-percentile rows are pulled to the driver.
+sorted-index convention (``values[int(n * q)]``): exact at fixture/bench
+scale via a distributed sort + rank-prefix take, and at scale via a
+distributed t-digest sketch (state/tdigest.py — per-batch vectorized
+digests merged down to the driver, no sort and no row streaming; error
+bound pinned by tests). Counts come from Dataset aggregates.
 """
 
 from __future__ import annotations
@@ -14,29 +14,27 @@ from __future__ import annotations
 import numpy as np
 
 
-def _sorted_index_percentiles(ds, column: str, qs: list[float]) -> dict[float, float]:
+def _sorted_index_percentiles(
+    ds, column: str, qs: list[float], exact_rank_limit: int = 10000
+) -> dict[float, float]:
     n = ds.count()
     if n == 0:
         return {q: 0.0 for q in qs}
-    s = ds.sort(column)
-    # pull only the needed ranks (sorted-index convention values[int(n*q)])
     ranks = sorted({min(int(n * q), n - 1) for q in qs})
     vals: dict[int, float] = {}
-    taken = s.take(max(ranks) + 1) if max(ranks) < 10000 else None
-    if taken is not None:
+    if max(ranks) < exact_rank_limit:
+        # exact sorted-index values: pull only the needed rank prefix
+        taken = ds.sort(column).take(max(ranks) + 1)
         for r in ranks:
             vals[r] = float(taken[r][column])
     else:
-        # large data: split ranks via streaming iteration
-        it = iter(s.iter_rows())
-        idx = 0
-        want = set(ranks)
-        for row in it:
-            if idx in want:
-                vals[idx] = float(row[column])
-                if len(vals) == len(want):
-                    break
-            idx += 1
+        # large data: distributed t-digest sketch (no sort, no row
+        # streaming to the driver; error bound pinned by tests)
+        from osmwaterwayextractor_ray.state.tdigest import digest_dataset, quantile
+
+        means, weights = digest_dataset(ds, column)
+        for r in ranks:
+            vals[r] = quantile(means, weights, (r + 0.5) / n)
     return {q: vals[min(int(n * q), n - 1)] for q in qs}
 
 

@@ -85,3 +85,68 @@ def test_polyline_length_property(coords):
     )
     assert total == pytest.approx(manual, rel=1e-9, abs=1e-6)
     assert total >= 0
+
+
+def test_tdigest_bounded_error():
+    """Sketch percentiles within 1% relative error of the exact
+    sorted-index value on heavy-tailed data."""
+    import numpy as np
+
+    from osmwaterwayextractor_ray.state.tdigest import digest_values, quantile
+
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(3.0, 1.0, 200_000)
+    m, w = digest_values(v)
+    assert len(m) <= 600  # bounded sketch size
+    assert float(w.sum()) == float(len(v))
+    sv = np.sort(v)
+    for q in (0.05, 0.5, 0.95, 0.99):
+        exact = sv[int(len(v) * q)]
+        est = quantile(m, w, (int(len(v) * q) + 0.5) / len(v))
+        assert abs(est - exact) <= 0.01 * exact, (q, est, exact)
+
+
+def test_tdigest_merge_consistency():
+    """Digesting shards and merging must stay as accurate as one pass."""
+    import numpy as np
+
+    from osmwaterwayextractor_ray.state.tdigest import (
+        compress_weighted,
+        digest_values,
+        quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(100.0, 15.0, 120_000)
+    parts = np.array_split(v, 37)
+    ms, ws = [], []
+    for p in parts:
+        m, w = digest_values(p)
+        ms.append(m)
+        ws.append(w)
+    m, w = compress_weighted(np.concatenate(ms), np.concatenate(ws))
+    assert len(m) <= 600
+    sv = np.sort(v)
+    for q in (0.05, 0.5, 0.95, 0.99):
+        exact = sv[int(len(v) * q)]
+        est = quantile(m, w, (int(len(v) * q) + 0.5) / len(v))
+        assert abs(est - exact) <= 0.01 * abs(exact), (q, est, exact)
+
+
+def test_qa_percentile_sketch_branch(ray_session):
+    """The large-n QA branch (t-digest over a Dataset) must agree with the
+    exact rank-prefix branch on the same data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.qa import _sorted_index_percentiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(2.0, 0.8, 50_000)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(13)
+    qs = [0.05, 0.5, 0.95, 0.99]
+    exact = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=10**9)
+    sketch = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=1)
+    for q in qs:
+        assert abs(sketch[q] - exact[q]) <= 0.01 * exact[q], (q, sketch[q], exact[q])
