@@ -67,6 +67,9 @@ class Config:
     # --- checkpointing ---
     enable_checkpoints: bool = False
     checkpoint_dir: str = "/tmp/wwx_checkpoints"
+    # partition fan-out for per-partition checkpoint resume (stable
+    # hash(partition_key) % P part files; see stages/checkpoint.py)
+    checkpoint_partitions: int = 32
 
     @classmethod
     def from_yaml(cls, path: str) -> "Config":

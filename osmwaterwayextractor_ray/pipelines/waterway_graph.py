@@ -68,7 +68,9 @@ def build_graph(
     # the post-intersection waterways feed both the counting shuffle and the
     # edge assembly — checkpoint (param-hashed parquet) or materialize once
     # so the shared prefix isn't re-executed per consumer
-    with_intersections = checkpointed(_intersections, "intersections", config)
+    with_intersections = checkpointed(
+        _intersections, "intersections", config, partition_key="way_id"
+    )
     if not config.enable_checkpoints:
         with_intersections = with_intersections.materialize()
 
@@ -89,7 +91,7 @@ def build_graph(
         points = cluster_input_points(counts, config)
         return cluster_points(points, config)
 
-    coord_mapping = checkpointed(_clustering, "clustering", config)
+    coord_mapping = checkpointed(_clustering, "clustering", config, partition_key="key")
     if not config.enable_checkpoints:
         coord_mapping = coord_mapping.materialize()
 

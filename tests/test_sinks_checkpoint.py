@@ -245,3 +245,61 @@ def test_mobile_streaming_equals_dataframe(graph, tmp_path):
         medges[c] = medges[c].fillna("")
     pd.testing.assert_frame_equal(ndf, mnodes.reset_index(drop=True), check_dtype=False)
     pd.testing.assert_frame_equal(edf, medges, check_dtype=False)
+
+
+def test_partitioned_checkpoint_resume(ray_session, tmp_path):
+    """Kill a partitioned checkpoint mid-step (manifest absent, some part
+    files missing): the resume must rewrite ONLY the missing partitions and
+    leave survivors byte-untouched."""
+    import time as _time
+
+    from osmwaterwayextractor_ray.stages.checkpoint import (
+        checkpoint_path,
+        checkpointed,
+    )
+
+    cfg = Config(
+        enable_checkpoints=True,
+        checkpoint_dir=str(tmp_path / "ck"),
+        checkpoint_partitions=8,
+        min_fragment_length_m=0.0,
+    )
+    calls = {"n": 0}
+
+    def factory():
+        calls["n"] += 1
+        return synth_waterways_ds(64)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        df["lats"] = df["lats"].map(tuple)
+        df["lons"] = df["lons"].map(tuple)
+        return df.sort_values("way_id").reset_index(drop=True)
+
+    ds1 = checkpointed(factory, "intersections", cfg, partition_key="way_id")
+    base = canon(ds1)
+    assert calls["n"] == 1 and len(base) == 64
+    path = checkpoint_path(cfg, "intersections")
+    parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(parts) == 8
+
+    # simulate the crash: no manifest, first 3 partitions never landed
+    os.remove(os.path.join(path, "_manifest.json"))
+    for f in parts[:3]:
+        os.remove(os.path.join(path, f))
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in parts[3:]}
+    _time.sleep(0.05)
+
+    ds2 = checkpointed(factory, "intersections", cfg, partition_key="way_id")
+    assert calls["n"] == 2  # factory re-ran once for the resume
+    for f, m in mtimes.items():  # survivors not rewritten
+        assert os.path.getmtime(os.path.join(path, f)) == m
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["num_partitions"] == 8
+    assert sorted(manifest["resumed_partitions"]) == [0, 1, 2]
+    pd.testing.assert_frame_equal(canon(ds2), base)
+
+    # third call: complete manifest -> straight cache hit, no factory run
+    ds3 = checkpointed(factory, "intersections", cfg, partition_key="way_id")
+    assert calls["n"] == 2
+    pd.testing.assert_frame_equal(canon(ds3), base)
