@@ -1,0 +1,48 @@
+"""Golden-hash pins for queries whose semantics are not SQL-expressible
+(MinHash/LSH, SimHash, winnowing, langid, sign-LSH, IVF ANN, media
+features) — stronger than the driver's rows-only check: any change to the
+row VALUES at sf0.001 fails here. The hashes were computed from the
+current implementations and verified identical across num_cpus=4 and 8
+(all are per-row deterministic or set-deterministic ops)."""
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+GOLDEN = {
+    "simhash_fingerprints": ("828d97a1d3aafc94", 500),
+    "winnow_counts": ("4e9b44131c67b470", 500),
+    "langid_pred": ("da49af9736a598a0", 500),
+    "minhash_neardup": ("ae48a8a1cba2ef4a", 452),
+    "embed_neardup": ("db859c7036e2a96b", 500),
+    "embed_topk_ivf": ("53e74fa2f1bc24fe", 50),
+    "media_features": ("63787851c00cfca0", 500),
+}
+
+
+def _canon_hash(res):
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object and len(df) and not isinstance(df[c].iloc[0], str):
+            df[c] = df[c].map(
+                lambda v: tuple(v) if hasattr(v, "__len__") and not isinstance(v, str) else v
+            )
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return (
+        hashlib.sha256(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()[:16],
+        len(df),
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden_pin(ray_session, name):
+    import __ray_entry__ as em
+
+    got = _canon_hash(em.queries()[name](SF))
+    assert got == GOLDEN[name], f"{name}: value hash drifted {got} != {GOLDEN[name]}"
