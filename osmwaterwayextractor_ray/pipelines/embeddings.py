@@ -53,7 +53,13 @@ def embed_topk(sf_dir: str):
 
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # predicate pushdown: only row groups containing query ids leave
+    # storage (the query side is the tiny broadcast side)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     q_ids = qt.column("vec_id").to_numpy(zero_copy_only=False)
     sel = np.nonzero(q_ids < N_QUERIES)[0]
     q_mat = np.array(
@@ -263,7 +269,13 @@ def embed_topk_ivf(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # predicate pushdown: only the coarse-centroid/query id row groups
+    # leave storage (both are tiny broadcast sides)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(N_COARSE, N_QUERIES))],
+    )
     ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
     emb_col = qt.column("embedding")
 
