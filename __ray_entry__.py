@@ -35,8 +35,8 @@ def entry() -> Any:
     from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
     from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
 
-    ways = waterways_from_events(SF001)  # pre-spread source
-    result = build_graph(ways, Config(), spread_input=False)
+    ways = waterways_from_events(SF001)
+    result = build_graph(ways, Config())
     return result.edges
 
 
@@ -45,7 +45,7 @@ def _wg(sf_dir: str, what: str):
     from osmwaterwayextractor_ray.pipelines.waterway_graph import build_graph
     from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
 
-    result = build_graph(waterways_from_events(sf_dir), Config(), spread_input=False)
+    result = build_graph(waterways_from_events(sf_dir), Config())
     if what == "nodes":
         return result.nodes
     edges = result.edges

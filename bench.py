@@ -63,10 +63,8 @@ def headline() -> dict:
     from osmwaterwayextractor_ray.sources.waterways import waterways_from_events
 
     def run(repeat):
-        # waterways_from_events pre-spreads its blocks; skip
-        # build_graph's spread repartition (a redundant all-to-all)
         result = build_graph(
-            waterways_from_events(SF_DIR, repeat=repeat), Config(), spread_input=False
+            waterways_from_events(SF_DIR, repeat=repeat), Config()
         )
         return result.edges.count(), result.nodes.count()
 

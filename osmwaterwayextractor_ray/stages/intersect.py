@@ -211,65 +211,18 @@ def make_cell_intersect_fn(config: Config):
     return cell_intersect
 
 
-def _hot_cells_from_ways(ds, config: Config) -> dict[int, int]:
-    """Per-cell segment-cover counts computed directly from the (already
-    materialized) WAYS dataset — avoids materializing the ~10x larger
-    segment dataset just to count it. Counts are identical to counting
-    emit_segments' output (same bbox lattice); salting is a pure execution
-    knob either way (result parity under forced salting is pinned by
-    tests)."""
-    cell_deg = config.intersect_cell_deg
-    NL = n_lon(cell_deg)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        lats, offsets = list_column(batch, "lats")
-        lons, _ = list_column(batch, "lons")
-        empty = pa.table(
-            {"cell": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
-        )
-        if len(lats) < 2:
-            return empty
-        row_of_vertex = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
-        same_row = row_of_vertex[:-1] == row_of_vertex[1:]
-        a_lat, a_lon = lats[:-1][same_row], lons[:-1][same_row]
-        b_lat, b_lon = lats[1:][same_row], lons[1:][same_row]
-        if not len(a_lat):
-            return empty
-        la0 = np.floor((np.minimum(a_lat, b_lat) + 90.0) / cell_deg).astype(np.int64)
-        la1 = np.floor((np.maximum(a_lat, b_lat) + 90.0) / cell_deg).astype(np.int64)
-        lo0 = np.floor((np.minimum(a_lon, b_lon) + 180.0) / cell_deg).astype(np.int64)
-        lo1 = np.floor((np.maximum(a_lon, b_lon) + 180.0) / cell_deg).astype(np.int64)
-        counts = (la1 - la0 + 1) * (lo1 - lo0 + 1)
-        seg_idx = np.repeat(np.arange(len(counts)), counts)
-        cum = np.concatenate(([0], np.cumsum(counts)))
-        local = np.arange(cum[-1]) - cum[seg_idx]
-        width = (lo1 - lo0 + 1)[seg_idx]
-        cells = (la0[seg_idx] + local // width) * NL + (lo0[seg_idx] + local % width)
-        uniq, n = np.unique(cells, return_counts=True)
-        return pa.table(
-            {"cell": pa.array(uniq, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
-        )
-
-    from osmwaterwayextractor_ray.stages.salt import combine_hot_counts
-
-    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    limit = config.hot_cell_row_limit
-    if len(pdf) == 0 or int(pdf["n"].sum()) <= limit:
-        return {}
-    return combine_hot_counts(pdf, limit)
-
-
 def detect_intersections(ds, config: Config):
     """waterways -> Dataset(lat, lon) of distinct intersection points.
     Hot cells (> hot_cell_row_limit segments) are salted into triangle
-    sub-tasks (stages/salt.py) before the pairwise kernel. Hot-cell
-    detection runs over the ways (one cheap partial-count pass); the
-    segment emission itself executes once inside the salted groupby
-    lineage — no materialization of the segment dataset."""
-    from osmwaterwayextractor_ray.stages.salt import apply_salt
+    sub-tasks (stages/salt.py) before the pairwise kernel."""
+    from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
 
-    hot = _hot_cells_from_ways(ds, config)
-    salted = apply_salt(emit_segments(ds, config), "cell", "way_id", hot)
+    segs = emit_segments(ds, config).materialize()
+    limit = config.hot_cell_row_limit
+    hot = (
+        compute_hot_cells(segs, "cell", limit) if segs.count() > limit else {}
+    )
+    salted = apply_salt(segs, "cell", "way_id", hot)
     return salted.groupby("task").map_groups(
         make_cell_intersect_fn(config), batch_format="pandas"
     )

@@ -57,11 +57,6 @@ def compute_hot_cells(emitted_ds, cell_col: str, limit: int) -> dict[int, int]:
         )
 
     pdf = emitted_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return combine_hot_counts(pdf, limit)
-
-
-def combine_hot_counts(pdf, limit: int) -> dict[int, int]:
-    """Driver-side combine of (cell, n) partial-count rows -> salt factors."""
     if len(pdf) == 0:  # empty Datasets lose their schema in to_pandas
         return {}
     totals = pdf.groupby("cell", sort=False)["n"].sum()
