@@ -22,7 +22,7 @@ import time
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="osmwaterwayextractor_ray")
-    ap.add_argument("input", help="'test' or a waterways parquet path")
+    ap.add_argument("input", help="'test', a waterways parquet path, or an .osm.pbf file")
     ap.add_argument("-c", "--config", default=None, help="YAML config path")
     ap.add_argument("-o", "--output", default="./out", help="output directory")
     ap.add_argument("--snap-tolerance", type=float, default=None)
@@ -63,9 +63,15 @@ def main(argv=None) -> int:
 
         ways = fixture_waterways_ds()
     else:
-        from osmwaterwayextractor_ray.sources.readers import read_waterways
+        if args.input.endswith(".pbf"):
+            # the reference's native input (WaterwayHandler, ref :1368-1418)
+            from osmwaterwayextractor_ray.sources.pbf import waterways_from_pbf
 
-        ways = read_waterways(args.input, config)
+            ways = waterways_from_pbf(args.input, config)
+        else:
+            from osmwaterwayextractor_ray.sources.readers import read_waterways
+
+            ways = read_waterways(args.input, config)
 
     result = build_graph(ways, config, with_qa=True)
     os.makedirs(args.output, exist_ok=True)

@@ -1,0 +1,542 @@
+"""Block-offset ``.osm.pbf`` datasource (SURVEY S1) — from scratch.
+
+The reference reads PBF through osmium (``WaterwayHandler``,
+osm_waterway_extractor.py:1368-1418: tag-filter ``waterway in
+config.waterway_types``, coordinates in way-ref order, >= 2 points, ways
+with unresolvable geometry skipped). osmium is absent here, so this module
+implements the PUBLIC OpenStreetMap PBF format directly
+(https://wiki.openstreetmap.org/wiki/PBF_Format — fileformat.proto /
+osmformat.proto):
+
+  file   = repeated [ int32-BE header_len | BlobHeader | Blob ]
+  BlobHeader: 1=type (string), 3=datasize
+  Blob:       1=raw, 2=raw_size, 3=zlib_data
+  PrimitiveBlock: 1=stringtable(1=bytes*), 2=primitivegroup*,
+                  17=granularity(=100), 19=lat_offset, 20=lon_offset
+  PrimitiveGroup: 2=dense(DenseNodes), 3=ways
+  DenseNodes: 1=id(packed sint64, delta), 8=lat, 9=lon (same coding)
+  Way: 1=id, 2=keys(packed u32), 3=vals(packed u32), 8=refs(packed sint64, delta)
+  degrees = (offset + granularity * value) / 1e9
+
+Ray mapping: the driver scans ONLY the blob framing (a few bytes per
+blob) to build the offset index; blob payloads are parsed in parallel
+``map_batches`` tasks that seek into the file — the "custom Datasource
+over .pbf block offsets" shape SURVEY S1 names. Packed-varint arrays (the
+bulk of the bytes) decode vectorized (numpy reduceat over 7-bit limbs);
+only the small per-way/per-group message framing walks byte-by-byte.
+
+Way geometries are resolved distributedly: refs explode to (way_id, idx,
+node_id) rows, a partitioned hash join attaches node coordinates, and
+per-way reassembly keeps only ways whose refs ALL resolved with >= 2
+points (the reference's skip semantics). A minimal writer (``write_pbf``)
+exists so tests can build fixtures without external data; codec
+correctness is pinned against protobuf-spec test vectors, not just
+roundtrip.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# varint / zigzag codec (vectorized decode)
+# ---------------------------------------------------------------------------
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """All varints in a packed buffer -> uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.array([], dtype=np.uint64)
+    ends = (b & 0x80) == 0
+    gid = np.concatenate(([0], np.cumsum(ends)[:-1]))
+    starts = np.flatnonzero(np.r_[True, ends[:-1]])
+    pos = (np.arange(len(b)) - starts[gid]).astype(np.uint64)
+    limbs = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    return np.add.reduceat(limbs, starts)
+
+
+def unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).astype(np.int64)
+
+
+def zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        byte = buf[i]
+        i += 1
+        out |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return out, i
+        shift += 7
+
+
+def encode_varint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def encode_packed(values: np.ndarray) -> bytes:
+    return b"".join(encode_varint(int(v)) for v in values)
+
+
+def _iter_fields(buf: bytes):
+    """(field_number, wire_type, value) over a protobuf message. value is
+    int for varint fields, bytes for length-delimited."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        tag, i = _read_varint(buf, i)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, i = _read_varint(buf, i)
+            yield fnum, wt, v
+        elif wt == 2:
+            ln, i = _read_varint(buf, i)
+            yield fnum, wt, buf[i : i + ln]
+            i += ln
+        elif wt == 5:
+            yield fnum, wt, buf[i : i + 4]
+            i += 4
+        elif wt == 1:
+            yield fnum, wt, buf[i : i + 8]
+            i += 8
+        else:  # pragma: no cover — groups are not used by the OSM schema
+            raise ValueError(f"unsupported wire type {wt}")
+
+
+def _field(tag_fnum: int, wt: int, payload) -> bytes:
+    head = encode_varint((tag_fnum << 3) | wt)
+    if wt == 0:
+        return head + encode_varint(payload)
+    return head + encode_varint(len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# blob framing
+# ---------------------------------------------------------------------------
+
+
+def scan_pbf_blobs(path: str) -> list[dict]:
+    """Driver-side index of blob frames: reads ONLY the 4-byte lengths and
+    the tiny BlobHeaders, seeking over payloads. O(#blobs) I/O."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                break
+            hlen = struct.unpack(">i", head)[0]
+            header = f.read(hlen)
+            btype, dsize = "", 0
+            for fnum, wt, v in _iter_fields(header):
+                if fnum == 1:
+                    btype = v.decode()
+                elif fnum == 3:
+                    dsize = v
+            offset = f.tell()
+            out.append({"type": btype, "offset": offset, "size": dsize})
+            f.seek(offset + dsize)
+    return out
+
+
+def _blob_payload(raw: bytes) -> bytes:
+    """Blob message -> uncompressed PrimitiveBlock/HeaderBlock bytes."""
+    data = b""
+    for fnum, wt, v in _iter_fields(raw):
+        if fnum == 1:
+            data = v
+        elif fnum == 3:
+            data = zlib.decompress(v)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock parsing
+# ---------------------------------------------------------------------------
+
+
+def _parse_block(data: bytes):
+    """PrimitiveBlock bytes -> (strings, granularity, lat_off, lon_off,
+    groups)."""
+    strings: list[str] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    groups: list[bytes] = []
+    for fnum, wt, v in _iter_fields(data):
+        if fnum == 1:
+            for f2, w2, s in _iter_fields(v):
+                if f2 == 1:
+                    strings.append(s.decode("utf-8", "replace"))
+        elif fnum == 2:
+            groups.append(v)
+        elif fnum == 17:
+            gran = v
+        elif fnum == 19:
+            lat_off = v
+        elif fnum == 20:
+            lon_off = v
+    return strings, gran, lat_off, lon_off, groups
+
+
+def _parse_dense_nodes(group: bytes, gran: int, lat_off: int, lon_off: int):
+    ids = lats = lons = None
+    for fnum, wt, v in _iter_fields(group):
+        if fnum != 2:
+            continue
+        for f2, w2, p in _iter_fields(v):
+            if f2 == 1:
+                ids = np.cumsum(unzigzag(decode_varints(p)))
+            elif f2 == 8:
+                lats = np.cumsum(unzigzag(decode_varints(p)))
+            elif f2 == 9:
+                lons = np.cumsum(unzigzag(decode_varints(p)))
+    if ids is None:
+        return None
+    # DIVIDE by 1e9 (not multiply by 1e-9): integer-exact numerator /
+    # exactly-representable divisor gives the correctly-rounded double,
+    # matching what a decimal literal (and osmium's /1e7) would produce
+    lat_deg = (lat_off + gran * lats).astype(np.float64) / 1e9
+    lon_deg = (lon_off + gran * lons).astype(np.float64) / 1e9
+    return ids.astype(np.int64), lat_deg, lon_deg
+
+
+def _parse_ways(group: bytes, strings: list[str]):
+    """-> list of (way_id, tags_dict, refs_int64array)."""
+    out = []
+    for fnum, wt, v in _iter_fields(group):
+        if fnum != 3:
+            continue
+        wid = 0
+        keys = vals = refs = None
+        for f2, w2, p in _iter_fields(v):
+            if f2 == 1:
+                wid = p
+            elif f2 == 2:
+                keys = decode_varints(p)
+            elif f2 == 3:
+                vals = decode_varints(p)
+            elif f2 == 8:
+                refs = np.cumsum(unzigzag(decode_varints(p)))
+        tags = {}
+        if keys is not None and vals is not None:
+            for k, va in zip(keys.tolist(), vals.tolist()):
+                tags[strings[k]] = strings[va]
+        out.append((wid, tags, refs if refs is not None else np.array([], dtype=np.int64)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ray datasource
+# ---------------------------------------------------------------------------
+
+
+def _blob_descriptor_ds(path: str):
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages._pool import pool_max
+
+    blobs = [b for b in scan_pbf_blobs(path) if b["type"] == "OSMData"]
+    items = [{"offset": b["offset"], "size": b["size"]} for b in blobs]
+    return rd.from_items(items).repartition(min(max(1, len(items)), 4 * pool_max()))
+
+
+def read_pbf_nodes(path: str):
+    """Dataset(node_id, lat, lon) from the file's dense nodes."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids_parts, lat_parts, lon_parts = [], [], []
+        with open(path, "rb") as f:
+            for off, size in zip(
+                batch.column("offset").to_pylist(), batch.column("size").to_pylist()
+            ):
+                f.seek(off)
+                data = _blob_payload(f.read(size))
+                strings, gran, lat_off, lon_off, groups = _parse_block(data)
+                for g in groups:
+                    got = _parse_dense_nodes(g, gran, lat_off, lon_off)
+                    if got is not None:
+                        ids_parts.append(got[0])
+                        lat_parts.append(got[1])
+                        lon_parts.append(got[2])
+        if not ids_parts:
+            return pa.table(
+                {
+                    "node_id": pa.array([], type=pa.int64()),
+                    "lat": pa.array([], type=pa.float64()),
+                    "lon": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "node_id": pa.array(np.concatenate(ids_parts), type=pa.int64()),
+                "lat": pa.array(np.concatenate(lat_parts), type=pa.float64()),
+                "lon": pa.array(np.concatenate(lon_parts), type=pa.float64()),
+            }
+        )
+
+    return _blob_descriptor_ds(path).map_batches(parse, batch_format="pyarrow")
+
+
+def read_pbf_ways(path: str, waterway_types: list[str] | None = None):
+    """Dataset(way_id, name, wtype, width, refs list<int64>), optionally
+    tag-filtered to ``waterway in waterway_types`` at the source (the
+    reference's filter, :1388)."""
+    wt_set = set(waterway_types) if waterway_types is not None else None
+
+    def parse(batch: pa.Table) -> pa.Table:
+        wids, names, wtypes, widths = [], [], [], []
+        flat_refs: list[np.ndarray] = []
+        ref_offsets = [0]
+        with open(path, "rb") as f:
+            for off, size in zip(
+                batch.column("offset").to_pylist(), batch.column("size").to_pylist()
+            ):
+                f.seek(off)
+                data = _blob_payload(f.read(size))
+                strings, gran, lat_off, lon_off, groups = _parse_block(data)
+                for g in groups:
+                    for wid, tags, refs in _parse_ways(g, strings):
+                        if wt_set is not None and tags.get("waterway") not in wt_set:
+                            continue
+                        wids.append(wid)
+                        names.append(tags.get("name", ""))
+                        wtypes.append(tags.get("waterway", ""))
+                        widths.append(tags.get("width", ""))
+                        flat_refs.append(refs)
+                        ref_offsets.append(ref_offsets[-1] + len(refs))
+        refs_all = (
+            np.concatenate(flat_refs) if flat_refs else np.array([], dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "way_id": pa.array(wids, type=pa.int64()),
+                "name": pa.array(names, type=pa.string()),
+                "wtype": pa.array(wtypes, type=pa.string()),
+                "width": pa.array(widths, type=pa.string()),
+                "refs": pa.ListArray.from_arrays(
+                    pa.array(ref_offsets, type=pa.int32()),
+                    pa.array(refs_all, type=pa.int64()),
+                ),
+            }
+        )
+
+    return _blob_descriptor_ds(path).map_batches(parse, batch_format="pyarrow")
+
+
+def waterways_from_pbf(path: str, config=None):
+    """waterways Dataset (way_id, lats, lons, name, wtype, width) from a
+    .osm.pbf file — the reference's WaterwayHandler semantics, resolved
+    distributedly: refs explode, partitioned hash join against the dense
+    nodes, per-way reassembly in ref order; ways with ANY unresolved ref
+    or < 2 points are skipped (ref :1395-1412)."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.config import Config
+    from osmwaterwayextractor_ray.stages._arrow import waterways_table
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket, hash_join
+
+    config = config or Config()
+    n_parts = max(8, config.join_partitions)
+    ways = read_pbf_ways(path, waterway_types=config.waterway_types)
+    nodes = read_pbf_nodes(path)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("refs")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        if offs[0] != 0:
+            refs = refs[offs[0] : offs[-1]]
+            offs = offs - offs[0]
+        counts = np.diff(offs)
+        wid = np.repeat(
+            batch.column("way_id").to_numpy(zero_copy_only=False), counts
+        )
+        n_refs = np.repeat(counts, counts)
+        idx = np.arange(len(refs)) - np.repeat(offs[:-1], counts)
+        return pa.table(
+            {
+                "way_id": pa.array(wid, type=pa.int64()),
+                "ref_idx": pa.array(idx, type=pa.int64()),
+                "n_refs": pa.array(n_refs, type=pa.int64()),
+                "node_id": pa.array(refs, type=pa.int64()),
+            }
+        )
+
+    exploded = ways.map_batches(explode, batch_format="pyarrow")
+    joined = hash_join(exploded, nodes, on=["node_id"], how="left", num_parts=n_parts)
+
+    meta = ways.map_batches(
+        lambda t: t.select(["way_id", "name", "wtype", "width"]), batch_format="pyarrow"
+    )
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
+            cols = {
+                "way_id": batch["way_id"],
+                "ref_idx": batch["ref_idx"] if side == 0 else pa.nulls(n, type=pa.int64()),
+                "n_refs": batch["n_refs"] if side == 0 else pa.nulls(n, type=pa.int64()),
+                "lat": batch["lat"] if side == 0 else pa.nulls(n, type=pa.float64()),
+                "lon": batch["lon"] if side == 0 else pa.nulls(n, type=pa.float64()),
+                "name": pa.nulls(n, type=pa.string()) if side == 0 else batch["name"],
+                "wtype": pa.nulls(n, type=pa.string()) if side == 0 else batch["wtype"],
+                "width": pa.nulls(n, type=pa.string()) if side == 0 else batch["width"],
+                "__part": pa.array(part, type=pa.int64()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            return pa.table(cols)
+
+        return f
+
+    both = joined.map_batches(tag(0), batch_format="pyarrow").union(
+        meta.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def assemble(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        from osmwaterwayextractor_ray.stages._arrow import empty_waterways_table
+
+        vtx = g.filter(_pc.equal(g["__side"], pa.scalar(0, pa.int8())))
+        mt = g.filter(_pc.equal(g["__side"], pa.scalar(1, pa.int8())))
+        if vtx.num_rows == 0 or mt.num_rows == 0:
+            return empty_waterways_table()
+        vdf = vtx.select(["way_id", "ref_idx", "n_refs", "lat", "lon"]).to_pandas()
+        vdf = vdf.sort_values(["way_id", "ref_idx"], kind="stable")
+        ok = vdf.groupby("way_id", sort=False)["lat"].transform(
+            lambda s: s.notna().all()
+        )
+        vdf = vdf[ok & (vdf["n_refs"] >= 2)]
+        if not len(vdf):
+            return empty_waterways_table()
+        wids = vdf["way_id"].to_numpy()
+        change = np.ones(len(wids), dtype=bool)
+        change[1:] = wids[1:] != wids[:-1]
+        starts = np.nonzero(change)[0]
+        offsets = np.concatenate((starts, [len(wids)]))
+        uniq = wids[starts]
+        mdf = (
+            mt.select(["way_id", "name", "wtype", "width"])
+            .to_pandas()
+            .drop_duplicates("way_id")
+            .set_index("way_id")
+        )
+        names = [mdf.at[w, "name"] if w in mdf.index else "" for w in uniq.tolist()]
+        wtypes = [mdf.at[w, "wtype"] if w in mdf.index else "" for w in uniq.tolist()]
+        widths = [mdf.at[w, "width"] if w in mdf.index else "" for w in uniq.tolist()]
+        return waterways_table(
+            uniq,
+            vdf["lat"].to_numpy(dtype=np.float64),
+            vdf["lon"].to_numpy(dtype=np.float64),
+            np.asarray(offsets, dtype=np.int64),
+            names,
+            wtypes,
+            widths,
+        )
+
+    return both.groupby("__part").map_groups(assemble, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (test fixtures only — no external data in this sandbox)
+# ---------------------------------------------------------------------------
+
+
+def write_pbf(waterways: list[dict], path: str, nodes_per_block: int = 8000):
+    """Encode reference-style waterway dicts ({id, coordinates, tags}) as
+    a valid .osm.pbf: dense-node blocks (coords deduped to synthetic node
+    ids at 1e-9 precision via granularity 100 -> exact 1e-7 grid; inputs
+    here are rounded to 1e-6 so the roundtrip is exact) + way blocks."""
+    coord_ids: dict[tuple[int, int], int] = {}
+    way_rows = []
+    for w in waterways:
+        refs = []
+        for la, lo in w["coordinates"]:
+            key = (int(round(la * 1e7)), int(round(lo * 1e7)))
+            if key not in coord_ids:
+                coord_ids[key] = len(coord_ids) + 1
+            refs.append(coord_ids[key])
+        way_rows.append((w["id"], w.get("tags", {}), refs))
+
+    def make_blob(block_bytes: bytes) -> bytes:
+        comp = zlib.compress(block_bytes)
+        blob = _field(2, 0, len(block_bytes)) + _field(3, 2, comp)
+        header = _field(1, 2, b"OSMData") + _field(3, 0, len(blob))
+        return struct.pack(">i", len(header)) + header + blob
+
+    out = bytearray()
+    # header blob
+    hb = _field(4, 2, b"OsmSchema-V0.6") + _field(16, 2, b"wwx_ray_test_writer")
+    hdr = _field(1, 2, b"OSMHeader") + _field(3, 0, len(_field(2, 0, len(hb)) + _field(3, 2, zlib.compress(hb))))
+    blob = _field(2, 0, len(hb)) + _field(3, 2, zlib.compress(hb))
+    header = _field(1, 2, b"OSMHeader") + _field(3, 0, len(blob))
+    out += struct.pack(">i", len(header)) + header + blob
+
+    # dense node blocks (granularity 100 => value = round(deg*1e7))
+    items = sorted(coord_ids.items(), key=lambda kv: kv[1])
+    for s in range(0, len(items), nodes_per_block):
+        chunk = items[s : s + nodes_per_block]
+        ids = np.array([nid for _, nid in chunk], dtype=np.int64)
+        lats = np.array([k[0] for k, _ in chunk], dtype=np.int64)
+        lons = np.array([k[1] for k, _ in chunk], dtype=np.int64)
+        dense = (
+            _field(1, 2, encode_packed(zigzag(np.diff(ids, prepend=0))))
+            + _field(8, 2, encode_packed(zigzag(np.diff(lats, prepend=0))))
+            + _field(9, 2, encode_packed(zigzag(np.diff(lons, prepend=0))))
+        )
+        group = _field(2, 2, dense)
+        st = _field(1, 2, b"")  # stringtable[0] must exist (spec)
+        block = _field(1, 2, st) + _field(2, 2, group)
+        out += make_blob(block)
+
+    # way blocks
+    for s in range(0, len(way_rows), 4000):
+        chunk = way_rows[s : s + 4000]
+        strings: list[bytes] = [b""]
+        sidx: dict[str, int] = {}
+
+        def intern(x: str) -> int:
+            if x not in sidx:
+                sidx[x] = len(strings)
+                strings.append(x.encode())
+            return sidx[x]
+
+        ways_bytes = b""
+        for wid, tags, refs in chunk:
+            keys = np.array([intern(k) for k in tags], dtype=np.uint64)
+            vals = np.array([intern(v) for v in tags.values()], dtype=np.uint64)
+            refs_a = np.array(refs, dtype=np.int64)
+            msg = (
+                _field(1, 0, wid)
+                + _field(2, 2, encode_packed(keys))
+                + _field(3, 2, encode_packed(vals))
+                + _field(8, 2, encode_packed(zigzag(np.diff(refs_a, prepend=0))))
+            )
+            ways_bytes += _field(3, 2, msg)
+        st = b"".join(_field(1, 2, x) for x in strings)
+        block = _field(1, 2, st) + _field(2, 2, ways_bytes)
+        out += make_blob(block)
+
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path
