@@ -226,7 +226,9 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
 
     def _list_matrix(col) -> np.ndarray:
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return np.array(arr.to_pylist(), dtype=np.float64).reshape(-1, DIM)
+        flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        return flat[offs[0] : offs[-1]].reshape(len(arr), DIM)
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch.column("vec_a").to_numpy(zero_copy_only=False)
