@@ -148,6 +148,56 @@ def save_geojson(edges_ds, path: str, shards: int | None = None) -> str:
     return path
 
 
+_B62 = sorted("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+_B62_POS = {c: i for i, c in enumerate(_B62)}
+
+
+def node_ranks(nodes_ds):
+    """Dataset(id, rank, lat, lon): rank = position of the node's id in
+    global sorted order, assigned DISTRIBUTEDLY — no O(nodes) driver
+    state. Node ids are fixed-length base62 hashes (uniformly
+    distributed), so the 62 first-character buckets are contiguous ranges
+    of the global sort order: one partial-count pass gives each range's
+    base offset (62 ints), then each range sorts its own ids and adds the
+    offset. Used by the sharded jsongz path; the single-file legacy
+    formats keep the broadcast dict (the mapping the reference ships to
+    its pool workers)."""
+    import pandas as pd
+
+    def range_counts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        r = np.array([_B62_POS[i[0]] for i in ids], dtype=np.int64)
+        uniq, n = np.unique(r, return_counts=True)
+        return pa.table(
+            {"r": pa.array(uniq, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
+        )
+
+    pdf = nodes_ds.map_batches(range_counts, batch_format="pyarrow").to_pandas()
+    base = np.zeros(63, dtype=np.int64)
+    if len(pdf):
+        totals = pdf.groupby("r")["n"].sum()
+        counts = np.zeros(62, dtype=np.int64)
+        counts[totals.index.to_numpy()] = totals.to_numpy()
+        base[1:] = np.cumsum(counts)
+
+    def tag_range(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        r = np.array([_B62_POS[i[0]] for i in ids], dtype=np.int64)
+        return batch.append_column("__range", pa.array(r, type=pa.int64()))
+
+    def rank_range(g: pa.Table) -> pa.Table:
+        rr = int(g.column("__range")[0].as_py())
+        df = g.select(["id", "lat", "lon"]).to_pandas().sort_values("id", kind="stable")
+        df["rank"] = base[rr] + np.arange(len(df), dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        nodes_ds.map_batches(tag_range, batch_format="pyarrow")
+        .groupby("__range")
+        .map_groups(rank_range, batch_format="pyarrow")
+    )
+
+
 def _node_index_stream(nodes_ds):
     """(materialized nodes sorted by id, id -> positional rank dict).
 
@@ -200,24 +250,31 @@ def save_jsongz(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dic
     deterministic id-hash part files in parallel instead of one file."""
     import ray
 
-    sorted_nodes, idx = _node_index_stream(nodes_ds)
     nodes_file = f"{base}.nodes.json.gz"
-    with gzip.open(nodes_file, "wt", encoding="utf-8") as f:
-        f.write("[")
-        first = True
-        for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for la, lo in zip(b.column("lat").to_pylist(), b.column("lon").to_pylist()):
-                f.write(("" if first else ",") + json.dumps([la, lo], separators=(",", ":")))
-                first = False
-        f.write("]")
 
-    idx_ref = ray.put(idx)
-
-    def to_jsongz(batch: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
-        return pa.table({"j": pa.array(_edge_json_strings(batch, m), type=pa.string())})
+    def write_nodes_stream(node_batches):
+        with gzip.open(nodes_file, "wt", encoding="utf-8") as f:
+            f.write("[")
+            first = True
+            for b in node_batches:
+                for la, lo in zip(
+                    b.column("lat").to_pylist(), b.column("lon").to_pylist()
+                ):
+                    f.write(
+                        ("" if first else ",") + json.dumps([la, lo], separators=(",", ":"))
+                    )
+                    first = False
+            f.write("]")
 
     if shards is None:
+        sorted_nodes, idx = _node_index_stream(nodes_ds)
+        write_nodes_stream(sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"))
+        idx_ref = ray.put(idx)
+
+        def to_jsongz(batch: pa.Table) -> pa.Table:
+            m = ray.get(idx_ref)
+            return pa.table({"j": pa.array(_edge_json_strings(batch, m), type=pa.string())})
+
         edges_file = f"{base}.edges.json.gz"
         # sorted by edge id for a deterministic file; streamed assembly
         parts = edges_ds.sort("id").map_batches(to_jsongz, batch_format="pyarrow")
@@ -231,21 +288,68 @@ def save_jsongz(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dic
             f.write("]")
         return {"nodes": nodes_file, "edges": edges_file}
 
+    # sharded path: node ranks assigned DISTRIBUTEDLY (node_ranks — no
+    # broadcast dict anywhere), edge start/end indices attached via two
+    # partitioned hash joins, parts written in parallel
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+
+    ranks = node_ranks(nodes_ds).materialize()
+    write_nodes_stream(
+        ranks.sort("rank").iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+
+    def side(id_col: str, out_col: str):
+        return ranks.map_batches(
+            lambda t, ic=id_col, oc=out_col: pa.table({ic: t["id"], oc: t["rank"]}),
+            batch_format="pyarrow",
+        )
+
+    with_idx = hash_join(
+        edges_ds.map_batches(
+            lambda t: t.select(
+                ["id", "from_node_id", "to_node_id", "length_m", "lats", "lons"]
+            ),
+            batch_format="pyarrow",
+        ),
+        side("from_node_id", "start"),
+        on=["from_node_id"],
+    )
+    with_idx = hash_join(with_idx, side("to_node_id", "end"), on=["to_node_id"])
+
     parts_dir = f"{base}.edges.parts"
     os.makedirs(parts_dir, exist_ok=True)
 
     def write_shard(g: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
         sh = int(g.column("__shard")[0].as_py())
         g = g.sort_by("id")
+        lats, offsets = list_column(g, "lats")
+        lons, _ = list_column(g, "lons")
+        starts = g.column("start").to_pylist()
+        ends = g.column("end").to_pylist()
+        lengths = g.column("length_m").to_pylist()
+        lat_l, lon_l = lats.tolist(), lons.tolist()
+        rows = []
+        for i in range(len(starts)):
+            s, e = offsets[i], offsets[i + 1]
+            rows.append(
+                json.dumps(
+                    {
+                        "start": int(starts[i]),
+                        "end": int(ends[i]),
+                        "length": lengths[i],
+                        "coordinates": [[lat_l[k], lon_l[k]] for k in range(s, e)],
+                    },
+                    separators=(",", ":"),
+                )
+            )
         part = os.path.join(parts_dir, f"part-{sh:05d}.json.gz")
         with gzip.open(part, "wt", encoding="utf-8") as f:
-            f.write("[" + ",".join(_edge_json_strings(g, m)) + "]")
+            f.write("[" + ",".join(rows) + "]")
         return pa.table(
             {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
         )
 
-    edges_ds.map_batches(
+    with_idx.map_batches(
         lambda t: _shard_column(t, shards), batch_format="pyarrow"
     ).groupby("__shard").map_groups(write_shard, batch_format="pyarrow").materialize()
     return {"nodes": nodes_file, "edges": parts_dir}

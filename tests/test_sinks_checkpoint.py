@@ -303,3 +303,14 @@ def test_partitioned_checkpoint_resume(ray_session, tmp_path):
     ds3 = checkpointed(factory, "intersections", cfg, partition_key="way_id")
     assert calls["n"] == 2
     pd.testing.assert_frame_equal(canon(ds3), base)
+
+
+def test_node_ranks_distributed(graph):
+    """node_ranks (distributed first-char range assignment) must equal the
+    broadcast sorted-id dict ranks exactly."""
+    nodes, _ = graph
+    ranks = sinks.node_ranks(nodes).to_pandas().sort_values("rank")
+    want = nodes.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(ranks["rank"]) == list(range(len(want)))
+    assert list(ranks["id"]) == list(want["id"])
+    assert list(ranks["lat"]) == list(want["lat"])
