@@ -175,6 +175,8 @@ def polyline_lengths_m(
     # zeroed bridge segment a range picks up is exact (+0.0). Degenerate
     # (<2-vertex) lines get a clipped/empty reduceat range whose garbage
     # value is masked to 0.
+    if len(seg) == 0:  # only degenerate (<2-vertex) lines in the batch
+        return np.zeros(n, dtype=np.float64)
     starts = np.minimum(offsets[:-1], len(seg) - 1)
     sums = np.add.reduceat(seg, starts)
     return np.where(np.diff(offsets) >= 2, sums, 0.0)

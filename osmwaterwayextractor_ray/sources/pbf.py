@@ -159,13 +159,21 @@ def scan_pbf_blobs(path: str) -> list[dict]:
 
 
 def _blob_payload(raw: bytes) -> bytes:
-    """Blob message -> uncompressed PrimitiveBlock/HeaderBlock bytes."""
-    data = b""
+    """Blob message -> uncompressed PrimitiveBlock/HeaderBlock bytes.
+    Raises on the compression variants this reader does not implement
+    (lzma=4, lz4=6, zstd=7 per fileformat.proto) instead of silently
+    yielding an empty block."""
+    data = None
     for fnum, wt, v in _iter_fields(raw):
         if fnum == 1:
             data = v
         elif fnum == 3:
             data = zlib.decompress(v)
+        elif fnum in (4, 6, 7):
+            name = {4: "lzma", 6: "lz4", 7: "zstd"}[fnum]
+            raise ValueError(f"unsupported PBF blob compression: {name}")
+    if data is None:
+        raise ValueError("PBF blob carries no raw/zlib payload")
     return data
 
 
@@ -197,8 +205,27 @@ def _parse_block(data: bytes):
 
 
 def _parse_dense_nodes(group: bytes, gran: int, lat_off: int, lon_off: int):
+    """Nodes of a PrimitiveGroup: DenseNodes (field 2) or plain Node
+    messages (field 1, sint64 id/lat/lon — rare in real extracts but
+    spec-valid)."""
     ids = lats = lons = None
+    plain_ids: list[int] = []
+    plain_lats: list[int] = []
+    plain_lons: list[int] = []
     for fnum, wt, v in _iter_fields(group):
+        if fnum == 1:  # plain Node message
+            nid = nla = nlo = 0
+            for f2, w2, p in _iter_fields(v):
+                if f2 == 1:
+                    nid = int(unzigzag(np.array([p], dtype=np.uint64))[0])
+                elif f2 == 8:
+                    nla = int(unzigzag(np.array([p], dtype=np.uint64))[0])
+                elif f2 == 9:
+                    nlo = int(unzigzag(np.array([p], dtype=np.uint64))[0])
+            plain_ids.append(nid)
+            plain_lats.append(nla)
+            plain_lons.append(nlo)
+            continue
         if fnum != 2:
             continue
         for f2, w2, p in _iter_fields(v):
@@ -208,6 +235,16 @@ def _parse_dense_nodes(group: bytes, gran: int, lat_off: int, lon_off: int):
                 lats = np.cumsum(unzigzag(decode_varints(p)))
             elif f2 == 9:
                 lons = np.cumsum(unzigzag(decode_varints(p)))
+    if plain_ids:
+        p_ids = np.array(plain_ids, dtype=np.int64)
+        p_lats = np.array(plain_lats, dtype=np.int64)
+        p_lons = np.array(plain_lons, dtype=np.int64)
+        if ids is None:
+            ids, lats, lons = p_ids, p_lats, p_lons
+        else:
+            ids = np.concatenate([ids, p_ids])
+            lats = np.concatenate([lats, p_lats])
+            lons = np.concatenate([lons, p_lons])
     if ids is None:
         return None
     # DIVIDE by 1e9 (not multiply by 1e-9): integer-exact numerator /
@@ -347,15 +384,16 @@ def waterways_from_pbf(path: str, config=None):
     distributedly: refs explode, partitioned hash join against the dense
     nodes, per-way reassembly in ref order; ways with ANY unresolved ref
     or < 2 points are skipped (ref :1395-1412)."""
-    import pyarrow.compute as pc
-
     from osmwaterwayextractor_ray.config import Config
     from osmwaterwayextractor_ray.stages._arrow import waterways_table
-    from osmwaterwayextractor_ray.stages.fastagg import _bucket, hash_join
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup, hash_join
 
     config = config or Config()
     n_parts = max(8, config.join_partitions)
-    ways = read_pbf_ways(path, waterway_types=config.waterway_types)
+    # pin the (already tag-filtered) ways once: they feed both the ref
+    # explosion and the metadata side — without this every blob would be
+    # re-read and re-parsed per consumer
+    ways = read_pbf_ways(path, waterway_types=config.waterway_types).materialize()
     nodes = read_pbf_nodes(path)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -388,40 +426,23 @@ def waterways_from_pbf(path: str, config=None):
         lambda t: t.select(["way_id", "name", "wtype", "width"]), batch_format="pyarrow"
     )
 
-    def tag(side: int):
-        def f(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
-            cols = {
-                "way_id": batch["way_id"],
-                "ref_idx": batch["ref_idx"] if side == 0 else pa.nulls(n, type=pa.int64()),
-                "n_refs": batch["n_refs"] if side == 0 else pa.nulls(n, type=pa.int64()),
-                "lat": batch["lat"] if side == 0 else pa.nulls(n, type=pa.float64()),
-                "lon": batch["lon"] if side == 0 else pa.nulls(n, type=pa.float64()),
-                "name": pa.nulls(n, type=pa.string()) if side == 0 else batch["name"],
-                "wtype": pa.nulls(n, type=pa.string()) if side == 0 else batch["wtype"],
-                "width": pa.nulls(n, type=pa.string()) if side == 0 else batch["width"],
-                "__part": pa.array(part, type=pa.int64()),
-                "__side": pa.array(np.full(n, side, dtype=np.int8)),
-            }
-            return pa.table(cols)
-
-        return f
-
-    both = joined.map_batches(tag(0), batch_format="pyarrow").union(
-        meta.map_batches(tag(1), batch_format="pyarrow")
+    grouped, split = cogroup(
+        joined.map_batches(
+            lambda t: t.select(["way_id", "ref_idx", "n_refs", "lat", "lon"]),
+            batch_format="pyarrow",
+        ),
+        meta,
+        ["way_id"],
+        num_parts=n_parts,
     )
 
     def assemble(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
         from osmwaterwayextractor_ray.stages._arrow import empty_waterways_table
 
-        vtx = g.filter(_pc.equal(g["__side"], pa.scalar(0, pa.int8())))
-        mt = g.filter(_pc.equal(g["__side"], pa.scalar(1, pa.int8())))
+        vtx, mt = split(g)
         if vtx.num_rows == 0 or mt.num_rows == 0:
             return empty_waterways_table()
-        vdf = vtx.select(["way_id", "ref_idx", "n_refs", "lat", "lon"]).to_pandas()
+        vdf = vtx.to_pandas()
         vdf = vdf.sort_values(["way_id", "ref_idx"], kind="stable")
         ok = vdf.groupby("way_id", sort=False)["lat"].transform(
             lambda s: s.notna().all()
@@ -436,8 +457,7 @@ def waterways_from_pbf(path: str, config=None):
         offsets = np.concatenate((starts, [len(wids)]))
         uniq = wids[starts]
         mdf = (
-            mt.select(["way_id", "name", "wtype", "width"])
-            .to_pandas()
+            mt.to_pandas()
             .drop_duplicates("way_id")
             .set_index("way_id")
         )
@@ -454,7 +474,7 @@ def waterways_from_pbf(path: str, config=None):
             widths,
         )
 
-    return both.groupby("__part").map_groups(assemble, batch_format="pyarrow")
+    return grouped.map_groups(assemble, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -487,7 +507,6 @@ def write_pbf(waterways: list[dict], path: str, nodes_per_block: int = 8000):
     out = bytearray()
     # header blob
     hb = _field(4, 2, b"OsmSchema-V0.6") + _field(16, 2, b"wwx_ray_test_writer")
-    hdr = _field(1, 2, b"OSMHeader") + _field(3, 0, len(_field(2, 0, len(hb)) + _field(3, 2, zlib.compress(hb))))
     blob = _field(2, 0, len(hb)) + _field(3, 2, zlib.compress(hb))
     header = _field(1, 2, b"OSMHeader") + _field(3, 0, len(blob))
     out += struct.pack(">i", len(header)) + header + blob

@@ -128,6 +128,19 @@ def checkpointed(
 
     P = num_partitions or config.checkpoint_partitions
     os.makedirs(path, exist_ok=True)
+    # Pin the partition layout BEFORE any part is written: a resume must
+    # use the layout of the crashed run, not the current config — with a
+    # changed P the surviving hash%P_old parts would silently drop or
+    # duplicate rows against a hash%P_new expectation.
+    layout_file = os.path.join(path, "_layout.json")
+    if os.path.exists(layout_file):
+        with open(layout_file) as f:
+            P = int(json.load(f)["num_partitions"])
+    else:
+        tmp = layout_file + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"num_partitions": P}, f)
+        os.replace(tmp, layout_file)
     done = _valid_parts(path, P)
     missing = sorted(set(range(P)) - done)
 

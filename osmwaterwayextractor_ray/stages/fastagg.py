@@ -91,30 +91,38 @@ def distinct(ds, keys: list[str], num_parts: int = 32, batch_size: int = 65536):
     return partials.groupby("__part").map_groups(combine, batch_format="pandas")
 
 
-def hash_join(
+def cogroup(
     left,
     right,
-    on: list[str],
-    how: str = "inner",
+    left_on: list[str],
+    right_on: list[str] | None = None,
     num_parts: int = 32,
     batch_size: int = 65536,
 ):
-    """Partitioned hash join: bucket both sides on the key hash, co-group
-    by bucket, pandas-merge per bucket. Key-hash salting for skewed keys is
-    the caller's job (split a hot key into key:salt sub-keys on both
-    sides)."""
+    """Generic partitioned co-group (the union trick): tag each side with
+    ``__part = hash(key) % P`` and ``__side``, null-pad to a shared
+    schema, union, ``groupby(__part)``. Returns (grouped, split) where
+    ``grouped`` is the Dataset to ``map_groups`` over and ``split(g)``
+    recovers the two sides of a bucket as Arrow tables with their ORIGINAL
+    schemas. The split stays Arrow-side: converting the null-padded union
+    to pandas first would force int64-with-null columns to float64 and
+    corrupt values above 2^53 (e.g. packed coord keys).
 
+    ``right_on`` defaults to ``left_on``; both sides land in the same
+    bucket iff their key hashes agree. This underlies ``hash_join`` and
+    every bespoke assemble/verify co-group (intersect splitter, PBF way
+    reassembly). Key-hash salting for skewed keys is the caller's job."""
+    right_on = right_on or left_on
     lschema, rschema = left.schema(), right.schema()
     lnames, rnames = list(lschema.names), list(rschema.names)
     types = dict(zip(rschema.names, rschema.types))
     types.update(dict(zip(lschema.names, lschema.types)))
     all_cols = lnames + [c for c in rnames if c not in lnames]
 
-    def tag(side: int, have: list[str]):
+    def tag(side: int, have: list[str], on: list[str]):
         def f(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            df = batch.to_pandas()
-            part = _bucket(df, on, num_parts)
+            part = _bucket(batch.select(on).to_pandas(), on, num_parts)
             cols = {}
             for c in all_cols:
                 if c in have:
@@ -127,19 +135,35 @@ def hash_join(
 
         return f
 
-    lt = left.map_batches(tag(0, lnames), batch_format="pyarrow", batch_size=batch_size)
-    rt = right.map_batches(tag(1, rnames), batch_format="pyarrow", batch_size=batch_size)
+    lt = left.map_batches(tag(0, lnames, left_on), batch_format="pyarrow", batch_size=batch_size)
+    rt = right.map_batches(tag(1, rnames, right_on), batch_format="pyarrow", batch_size=batch_size)
     both = lt.union(rt)
 
-    def merge(g: pa.Table) -> pa.Table:
+    def split(g: pa.Table) -> tuple[pa.Table, pa.Table]:
         import pyarrow.compute as pc
 
-        # split sides while still Arrow: converting the null-padded union
-        # to pandas first would force int64-with-null columns to float64
-        # and corrupt values above 2^53 (e.g. packed coord keys)
-        lg = g.filter(pc.equal(g["__side"], pa.scalar(0, pa.int8()))).select(lnames).to_pandas()
-        rg = g.filter(pc.equal(g["__side"], pa.scalar(1, pa.int8()))).select(rnames).to_pandas()
-        out = lg.merge(rg, on=on, how=how)
+        lg = g.filter(pc.equal(g["__side"], pa.scalar(0, pa.int8()))).select(lnames)
+        rg = g.filter(pc.equal(g["__side"], pa.scalar(1, pa.int8()))).select(rnames)
+        return lg, rg
+
+    return both.groupby("__part"), split
+
+
+def hash_join(
+    left,
+    right,
+    on: list[str],
+    how: str = "inner",
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """Partitioned hash join: co-group by key-hash bucket (``cogroup``),
+    pandas-merge per bucket."""
+    grouped, split = cogroup(left, right, on, num_parts=num_parts, batch_size=batch_size)
+
+    def merge(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
-    return both.groupby("__part").map_groups(merge, batch_format="pyarrow")
+    return grouped.map_groups(merge, batch_format="pyarrow")

@@ -470,7 +470,7 @@ def split_at_intersections_distributed(ds, points_ds, config: Config):
     bucket and run the shared kernel. For topologies whose junction count
     outgrows the broadcast budget. Pinned equal to the broadcast path by
     tests (both modes, end-to-end)."""
-    from osmwaterwayextractor_ray.stages.fastagg import _bucket, hash_join
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup, hash_join
 
     cell_deg = config.intersect_cell_deg
     tol_deg = config.snap_tolerance_m * 1e-5
@@ -546,53 +546,15 @@ def split_at_intersections_distributed(ds, points_ds, config: Config):
     # cell cover is deduped per way and each point lives in one cell
     pairs = hash_join(wcells, pts, on=["cell"], num_parts=n_parts)
 
-    def tag_cand(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
-        return pa.table(
-            {
-                "way_id": batch["way_id"],
-                "p_lat": batch["p_lat"],
-                "p_lon": batch["p_lon"],
-                "lats": pa.nulls(n, type=pa.list_(pa.float64())),
-                "lons": pa.nulls(n, type=pa.list_(pa.float64())),
-                "name": pa.nulls(n, type=pa.string()),
-                "wtype": pa.nulls(n, type=pa.string()),
-                "width": pa.nulls(n, type=pa.string()),
-                "__part": pa.array(part, type=pa.int64()),
-                "__side": pa.array(np.zeros(n, dtype=np.int8)),
-            }
-        )
-
-    def tag_way(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        part = _bucket(batch.select(["way_id"]).to_pandas(), ["way_id"], n_parts)
-        return pa.table(
-            {
-                "way_id": batch["way_id"],
-                "p_lat": pa.nulls(n, type=pa.float64()),
-                "p_lon": pa.nulls(n, type=pa.float64()),
-                "lats": batch["lats"],
-                "lons": batch["lons"],
-                "name": batch["name"],
-                "wtype": batch["wtype"],
-                "width": batch["width"],
-                "__part": pa.array(part, type=pa.int64()),
-                "__side": pa.array(np.ones(n, dtype=np.int8)),
-            }
-        )
-
-    both = pairs.map_batches(tag_cand, batch_format="pyarrow").union(
-        ds.map_batches(tag_way, batch_format="pyarrow")
+    cands = pairs.map_batches(
+        lambda t: t.select(["way_id", "p_lat", "p_lon"]), batch_format="pyarrow"
     )
+    grouped, split = cogroup(cands, ds, ["way_id"], num_parts=n_parts)
 
     def split_bucket(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        ways_t = g.filter(_pc.equal(g["__side"], pa.scalar(1, pa.int8())))
+        cand_t, ways_t = split(g)
         if ways_t.num_rows == 0:
             return empty_waterways_table()
-        cand_t = g.filter(_pc.equal(g["__side"], pa.scalar(0, pa.int8())))
         lats, offsets = list_column(ways_t, "lats")
         lons, _ = list_column(ways_t, "lons")
         way_ids = ways_t.column("way_id").to_numpy(zero_copy_only=False)
@@ -620,7 +582,7 @@ def split_at_intersections_distributed(ds, points_ds, config: Config):
             cand_lat, cand_lon, n_c, tol_deg, precision,
         )
 
-    return both.groupby("__part").map_groups(split_bucket, batch_format="pyarrow")
+    return grouped.map_groups(split_bucket, batch_format="pyarrow")
 
 
 def detect_and_split(ds, config: Config):

@@ -147,3 +147,64 @@ def test_full_graph_from_pbf(ray_session, fixture_pbf):
         df["lats"] = df["lats"].map(tuple)
         df["lons"] = df["lons"].map(tuple)
     pd.testing.assert_frame_equal(ep, ed)
+
+
+def test_plain_node_group_and_unsupported_compression(tmp_path):
+    """Spec-valid plain Node messages (group field 1) parse like dense
+    nodes; unimplemented blob compression raises instead of yielding an
+    empty block."""
+    import struct
+    import zlib
+
+    from osmwaterwayextractor_ray.sources.pbf import (
+        _blob_payload,
+        _field,
+        _parse_block,
+        _parse_dense_nodes,
+        encode_varint,
+    )
+
+    def z(v):
+        return (v << 1) ^ (v >> 63) if v >= 0 else ((v << 1) ^ -1) & (2**64 - 1)
+
+    node = _field(1, 0, z(42)) + _field(8, 0, z(525100000)) + _field(9, 0, z(-134000000))
+    group = _field(1, 2, node)
+    block = _field(1, 2, _field(1, 2, b"")) + _field(2, 2, group)
+    strings, gran, lat_off, lon_off, groups = _parse_block(block)
+    ids, lats, lons = _parse_dense_nodes(groups[0], gran, lat_off, lon_off)
+    assert ids.tolist() == [42]
+    assert lats.tolist() == [52.51] and lons.tolist() == [-13.4]
+
+    bad_blob = _field(2, 0, 10) + _field(7, 2, b"\x00\x01")  # zstd field
+    with pytest.raises(ValueError, match="zstd"):
+        _blob_payload(bad_blob)
+
+
+def test_partitioned_checkpoint_layout_pinned(ray_session, tmp_path):
+    """A resume after P changed in config must keep the crashed run's
+    partition layout (recorded in _layout.json), not silently drop rows."""
+    import json as _json
+
+    from osmwaterwayextractor_ray.config import Config
+    from osmwaterwayextractor_ray.sources.waterways import synth_waterways_ds
+    from osmwaterwayextractor_ray.stages.checkpoint import checkpoint_path, checkpointed
+
+    import os as _os
+
+    cfg32 = Config(
+        enable_checkpoints=True, checkpoint_dir=str(tmp_path / "ck"), checkpoint_partitions=8
+    )
+    checkpointed(lambda: synth_waterways_ds(40), "intersections", cfg32, partition_key="way_id")
+    path = checkpoint_path(cfg32, "intersections")
+    # crash simulation + config change to P=4
+    _os.remove(_os.path.join(path, "_manifest.json"))
+    parts = sorted(f for f in _os.listdir(path) if f.endswith(".parquet"))
+    for f in parts[:3]:
+        _os.remove(_os.path.join(path, f))
+    cfg4 = Config(
+        enable_checkpoints=True, checkpoint_dir=str(tmp_path / "ck"), checkpoint_partitions=4
+    )
+    ds = checkpointed(lambda: synth_waterways_ds(40), "intersections", cfg4, partition_key="way_id")
+    assert ds.count() == 40  # no rows lost despite the P change
+    manifest = _json.load(open(_os.path.join(path, "_manifest.json")))
+    assert manifest["num_partitions"] == 8  # crashed run's layout kept
