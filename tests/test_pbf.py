@@ -208,3 +208,30 @@ def test_partitioned_checkpoint_layout_pinned(ray_session, tmp_path):
     assert ds.count() == 40  # no rows lost despite the P change
     manifest = _json.load(open(_os.path.join(path, "_manifest.json")))
     assert manifest["num_partitions"] == 8  # crashed run's layout kept
+
+
+def test_varint_roundtrip_property():
+    """Property: decode(encode(x)) == x for random uint64 vectors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=50))
+    def check(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert decode_varints(encode_packed(arr)).tolist() == arr.tolist()
+
+    check()
+
+
+def test_zigzag_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=50))
+    def check(vals):
+        arr = np.array(vals, dtype=np.int64)
+        assert unzigzag(zigzag(arr)).tolist() == arr.tolist()
+
+    check()
