@@ -106,6 +106,7 @@ QUERY_SET = [
     "geo_pip_join",
     "geo_knn",
     "geo_cell_knn",
+    "geo_cell_knn_halo",
     "geo_extract",
     "geo_extract_cells",
     "dedup_exact",
