@@ -53,10 +53,12 @@ def build_graph(
     # Spread the input across ~4 blocks per CPU: downstream actor pools can
     # only parallelize across blocks, and a source that arrives in a handful
     # of large blocks (small parquet files, dense synth batches) would cap
-    # every stage's parallelism at that block count. Sources that already
-    # arrive well-partitioned (waterways_from_events repartitions its tiny
-    # id column before the synthesis map) pass spread_input=False to skip
-    # this full-data movement.
+    # every stage's parallelism at that block count. Keep this ON even for
+    # pre-spread sources: skipping it for waterways_from_events was
+    # MEASURED SLOWER at both 8 and 32 CPUs (the post-synthesis repartition
+    # rebalances the heavy geometry blocks even when block counts already
+    # match — NOTES_r2.md). spread_input=False exists for callers that feed
+    # an already-materialized, balanced waterways Dataset.
     if spread_input:
         waterways_ds = waterways_ds.repartition(4 * pool_max())
 
