@@ -366,3 +366,28 @@ def test_full_graph_all_distributed_mode(ray_session):
     nb = rb.nodes.to_pandas().sort_values("id").reset_index(drop=True)
     nd = rd_.nodes.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(nb, nd)
+
+
+def test_cell_size_invariance(ray_session):
+    """The spatial-shuffle cell sizes are pure grouping knobs (config.py
+    claims results identical for any size) — pin it: the full graph must
+    be bit-identical across cell-size combinations."""
+    import pandas as pd
+
+    outs = []
+    for cl, ix in [(1.0, 0.5), (0.35, 0.2), (2.0, 1.0)]:
+        cfg = Config(
+            min_fragment_length_m=0.0,
+            snap_tolerance_m=5.0,
+            cluster_cell_deg=cl,
+            intersect_cell_deg=ix,
+        )
+        r = build_graph(synth_waterways_ds(48), cfg)
+        e = r.edges.to_pandas().sort_values("id").reset_index(drop=True)
+        e["lats"] = e["lats"].map(tuple)
+        e["lons"] = e["lons"].map(tuple)
+        n = r.nodes.to_pandas().sort_values("id").reset_index(drop=True)
+        outs.append((e, n))
+    for e, n in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0][0], e)
+        pd.testing.assert_frame_equal(outs[0][1], n)
