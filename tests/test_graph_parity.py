@@ -391,3 +391,26 @@ def test_cell_size_invariance(ray_session):
     for e, n in outs[1:]:
         pd.testing.assert_frame_equal(outs[0][0], e)
         pd.testing.assert_frame_equal(outs[0][1], n)
+
+
+def test_execution_knob_invariance(ray_session):
+    """batch_size / join_partitions are execution-only knobs — the graph
+    must be bit-identical across them (in both assembly modes)."""
+    import pandas as pd
+
+    outs = []
+    for bs, jp, ea in [(4096, 16, "broadcast"), (512, 5, "distributed"), (20000, 8, "broadcast")]:
+        cfg = Config(
+            min_fragment_length_m=0.0,
+            snap_tolerance_m=5.0,
+            batch_size=bs,
+            join_partitions=jp,
+            edge_assembly=ea,
+        )
+        r = build_graph(synth_waterways_ds(48), cfg)
+        e = r.edges.to_pandas().sort_values("id").reset_index(drop=True)
+        e["lats"] = e["lats"].map(tuple)
+        e["lons"] = e["lons"].map(tuple)
+        outs.append(e)
+    for e in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], e)
