@@ -256,7 +256,12 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist2, event_id) <= {K_NEIG
 KNN_SQL = _knn_sql()
 
 
-def cell_knn(sf_dir: str, k: int = 3):
+# k for the cell-local kNN variants — interpolated into their SQL oracles
+# below so query and oracle can never silently diverge (ADVICE r2)
+CELL_K = 3
+
+
+def cell_knn(sf_dir: str, k: int = CELL_K):
     """Per-point kNN restricted to the point's 1° cell (tile-local kNN)."""
     from osmwaterwayextractor_ray.functions.cells import cell_id
 
@@ -332,7 +337,7 @@ def _blocked_knn(
     )
 
 
-def cell_knn_halo(sf_dir: str, k: int = 3):
+def cell_knn_halo(sf_dir: str, k: int = CELL_K):
     """Per-point kNN over the point's 1° cell PLUS the 8-neighbor ring
     (SURVEY J6's halo extension): candidates are replicated into each
     neighboring cell's group, so border points see their true neighborhood
@@ -397,7 +402,7 @@ FROM pts a JOIN pts b
 QUALIFY row_number() OVER (
   PARTITION BY a.event_id
   ORDER BY (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon), b.event_id
-) <= 3
+) <= {CELL_K}
 """
 
 
@@ -413,5 +418,5 @@ FROM pts a JOIN pts b ON a.cell = b.cell AND a.event_id <> b.event_id
 QUALIFY row_number() OVER (
   PARTITION BY a.event_id
   ORDER BY (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon), b.event_id
-) <= 3
+) <= {CELL_K}
 """

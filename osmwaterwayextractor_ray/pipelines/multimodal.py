@@ -39,7 +39,11 @@ def media_from_documents(sf_dir: str):
             }
         )
 
-    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=1024)
+    # block-native batches (no batch_size): slicing read blocks into fixed
+    # batches would make Ray unify the parquet blocks' pandas-metadata
+    # schemas, which are unhashable and spam "Failed to hash the schemas"
+    # warnings; the output tables below are fresh, metadata-free schemas
+    return ds.map_batches(to_media, batch_format="pyarrow")
 
 
 def _decode_stub(payload: bytes) -> dict:

@@ -242,7 +242,8 @@ def supplier_region_rollup(sf_dir: str):
 
         n2r_, r2name_ = _ray.get(lookup_ref)
         df = batch.to_pandas()
-        df["r_name"] = df["s_nationkey"].map(lambda n: r2name_[n2r_[n]])
+        # two chained dict maps (C-level), not a per-row Python lambda
+        df["r_name"] = df["s_nationkey"].map(n2r_).map(r2name_)
         g = df.groupby("r_name", as_index=False).agg(
             n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum")
         )

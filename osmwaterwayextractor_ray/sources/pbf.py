@@ -52,6 +52,10 @@ def decode_varints(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if len(b) == 0:
         return np.array([], dtype=np.uint64)
+    if b[-1] & 0x80:
+        # fail loud on a truncated trailing varint (corrupt blob) instead of
+        # silently summing the incomplete limb group — matches _blob_payload
+        raise ValueError("truncated varint at end of packed buffer")
     ends = (b & 0x80) == 0
     gid = np.concatenate(([0], np.cumsum(ends)[:-1]))
     starts = np.flatnonzero(np.r_[True, ends[:-1]])

@@ -152,18 +152,31 @@ def cogroup(
 def hash_join(
     left,
     right,
-    on: list[str],
+    on: list[str] | None = None,
     how: str = "inner",
     num_parts: int = 32,
     batch_size: int = 65536,
+    left_on: list[str] | None = None,
+    right_on: list[str] | None = None,
 ):
     """Partitioned hash join: co-group by key-hash bucket (``cogroup``),
-    pandas-merge per bucket."""
-    grouped, split = cogroup(left, right, on, num_parts=num_parts, batch_size=batch_size)
+    pandas-merge per bucket. Key columns may differ per side via
+    ``left_on``/``right_on`` (both sides bucket on the hash of their own
+    key values, so matching keys meet in the same bucket)."""
+    if on is not None:
+        left_on = right_on = on
+    if left_on is None or right_on is None:
+        raise ValueError("hash_join needs `on` or both `left_on` and `right_on`")
+    grouped, split = cogroup(
+        left, right, left_on, right_on=right_on, num_parts=num_parts, batch_size=batch_size
+    )
 
     def merge(g: pa.Table) -> pa.Table:
         lg, rg = split(g)
-        out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
+        if on is not None:
+            out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
+        else:
+            out = lg.to_pandas().merge(rg.to_pandas(), left_on=left_on, right_on=right_on, how=how)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return grouped.map_groups(merge, batch_format="pyarrow")

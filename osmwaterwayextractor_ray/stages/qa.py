@@ -16,12 +16,16 @@ import numpy as np
 
 def _sorted_index_percentiles(
     ds, column: str, qs: list[float], exact_rank_limit: int = 10000
-) -> dict[float, float]:
+) -> tuple[dict[float, float], str]:
+    """Returns ({q: value}, method) where method is "exact" (sorted-index
+    rank take) or "tdigest" (~1% relative error, documented in the metrics
+    dict as percentile_method — ADVICE r2)."""
     n = ds.count()
     if n == 0:
-        return {q: 0.0 for q in qs}
+        return {q: 0.0 for q in qs}, "exact"
     ranks = sorted({min(int(n * q), n - 1) for q in qs})
     vals: dict[int, float] = {}
+    method = "exact"
     if max(ranks) < exact_rank_limit:
         # exact sorted-index values: pull only the needed rank prefix
         taken = ds.sort(column).take(max(ranks) + 1)
@@ -32,10 +36,11 @@ def _sorted_index_percentiles(
         # streaming to the driver; error bound pinned by tests)
         from osmwaterwayextractor_ray.state.tdigest import digest_dataset, quantile
 
+        method = "tdigest"
         means, weights = digest_dataset(ds, column)
         for r in ranks:
             vals[r] = quantile(means, weights, (r + 0.5) / n)
-    return {q: vals[min(int(n * q), n - 1)] for q in qs}
+    return {q: vals[min(int(n * q), n - 1)] for q in qs}, method
 
 
 def generate_qa_metrics(
@@ -76,7 +81,8 @@ def generate_qa_metrics(
         # displacements only in the else-branch :1310-1313)
         n_disp = multi_rows
         if n_disp:
-            ps = _sorted_index_percentiles(multi, "displacement_m", [0.5, 0.95, 0.99])
+            ps, method = _sorted_index_percentiles(multi, "displacement_m", [0.5, 0.95, 0.99])
+            metrics["displacement_percentile_method"] = method
             metrics.update(
                 {
                     "displacement_p50_m": ps[0.5],
@@ -111,7 +117,8 @@ def generate_qa_metrics(
     # edge stats (ref :2680-2701)
     n_edges = metrics["final_edges"]
     if n_edges:
-        ps = _sorted_index_percentiles(edges_ds, "length_m", [0.05, 0.5, 0.95])
+        ps, method = _sorted_index_percentiles(edges_ds, "length_m", [0.05, 0.5, 0.95])
+        metrics["edge_length_percentile_method"] = method
         mean_agg = edges_ds.aggregate(Mean("length_m"))
         metrics.update(
             {

@@ -142,9 +142,20 @@ def save_geojson(edges_ds, path: str, shards: int | None = None) -> str:
             {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
         )
 
-    edges_ds.map_batches(
-        lambda t: _shard_column(t, shards), batch_format="pyarrow"
-    ).groupby("__shard").map_groups(write_shard, batch_format="pyarrow").materialize()
+    written = (
+        edges_ds.map_batches(lambda t: _shard_column(t, shards), batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()  # O(shards) rows
+    )
+    # a shard that received zero edges still gets an (empty) part file, so a
+    # missing part always means a crashed write, never an empty shard
+    have = {os.path.basename(p) for p in written["path"]} if len(written) else set()
+    for sh in range(shards):
+        name = f"part-{sh:05d}.geojson"
+        if name not in have:
+            with open(os.path.join(path, name), "w") as f:
+                f.write('{"type": "FeatureCollection", "features": []}')
     return path
 
 
@@ -155,18 +166,20 @@ _B62_POS = {c: i for i, c in enumerate(_B62)}
 def node_ranks(nodes_ds):
     """Dataset(id, rank, lat, lon): rank = position of the node's id in
     global sorted order, assigned DISTRIBUTEDLY — no O(nodes) driver
-    state. Node ids are fixed-length base62 hashes (uniformly
-    distributed), so the 62 first-character buckets are contiguous ranges
-    of the global sort order: one partial-count pass gives each range's
-    base offset (62 ints), then each range sorts its own ids and adds the
-    offset. Used by the sharded jsongz path; the single-file legacy
+    state. Node ids are 'n' + a fixed-length base62 hash (uniformly
+    distributed past the constant prefix), so the 62 SECOND-character
+    buckets are contiguous ranges of the global sort order: one
+    partial-count pass gives each range's base offset (62 ints), then
+    each range sorts its own ids and adds the offset. (Bucketing on the
+    first character would land every node in the single 'n' bucket —
+    ADVICE r2.) Used by the sharded jsongz path; the single-file legacy
     formats keep the broadcast dict (the mapping the reference ships to
     its pool workers)."""
     import pandas as pd
 
     def range_counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_pylist()
-        r = np.array([_B62_POS[i[0]] for i in ids], dtype=np.int64)
+        r = np.array([_B62_POS[i[1]] for i in ids], dtype=np.int64)
         uniq, n = np.unique(r, return_counts=True)
         return pa.table(
             {"r": pa.array(uniq, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
@@ -182,7 +195,7 @@ def node_ranks(nodes_ds):
 
     def tag_range(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_pylist()
-        r = np.array([_B62_POS[i[0]] for i in ids], dtype=np.int64)
+        r = np.array([_B62_POS[i[1]] for i in ids], dtype=np.int64)
         return batch.append_column("__range", pa.array(r, type=pa.int64()))
 
     def rank_range(g: pa.Table) -> pa.Table:
@@ -349,9 +362,19 @@ def save_jsongz(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dic
             {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
         )
 
-    with_idx.map_batches(
-        lambda t: _shard_column(t, shards), batch_format="pyarrow"
-    ).groupby("__shard").map_groups(write_shard, batch_format="pyarrow").materialize()
+    written = (
+        with_idx.map_batches(lambda t: _shard_column(t, shards), batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()  # O(shards) rows
+    )
+    # empty shards still get a part file (missing part == crashed write)
+    have = {os.path.basename(p) for p in written["path"]} if len(written) else set()
+    for sh in range(shards):
+        name = f"part-{sh:05d}.json.gz"
+        if name not in have:
+            with gzip.open(os.path.join(parts_dir, name), "wt", encoding="utf-8") as f:
+                f.write("[]")
     return {"nodes": nodes_file, "edges": parts_dir}
 
 

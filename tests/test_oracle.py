@@ -59,3 +59,13 @@ def test_query_matches_oracle(ray_session, con, name):
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_customer_order_stats_modes_agree(ray_session):
+    """The distributed (pre-agg + partitioned hash join) path and the
+    legacy broadcast-dict path must produce identical results."""
+    from osmwaterwayextractor_ray.pipelines.relational import customer_order_stats
+
+    d = _canon(_to_pandas(customer_order_stats(SF_DIR)))
+    b = _canon(_to_pandas(customer_order_stats(SF_DIR, mode="broadcast")))
+    pd.testing.assert_frame_equal(d, b)

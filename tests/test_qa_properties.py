@@ -146,7 +146,8 @@ def test_qa_percentile_sketch_branch(ray_session):
     vals = rng.lognormal(2.0, 0.8, 50_000)
     ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(13)
     qs = [0.05, 0.5, 0.95, 0.99]
-    exact = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=10**9)
-    sketch = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=1)
+    exact, m_exact = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=10**9)
+    sketch, m_sketch = _sorted_index_percentiles(ds, "x", qs, exact_rank_limit=1)
+    assert (m_exact, m_sketch) == ("exact", "tdigest")
     for q in qs:
         assert abs(sketch[q] - exact[q]) <= 0.01 * exact[q], (q, sketch[q], exact[q])
