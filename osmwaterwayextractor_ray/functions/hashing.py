@@ -139,6 +139,53 @@ def node_ids_array(
     return out
 
 
+def xxh64_windows(data: bytes, k: int, seed: int = 0) -> np.ndarray:
+    """XXH64 of EVERY k-byte sliding window of ``data`` (k < 32), fully
+    vectorized — one numpy pass instead of a Python xxh64 call per window
+    position. Bit-identical to ``xxh64(data[i:i+k])`` (pinned by tests);
+    this is the shingling / winnowing hot path."""
+    if not (0 < k < 32):
+        raise ValueError("xxh64_windows supports 0 < k < 32")
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b) - k + 1
+    if n <= 0:
+        raise ValueError("data shorter than window")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = sliding_window_view(b, k)  # (n, k), zero-copy
+    P1, P2, P3, P4, P5 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4, _P5))
+
+    def rotl(x: np.ndarray, r: int) -> np.ndarray:
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def le_word(i: int, width: int) -> np.ndarray:
+        v = np.zeros(n, dtype=np.uint64)
+        for j in range(width):
+            v |= W[:, i + j].astype(np.uint64) << np.uint64(8 * j)
+        return v
+
+    h = np.full(n, (seed + _P5 + k) & _M64, dtype=np.uint64)
+    i = 0
+    while i + 8 <= k:
+        h ^= rotl(le_word(i, 8) * P2, 31) * P1
+        h = rotl(h, 27) * P1 + P4
+        i += 8
+    if i + 4 <= k:
+        h ^= le_word(i, 4) * P1
+        h = rotl(h, 23) * P2 + P3
+        i += 4
+    while i < k:
+        h ^= W[:, i].astype(np.uint64) * P5
+        h = rotl(h, 11) * P1
+        i += 1
+    h ^= h >> np.uint64(33)
+    h *= P2
+    h ^= h >> np.uint64(29)
+    h *= P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
 def text_hash64(texts: "list[str] | np.ndarray") -> np.ndarray:
     """xxh64 of utf-8 text, as uint64 numpy array (exact-dedup content key)."""
     return np.fromiter(

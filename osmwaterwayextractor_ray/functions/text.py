@@ -14,7 +14,7 @@ import re
 
 import numpy as np
 
-from osmwaterwayextractor_ray.functions.hashing import xxh64
+from osmwaterwayextractor_ray.functions.hashing import xxh64, xxh64_windows
 
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 _PUNCT_RE = re.compile(r"[.!?,;:]")
@@ -79,12 +79,13 @@ _PERM_B = _rng.randint(0, 1 << 31, size=_N_PERM).astype(np.uint64)
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """xxh64 of each k-char shingle, distinct, as uint64."""
+    """xxh64 of each k-byte shingle, distinct (sorted), as uint64.
+    Vectorized via the sliding-window XXH64 kernel — every consumer
+    (MinHash min, Jaccard set ops) is order-independent."""
     data = text.encode("utf-8", "surrogatepass")
     if len(data) < k:
         return np.array([xxh64(data)], dtype=np.uint64)
-    seen = {xxh64(data[i : i + k]) for i in range(len(data) - k + 1)}
-    return np.fromiter(seen, dtype=np.uint64, count=len(seen))
+    return np.unique(xxh64_windows(data, k))
 
 
 def minhash_signature(text: str, k: int = 5) -> np.ndarray:
@@ -128,11 +129,15 @@ def simhash64(text: str) -> int:
     from collections import Counter
 
     counts = Counter(toks)
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, c in counts.items():
-        h = xxh64(tok.encode("utf-8", "surrogatepass"))
-        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)).astype(np.int64)
-        acc += c * (2 * bits - 1)
+    hs = np.fromiter(
+        (xxh64(t.encode("utf-8", "surrogatepass")) for t in counts), dtype=np.uint64,
+        count=len(counts),
+    )
+    cs = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # (n_tok, 64) bit matrix in one unpackbits — same byte/bit order as the
+    # previous per-token np.uint64(h).tobytes() loop (little-endian bytes)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1).astype(np.int64)
+    acc = ((2 * bits - 1) * cs[:, None]).sum(axis=0)
     out = np.packbits((acc > 0).astype(np.uint8)).tobytes()
     return int.from_bytes(out, "little")
 
@@ -150,9 +155,7 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
     n = len(data) - k + 1
     if n <= 0:
         return np.array([xxh64(data)], dtype=np.uint64)
-    hashes = np.fromiter(
-        (xxh64(data[i : i + k]) for i in range(n)), dtype=np.uint64, count=n
-    )
+    hashes = xxh64_windows(data, k)
     if n <= window:
         return np.array([hashes.min()], dtype=np.uint64)
     from numpy.lib.stride_tricks import sliding_window_view

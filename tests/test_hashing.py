@@ -70,3 +70,20 @@ def test_text_hash64():
     h = text_hash64(["abc", "abc", "abd"])
     assert h[0] == h[1] != h[2]
     assert h.dtype == np.uint64
+
+
+def test_xxh64_windows_bit_identical():
+    """The vectorized sliding-window XXH64 must match the scalar spec
+    implementation for every window width it supports."""
+    import numpy as np
+
+    from osmwaterwayextractor_ray.functions.hashing import xxh64, xxh64_windows
+
+    rng = np.random.default_rng(11)
+    data = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    for k in (1, 4, 5, 7, 8, 9, 12, 16, 17, 24, 31):
+        got = xxh64_windows(data, k)
+        want = np.array(
+            [xxh64(data[i : i + k]) for i in range(len(data) - k + 1)], dtype=np.uint64
+        )
+        assert np.array_equal(got, want), k

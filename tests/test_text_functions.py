@@ -93,3 +93,51 @@ def test_bloom_filter():
     bf2.add(odds[:100])
     bf2.m == bf.m and bf.merge(bf2)
     assert bf.contains(odds[:100]).all()
+
+
+def test_bucketed_pairs_matches_per_group(ray_session):
+    """fastagg.bucketed_pairs must emit exactly the pairs the naive
+    per-fine-group triu emission does (incl. the max_group stop-band)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "band": rng.integers(0, 8, n),
+            "key": rng.integers(0, 60, n),
+            "doc_id": rng.integers(0, 900, n),
+        }
+    )
+    for max_group in (None, 6):
+        got = (
+            bucketed_pairs(
+                rd.from_pandas(df).repartition(7),
+                ["band", "key"], "doc_id", "doc_a", "doc_b", max_group=max_group,
+            )
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+            .drop_duplicates()
+        )
+        want_rows = []
+        for _, g in df.groupby(["band", "key"]):
+            ids = np.sort(g["doc_id"].unique())
+            if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            want_rows.append(pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]}))
+        want = (
+            pd.concat(want_rows, ignore_index=True)
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        # bucketed_pairs may emit a pair once per fine group it co-occurs in;
+        # compare the distinct pair sets (the pipelines dedup downstream)
+        got_set = set(map(tuple, got.to_numpy()))
+        want_set = set(map(tuple, want.drop_duplicates().to_numpy()))
+        assert got_set == want_set, max_group
