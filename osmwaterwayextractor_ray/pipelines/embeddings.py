@@ -149,7 +149,7 @@ def _corpus_with_planted_neighbors(sf_dir: str):
     return ds.map_batches(plant, batch_format="pyarrow", batch_size=4096)
 
 
-def embed_neardup(sf_dir: str, threshold: float = 0.995):
+def embed_neardup(sf_dir: str, threshold: float = 0.995, skew_threshold: int | None = None):
     """Candidate pairs from 16-bit sign-LSH buckets, verified with exact
     float64 cosine >= threshold. Returns (vec_a, vec_b, cosine), a < b.
 
@@ -213,8 +213,16 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995):
 
         return corpus.map_batches(rn, batch_format="pyarrow", batch_size=4096)
 
-    paired = hash_join(cand, _emb_side("vec_a", "emb_a"), on=["vec_a"])
-    paired = hash_join(paired, _emb_side("vec_b", "emb_b"), on=["vec_b"])
+    # skew_threshold: opt-in hot-key guard (fastagg.hash_join) for a
+    # mega-duplicate vector dominating the candidate pairs; pins the
+    # intermediate sets so the heavy-hitter pre-pass doesn't re-run
+    # upstream stages. Off by default (bucket sizes bound the pair count).
+    if skew_threshold is not None:
+        cand = cand.materialize()
+    paired = hash_join(cand, _emb_side("vec_a", "emb_a"), on=["vec_a"], skew_threshold=skew_threshold)
+    if skew_threshold is not None:
+        paired = paired.materialize()
+    paired = hash_join(paired, _emb_side("vec_b", "emb_b"), on=["vec_b"], skew_threshold=skew_threshold)
 
     def _list_matrix(col) -> np.ndarray:
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

@@ -192,7 +192,7 @@ class _MinHashStage:
         )
 
 
-def minhash_neardup(sf_dir: str, threshold: float = 0.6):
+def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | None = None):
     """Candidate pairs from LSH buckets, verified with exact shingle
     Jaccard >= threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
     doc_b, deduplicated across buckets.
@@ -231,8 +231,18 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6):
 
         return corpus.map_batches(rn, batch_format="pyarrow", batch_size=8192)
 
-    paired = hash_join(cand, _text_side("doc_a", "text_a"), on=["doc_a"])
-    paired = hash_join(paired, _text_side("doc_b", "text_b"), on=["doc_b"])
+    # skew_threshold: opt-in hot-key guard for the verify joins (a
+    # mega-duplicate doc id appearing in >threshold candidate pairs is
+    # salted across sub-buckets — fastagg.hash_join docstring). Off by
+    # default: the max_group stop-band above already bounds any one doc to
+    # O(bands × max_group) pairs. When on, pin the candidate set so the
+    # heavy-hitter pre-pass doesn't re-run the LSH banding.
+    if skew_threshold is not None:
+        cand = cand.materialize()
+    paired = hash_join(cand, _text_side("doc_a", "text_a"), on=["doc_a"], skew_threshold=skew_threshold)
+    if skew_threshold is not None:
+        paired = paired.materialize()  # pre-pass for join 2 must not re-run join 1
+    paired = hash_join(paired, _text_side("doc_b", "text_b"), on=["doc_b"], skew_threshold=skew_threshold)
 
     def verify(batch: pa.Table) -> pa.Table:
         from osmwaterwayextractor_ray.functions.text import shingle_hashes

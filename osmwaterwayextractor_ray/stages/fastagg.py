@@ -185,8 +185,21 @@ def cogroup(
     right_on = right_on or left_on
     lschema, rschema = left.schema(), right.schema()
     lnames, rnames = list(lschema.names), list(rschema.names)
-    types = dict(zip(rschema.names, rschema.types))
-    types.update(dict(zip(lschema.names, lschema.types)))
+
+    def _pa_type(t):
+        # pandas-backed blocks report numpy dtypes / Python classes, not
+        # pa.DataType — normalize so the null-pad below always works
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (object, str):
+            return pa.string()
+        try:
+            return pa.from_numpy_dtype(np.dtype(t))
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    types = {c: _pa_type(t) for c, t in zip(rschema.names, rschema.types)}
+    types.update({c: _pa_type(t) for c, t in zip(lschema.names, lschema.types)})
     all_cols = lnames + [c for c in rnames if c not in lnames]
 
     def tag(side: int, have: list[str], on: list[str]):
@@ -219,6 +232,60 @@ def cogroup(
     return both.groupby("__part"), split
 
 
+def detect_hot_keys(
+    ds, keys: list[str], threshold: int, top_per_batch: int = 16
+) -> set[tuple]:
+    """Approximate heavy-hitter detection for join salting: each batch
+    reports its ``top_per_batch`` most frequent key tuples (O(batches ×
+    top_k) driver rows, never O(distinct keys)); the driver sums the
+    partials and returns key tuples whose (under)count exceeds
+    ``threshold``. Missing a hot key only costs performance, never
+    correctness — salting is output-invariant."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        g = df.groupby(keys, as_index=False, sort=False).size()
+        g = g.nlargest(top_per_batch, "size")
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(pdf) == 0:
+        return set()
+    totals = pdf.groupby(keys, sort=False)["size"].sum()
+    hot = totals[totals > threshold]
+    return {k if isinstance(k, tuple) else (k,) for k in hot.index}
+
+
+def _salted(ds, on: list[str], hot: set[tuple], factor: int, replicate: bool, batch_size: int):
+    """Append a ``__salt`` column (0 everywhere except hot-key rows).
+    ``replicate=False`` (fact side): hot rows get salt = row-hash % factor,
+    splitting a hot key across ``factor`` buckets. ``replicate=True``
+    (dimension side): hot rows are duplicated once per salt value, so every
+    fact sub-bucket still finds its match. Output-invariant by
+    construction: each (left row, right row) key match meets in exactly one
+    (key, salt) bucket."""
+    hot_df = pd.DataFrame(list(hot), columns=on)
+    hot_df["__hot"] = True
+
+    def tag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        is_hot = df.merge(hot_df, on=on, how="left")["__hot"].notna().to_numpy()
+        if replicate:
+            rep = np.where(is_hot, factor, 1)
+            idx = np.repeat(np.arange(len(df)), rep)
+            salt = np.concatenate([np.arange(k) for k in rep.tolist()]) if len(rep) else np.array([], dtype=np.int64)
+            out = df.iloc[idx].copy()
+            out["__salt"] = salt.astype(np.int64)
+        else:
+            # deterministic row-content hash -> block-structure-invariant
+            rh = pd.util.hash_pandas_object(df, index=False).to_numpy().astype(np.uint64)
+            out = df
+            out["__salt"] = np.where(is_hot, (rh % np.uint64(factor)).astype(np.int64), 0)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+
+
 def hash_join(
     left,
     right,
@@ -228,25 +295,56 @@ def hash_join(
     batch_size: int = 65536,
     left_on: list[str] | None = None,
     right_on: list[str] | None = None,
+    skew_threshold: int | None = None,
+    skew_factor: int = 8,
 ):
     """Partitioned hash join: co-group by key-hash bucket (``cogroup``),
     pandas-merge per bucket. Key columns may differ per side via
     ``left_on``/``right_on`` (both sides bucket on the hash of their own
-    key values, so matching keys meet in the same bucket)."""
+    key values, so matching keys meet in the same bucket).
+
+    ``skew_threshold``: hot-key guard (VERDICT r2 #4). Keys with more than
+    this many LEFT-side rows (detected by a cheap heavy-hitter pre-pass)
+    are salted: left rows spread over ``skew_factor`` sub-buckets by row
+    hash, right hot rows replicated into each sub-bucket — one viral key no
+    longer lands in a single bucket task. Inner joins only (an unmatched
+    replicated right row would otherwise emit once per salt). Results are
+    identical to the unsalted join (pinned by tests)."""
     if on is not None:
         left_on = right_on = on
     if left_on is None or right_on is None:
         raise ValueError("hash_join needs `on` or both `left_on` and `right_on`")
+
+    bucket_l, bucket_r = list(left_on), list(right_on)
+    if skew_threshold is not None:
+        if how != "inner":
+            raise ValueError("skew_threshold requires how='inner'")
+        hot = detect_hot_keys(left, list(left_on), skew_threshold)
+        if hot:
+            left = _salted(left, list(left_on), hot, skew_factor, replicate=False,
+                           batch_size=batch_size)
+            # right keys may be named differently — map the hot tuples over
+            right = _salted(right, list(right_on), hot, skew_factor, replicate=True,
+                            batch_size=batch_size)
+            bucket_l = list(left_on) + ["__salt"]
+            bucket_r = list(right_on) + ["__salt"]
+
     grouped, split = cogroup(
-        left, right, left_on, right_on=right_on, num_parts=num_parts, batch_size=batch_size
+        left, right, bucket_l, right_on=bucket_r, num_parts=num_parts, batch_size=batch_size
     )
+    merge_keys_same = on is not None
 
     def merge(g: pa.Table) -> pa.Table:
         lg, rg = split(g)
-        if on is not None:
-            out = lg.to_pandas().merge(rg.to_pandas(), on=on, how=how)
+        ldf, rdf = lg.to_pandas(), rg.to_pandas()
+        mk_l, mk_r = list(bucket_l), list(bucket_r)
+        if merge_keys_same:
+            out = ldf.merge(rdf, on=mk_l, how=how)
         else:
-            out = lg.to_pandas().merge(rg.to_pandas(), left_on=left_on, right_on=right_on, how=how)
+            out = ldf.merge(rdf, left_on=mk_l, right_on=mk_r, how=how)
+        drop = [c for c in out.columns if c.startswith("__salt")]
+        if drop:
+            out = out.drop(columns=drop)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return grouped.map_groups(merge, batch_format="pyarrow")

@@ -41,6 +41,23 @@ def test_embed_neardup_finds_planted(ray_session):
     assert (df["cosine"] >= 0.995).all()
 
 
+def test_minhash_neardup_skew_guard_equivalent(ray_session):
+    """Forcing the hot-key salting path (skew_threshold far below real key
+    frequencies) must not change the verified near-dup output."""
+    from osmwaterwayextractor_ray.pipelines.textops import minhash_neardup
+
+    plain = (
+        minhash_neardup(SF).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    salted = (
+        minhash_neardup(SF, skew_threshold=3)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
 def test_simhash_and_langid_deterministic(ray_session):
     from osmwaterwayextractor_ray.pipelines.textops import langid_pred, simhash_fingerprints
 

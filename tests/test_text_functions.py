@@ -141,3 +141,48 @@ def test_bucketed_pairs_matches_per_group(ray_session):
         got_set = set(map(tuple, got.to_numpy()))
         want_set = set(map(tuple, want.drop_duplicates().to_numpy()))
         assert got_set == want_set, max_group
+
+
+def test_hash_join_skew_guard_output_invariant(ray_session):
+    """A salted (skew-guarded) hash_join must return exactly the rows of
+    the unsalted join, and the heavy-hitter pre-pass must find the hot key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import detect_hot_keys, hash_join
+
+    rng = np.random.default_rng(9)
+    n = 20_000
+    # one viral key (7) holds half the fact side
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 500, n))
+    fact = pd.DataFrame({"k": k, "v": np.arange(n)})
+    dim = pd.DataFrame({"k": np.arange(500), "name": [f"d{i}" for i in range(500)]})
+
+    hot = detect_hot_keys(rd.from_pandas(fact).repartition(8), ["k"], threshold=1000)
+    assert (7,) in hot
+
+    def run(**kw):
+        return (
+            hash_join(rd.from_pandas(fact).repartition(8), rd.from_pandas(dim), on=["k"], **kw)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[["k", "v", "name"]]
+        )
+
+    plain = run()
+    salted = run(skew_threshold=1000, skew_factor=4)
+    pd.testing.assert_frame_equal(plain, salted)
+
+    # differing key names through the salted path
+    dim2 = dim.rename(columns={"k": "dk"})
+    salted2 = (
+        hash_join(
+            rd.from_pandas(fact).repartition(8), rd.from_pandas(dim2),
+            left_on=["k"], right_on=["dk"], skew_threshold=1000, skew_factor=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)[["k", "v", "name"]]
+    )
+    pd.testing.assert_frame_equal(plain, salted2)
