@@ -21,6 +21,12 @@ GOLDEN = {
     "embed_neardup": ("db859c7036e2a96b", 500),
     "embed_topk_ivf": ("53e74fa2f1bc24fe", 50),
     "media_features": ("63787851c00cfca0", 500),
+    # the three flagship graph queries (VERDICT r2 #8): parity- and
+    # invariance-pinned elsewhere, value-hash-pinned here so a driver can
+    # see sf0.001 drift; verified identical across num_cpus=4 and 8
+    "waterway_nodes": ("c62a6906fce8b1ea", 1946),
+    "waterway_edges": ("932f2cc690ab25ff", 2012),
+    "waterway_tiles": ("2cdf54d0c1ff50b2", 490),
 }
 
 
