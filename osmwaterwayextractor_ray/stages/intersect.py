@@ -438,6 +438,19 @@ def _split_ways_with_candidates(
 
 
 def split_at_intersections(ds, points_ds, config: Config):
+    import os
+
+    # guard BEFORE collecting: count() is metadata-cheap on the (already
+    # materialized) points, so the driver never holds an over-budget blob
+    n_points = points_ds.count()
+    budget = int(os.environ.get("WWX_MAX_BROADCAST_ROWS", 50_000_000))
+    if n_points > budget:
+        raise ValueError(
+            f"broadcast intersection splitter would ship {n_points} points to "
+            f"every task, above the WWX_MAX_BROADCAST_ROWS budget ({budget}); "
+            f"set intersection_splitter='distributed' (identical results, "
+            f"pinned by tests)"
+        )
     pdf = points_ds.to_pandas()
     lat = pdf["lat"].to_numpy(dtype=np.float64)
     lon = pdf["lon"].to_numpy(dtype=np.float64)

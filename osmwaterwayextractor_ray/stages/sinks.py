@@ -28,6 +28,13 @@ import pyarrow as pa
 from osmwaterwayextractor_ray.config import Config
 from osmwaterwayextractor_ray.stages._arrow import list_column
 
+def _max_broadcast_rows() -> int:
+    """Budget for the single-file legacy formats' driver-resident id->rank
+    dict (O(nodes)); beyond it the sharded twins (save_jsongz(shards=N) /
+    save_geojson(shards=N)) must be used — they assign ranks distributedly.
+    Read at call time so a deployment (or a test) can tighten it via env."""
+    return int(os.environ.get("WWX_MAX_BROADCAST_ROWS", 50_000_000))
+
 
 def _coords_repr_column(batch: pa.Table) -> pa.Table:
     """Stringify (lats, lons) list columns into the reference CSV's
@@ -221,6 +228,14 @@ def _node_index_stream(nodes_ds):
     row list); node payloads are re-streamed from the returned sorted
     Dataset."""
     sorted_nodes = nodes_ds.sort("id").materialize()
+    n = sorted_nodes.count()
+    if n > _max_broadcast_rows():
+        raise ValueError(
+            f"single-file legacy sink needs a driver-resident id->rank dict of "
+            f"{n} nodes, above the WWX_MAX_BROADCAST_ROWS budget "
+            f"({_max_broadcast_rows()}); use the sharded twin (shards=N), which "
+            f"assigns node ranks distributedly with no O(nodes) driver state"
+        )
     idx: dict[str, int] = {}
     base = 0
     for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):

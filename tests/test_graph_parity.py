@@ -347,6 +347,29 @@ def test_distributed_splitter_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_broadcast_splitter_budget_guard(ray_session, monkeypatch):
+    """With WWX_MAX_BROADCAST_ROWS below the point count, the broadcast
+    splitter must refuse (pointing at the distributed twin) instead of
+    silently shipping an over-budget blob."""
+    import pytest as _pytest
+
+    from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+    from osmwaterwayextractor_ray.stages.intersect import (
+        detect_intersections,
+        split_at_intersections,
+    )
+
+    cfg = Config(min_fragment_length_m=0.0, snap_tolerance_m=5.0)
+    base = simplify_waterways(
+        clean_waterways(synth_waterways_ds(20), cfg), cfg
+    ).materialize()
+    points = detect_intersections(base, cfg).materialize()
+    assert points.count() > 1
+    monkeypatch.setenv("WWX_MAX_BROADCAST_ROWS", "1")
+    with _pytest.raises(ValueError, match="distributed"):
+        split_at_intersections(base, points, cfg)
+
+
 def test_full_graph_all_distributed_mode(ray_session):
     """build_graph with BOTH distributed paths (splitter + edge assembly)
     end-to-end equals the broadcast-mode graph."""

@@ -40,6 +40,20 @@ def test_parquet_and_csv(graph, tmp_path):
     assert first.startswith("[(") and first.endswith(")]")
 
 
+def test_single_file_sink_budget_guard(graph, tmp_path, monkeypatch):
+    """With WWX_MAX_BROADCAST_ROWS below the node count, the single-file
+    legacy sinks must refuse (pointing at the sharded twin) instead of
+    building an over-budget driver dict; the sharded path stays usable."""
+    import pytest as _pytest
+
+    nodes, edges = graph
+    monkeypatch.setenv("WWX_MAX_BROADCAST_ROWS", "1")
+    with _pytest.raises(ValueError, match="shards"):
+        sinks.save_jsongz(nodes, edges, str(tmp_path / "g"))
+    out = sinks.save_jsongz(nodes, edges, str(tmp_path / "gs"), shards=2)
+    assert os.path.exists(out["nodes"])
+
+
 def test_geojson(graph, tmp_path):
     nodes, edges = graph
     path = sinks.save_geojson(edges, str(tmp_path / "edges.geojson"))
