@@ -1,12 +1,12 @@
 """Multimodal (binary-column) plumbing.
 
-Real image/audio codecs are absent from this environment, so the decode
-kernel is STUBBED (clearly marked below) behind a deterministic fake — but
-the Ray-side plumbing is real and tested: an opaque ``payload: binary``
-column with typed metadata flows through an actor-pool ``map_batches``
-stage with small batches (binary rows are wide), producing a feature
-table. Swapping ``_decode_stub`` for a real decoder (PIL/ffmpeg) changes
-nothing structurally.
+Real image decode runs through PIL when Pillow is installed (probed once
+per actor, ``_probe_pil``); this container has no codecs, so the synthetic
+'image/fake' type decodes via a deterministic STUB (clearly marked below)
+and other types raise. The Ray-side plumbing is identical either way and
+fully tested: an opaque ``payload: binary`` column with typed metadata
+flows through an actor-pool ``map_batches`` stage with small batches
+(binary rows are wide), producing a feature table.
 """
 
 from __future__ import annotations
@@ -46,6 +46,18 @@ def media_from_documents(sf_dir: str):
     return ds.map_batches(to_media, batch_format="pyarrow")
 
 
+def _probe_pil():
+    """Optional-dependency probe: return PIL.Image when Pillow is
+    installed, else None. Called once per actor (in __init__), so the
+    import cost is paid per worker process, not per batch."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _decode_stub(payload: bytes) -> dict:
     """STUB: stands in for a real decode (PIL.Image.open / av.open).
 
@@ -63,12 +75,30 @@ def _decode_stub(payload: bytes) -> dict:
 
 
 class MediaFeatureExtractor:
-    """Actor-pool stage: per-batch decode + feature extraction. Holds
-    decoder state (codec tables, a loaded model) in __init__ in the real
-    implementation."""
+    """Actor-pool stage: per-batch decode + feature extraction. Decoder
+    state (the probed PIL module — codec tables / a loaded model in a
+    richer deployment) is held from __init__, once per actor.
+
+    Media-type dispatch: 'image/fake' always uses the deterministic stub
+    (the golden-pinned synthetic path); real 'image/*' payloads decode via
+    PIL when Pillow is installed; anything else (or an image without PIL)
+    raises NotImplementedError — declared, never silently fabricated."""
 
     def __init__(self):
         self.decode = _decode_stub
+        self._pil_image = _probe_pil()
+
+    def _decode_real(self, payload: bytes) -> dict:
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload))
+        w, h = img.size
+        return {
+            "n_bytes": len(payload),
+            "content_hash": xxh64(payload) & 0x7FFFFFFFFFFFFFFF,
+            "width": int(w),
+            "height": int(h),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -76,9 +106,15 @@ class MediaFeatureExtractor:
         mtypes = batch.column("media_type").to_pylist()
         feats = []
         for p, mt in zip(payloads, mtypes):
-            if mt != "image/fake":
-                raise NotImplementedError(f"no decoder for media type {mt!r} in this environment")
-            feats.append(self.decode(p or b""))
+            if mt == "image/fake":
+                feats.append(self.decode(p or b""))
+            elif mt.startswith("image/") and self._pil_image is not None:
+                feats.append(self._decode_real(p or b""))
+            else:
+                raise NotImplementedError(
+                    f"no decoder for media type {mt!r} in this environment"
+                    + (" (install Pillow for image/*)" if mt.startswith("image/") else "")
+                )
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

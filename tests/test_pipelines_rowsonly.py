@@ -69,6 +69,44 @@ def test_simhash_and_langid_deterministic(ray_session):
     assert len(lp) == len(a)
 
 
+def test_media_real_decode_dispatch(monkeypatch):
+    """The PIL-probed real-decode path: with a (fake) PIL module present,
+    'image/png' payloads decode through PIL.Image.open; without PIL they
+    raise the declared NotImplementedError; 'image/fake' always stubs.
+    Called directly (no Ray) — dispatch is per-actor state."""
+    import types
+
+    import pyarrow as pa
+
+    from osmwaterwayextractor_ray.pipelines import multimodal as mm
+
+    def batch(mt):
+        return pa.table(
+            {
+                "doc_id": pa.array([1], type=pa.int64()),
+                "media_type": pa.array([mt], type=pa.string()),
+                "payload": pa.array([b"\x89PNG fake bytes"], type=pa.binary()),
+            }
+        )
+
+    # no PIL: real image types are declared-unsupported, stub type works
+    monkeypatch.setattr(mm, "_probe_pil", lambda: None)
+    ex = mm.MediaFeatureExtractor()
+    assert ex(batch("image/fake"))["n_bytes"][0].as_py() == 15
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        ex(batch("image/png"))
+
+    # fake PIL: open() returns an object with .size, features flow through
+    class _Img:
+        size = (320, 240)
+
+    fake_image = types.SimpleNamespace(open=lambda buf: _Img())
+    monkeypatch.setattr(mm, "_probe_pil", lambda: fake_image)
+    out = mm.MediaFeatureExtractor()(batch("image/png"))
+    assert out["width"][0].as_py() == 320 and out["height"][0].as_py() == 240
+    assert out["n_bytes"][0].as_py() == 15
+
+
 def test_media_features(ray_session):
     from osmwaterwayextractor_ray.pipelines.multimodal import media_features
 
