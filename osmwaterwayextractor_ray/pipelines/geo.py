@@ -294,99 +294,220 @@ _KNN_BLOCK_FLOATS = 4_000_000
 def _blocked_knn(
     c_lat: np.ndarray, c_lon: np.ndarray, c_eid: np.ndarray,
     p_lat: np.ndarray, p_lon: np.ndarray, p_eid: np.ndarray, k: int,
+    return_d2: bool = False,
 ) -> pd.DataFrame:
     """Exact k nearest candidates (p_*) per center (c_*), squared-degree
     metric, ties by candidate event_id, self-pairs (same event_id)
     excluded. Fully vectorized: BLOCK x n distance blocks; per block the
     k-th smallest VALUE bounds the candidate set (np.partition), then one
     global lexsort of the ragged (row, dist2, eid) candidates resolves
-    ties exactly — no per-row Python loop."""
+    ties exactly — no per-row Python loop. ``return_d2`` adds the squared
+    distance column (for partial-top-k merging in the halo two-pass).
+
+    kk = min(k, n): when the center is among the candidates its self-pair
+    is inf-masked and dropped by the finite filter, so at most the k
+    nearest OTHERS come back either way — but a center absent from the
+    candidate set (halo pass 2, ring cells) still gets its full k."""
     n = len(p_eid)
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    empty = {"event_id": np.array([], dtype=np.int64), "neighbor_id": np.array([], dtype=np.int64)}
+    if return_d2:
+        empty["d2"] = np.array([], dtype=np.float64)
     if n == 0 or len(c_eid) == 0:
-        return pd.DataFrame(
-            {"event_id": np.array([], dtype=np.int64), "neighbor_id": np.array([], dtype=np.int64)}
-        )
+        return pd.DataFrame(empty)
     block = max(1, _KNN_BLOCK_FLOATS // n)
     for s in range(0, len(c_eid), block):
         e = min(s + block, len(c_eid))
         d2 = (c_lat[s:e, None] - p_lat[None, :]) ** 2 + (c_lon[s:e, None] - p_lon[None, :]) ** 2
         d2[c_eid[s:e, None] == p_eid[None, :]] = np.inf  # exclude self
-        kk = min(k, n - 1)
-        if kk <= 0:
-            continue
+        kk = min(k, n)
         kth = np.partition(d2, kk - 1, axis=1)[:, kk - 1]
         rr, cc = np.nonzero(d2 <= kth[:, None])
         dv = d2[rr, cc]
         fin = np.isfinite(dv)
         rr, cc, dv = rr[fin], cc[fin], dv[fin]
         order = np.lexsort((p_eid[cc], dv, rr))
-        rr, cc = rr[order], cc[order]
+        rr, cc, dv = rr[order], cc[order], dv[order]
         starts = np.searchsorted(rr, np.arange(e - s))
         pos = np.arange(len(rr)) - starts[rr]
         keep = pos < kk
         out_a.append(c_eid[s:e][rr[keep]])
         out_b.append(p_eid[cc[keep]])
+        if return_d2:
+            out_d.append(dv[keep])
     if not out_a:
-        return pd.DataFrame(
-            {"event_id": np.array([], dtype=np.int64), "neighbor_id": np.array([], dtype=np.int64)}
-        )
-    return pd.DataFrame(
-        {"event_id": np.concatenate(out_a), "neighbor_id": np.concatenate(out_b)}
-    )
+        return pd.DataFrame(empty)
+    out = {"event_id": np.concatenate(out_a), "neighbor_id": np.concatenate(out_b)}
+    if return_d2:
+        out["d2"] = np.concatenate(out_d)
+    return pd.DataFrame(out)
 
 
 def cell_knn_halo(sf_dir: str, k: int = CELL_K):
     """Per-point kNN over the point's 1° cell PLUS the 8-neighbor ring
-    (SURVEY J6's halo extension): candidates are replicated into each
-    neighboring cell's group, so border points see their true neighborhood
-    instead of a cell-truncated one. One shuffle; replication factor 9 on
-    the candidate side, centers stay in their home cell only."""
+    (SURVEY J6's halo extension), as an exact TWO-PASS refinement
+    (VERDICT r2 #7 — replaces the 9x full-candidate replication):
+
+    pass 1: plain per-cell kNN. A center is SETTLED when it found k
+    in-cell neighbors and its k-th distance is strictly inside its own
+    cell border (sqrt(d_k) < distance to the nearest cell edge) — every
+    ring candidate is then strictly farther, so neither the top-k nor its
+    event_id tie-breaks can change. Its in-cell answer is final.
+
+    pass 2: only the unsettled centers (border band + sparse cells —
+    a small fraction) are replicated to their 9 ring cells; each cell
+    emits a partial top-k WITH distances against its own candidates, and
+    a per-center merge (hash-bucketed, vectorized lexsort) takes the
+    global k by (d2, neighbor_id). Exact equality with the one-shot ring
+    kNN is pinned by the SQL oracle and a direct-equivalence test.
+
+    Shuffle volume ~ 2n + 9u vs the old 9n (u = unsettled count)."""
     from osmwaterwayextractor_ray.functions.cells import cell_id
 
     pts = points_from_events(sf_dir)
 
+    def add_cell(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cell", pa.array(cell_id(lat, lon, CELL_DEG), type=pa.int64())
+        )
+
+    # pinned once: feeds pass 1 and pass 2's candidate side
+    tagged = pts.map_batches(add_cell, batch_format="pyarrow", batch_size=65536).materialize()
+
+    def pass1(g: pd.DataFrame) -> pd.DataFrame:
+        lat, lon = g["lat"].to_numpy(), g["lon"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        res = _blocked_knn(lat, lon, eid, lat, lon, eid, k, return_d2=True)
+        # per-center result count and k-th (= max kept) distance
+        stats = res.groupby("event_id", sort=False)["d2"].agg(["count", "max"])
+        cnt = stats["count"].reindex(eid).fillna(0).to_numpy()
+        dk = stats["max"].reindex(eid).fillna(np.inf).to_numpy()
+        # distance from each center to its nearest own-cell edge (degrees)
+        lat_lo = np.floor((lat + 90.0) / CELL_DEG) * CELL_DEG - 90.0
+        lon_lo = np.floor((lon + 180.0) / CELL_DEG) * CELL_DEG - 180.0
+        border = np.minimum.reduce(
+            [lat - lat_lo, lat_lo + CELL_DEG - lat, lon - lon_lo, lon_lo + CELL_DEG - lon]
+        )
+        settled = (cnt >= k) & (dk < border * border)  # strict: ties impossible
+        ok = res[np.isin(res["event_id"].to_numpy(), eid[settled])]
+        uns = ~settled
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate([ok["event_id"].to_numpy(), eid[uns]]),
+                "neighbor_id": np.concatenate(
+                    [ok["neighbor_id"].to_numpy(), np.full(uns.sum(), -1, dtype=np.int64)]
+                ),
+                "lat": np.concatenate([np.zeros(len(ok)), lat[uns]]),
+                "lon": np.concatenate([np.zeros(len(ok)), lon[uns]]),
+                "unsettled": np.concatenate(
+                    [np.zeros(len(ok), dtype=bool), np.ones(int(uns.sum()), dtype=bool)]
+                ),
+            }
+        )
+
+    p1 = tagged.groupby("cell").map_groups(pass1, batch_format="pandas").materialize()
+
+    def _split(want: bool, cols: list[str]):
+        def f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            mask = _pc.equal(t["unsettled"], want)
+            return t.filter(mask).select(cols)
+
+        return p1.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+    settled_rows = _split(False, ["event_id", "neighbor_id"])
+    unsettled = _split(True, ["event_id", "lat", "lon"])
+
     # input lat/lon stay within [-5,5)/[-10,10), so la/lo never touch the
     # grid edges and the 9-cell ring needs no wraparound handling
-    def emit(batch: pa.Table) -> pa.Table:
+    def emit_ring(batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         la = np.floor((lat + 90.0) / CELL_DEG).astype(np.int64)
         lo = np.floor((lon + 180.0) / CELL_DEG).astype(np.int64)
-        cells, lats, lons, eids, center = [], [], [], [], []
+        cells, lats, lons, eids = [], [], [], []
         for dla in (-1, 0, 1):
             for dlo in (-1, 0, 1):
                 cells.append((la + dla) * N_LON_1DEG + (lo + dlo))
                 lats.append(lat)
                 lons.append(lon)
                 eids.append(eid)
-                center.append(
-                    np.full(len(eid), dla == 0 and dlo == 0, dtype=np.bool_)
-                )
+        n9 = 9 * len(eid)
         return pa.table(
             {
                 "cell": pa.array(np.concatenate(cells), type=pa.int64()),
                 "lat": pa.array(np.concatenate(lats), type=pa.float64()),
                 "lon": pa.array(np.concatenate(lons), type=pa.float64()),
                 "event_id": pa.array(np.concatenate(eids), type=pa.int64()),
-                "is_center": pa.array(np.concatenate(center), type=pa.bool_()),
+                "is_center": pa.array(np.ones(n9, dtype=np.bool_)),
             }
         )
 
-    def group_knn(g: pd.DataFrame) -> pd.DataFrame:
-        ctr = g[g["is_center"].to_numpy()]
-        return _blocked_knn(
-            ctr["lat"].to_numpy(), ctr["lon"].to_numpy(), ctr["event_id"].to_numpy(),
-            g["lat"].to_numpy(), g["lon"].to_numpy(), g["event_id"].to_numpy(), k
+    ring_centers = unsettled.map_batches(emit_ring, batch_format="pyarrow", batch_size=65536)
+
+    def as_candidate(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": batch["cell"],
+                "lat": batch["lat"],
+                "lon": batch["lon"],
+                "event_id": batch["event_id"],
+                "is_center": pa.array(np.zeros(batch.num_rows, dtype=np.bool_)),
+            }
         )
 
-    return (
-        pts.map_batches(emit, batch_format="pyarrow", batch_size=65536)
-        .groupby("cell")
-        .map_groups(group_knn, batch_format="pandas")
+    candidates = tagged.map_batches(as_candidate, batch_format="pyarrow", batch_size=65536)
+
+    def pass2_partial(g: pd.DataFrame) -> pd.DataFrame:
+        ctr = g[g["is_center"].to_numpy()]
+        cand = g[~g["is_center"].to_numpy()]
+        return _blocked_knn(
+            ctr["lat"].to_numpy(), ctr["lon"].to_numpy(), ctr["event_id"].to_numpy(),
+            cand["lat"].to_numpy(), cand["lon"].to_numpy(), cand["event_id"].to_numpy(),
+            k, return_d2=True,
+        )
+
+    partials = (
+        candidates.union(ring_centers).groupby("cell").map_groups(pass2_partial, batch_format="pandas")
     )
+
+    # per-center merge of <=9 partial top-k lists: coarse hash buckets, one
+    # vectorized lexsort per bucket (not one map_groups call per center)
+    N_MERGE_BUCKETS = 64
+
+    def tag_bucket(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__b", pa.array((eid % N_MERGE_BUCKETS).astype(np.int64), type=pa.int64())
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        eid = g["event_id"].to_numpy()
+        nid = g["neighbor_id"].to_numpy()
+        d2 = g["d2"].to_numpy()
+        order = np.lexsort((nid, d2, eid))
+        eid, nid = eid[order], nid[order]
+        change = np.ones(len(eid), dtype=bool)
+        change[1:] = eid[1:] != eid[:-1]
+        starts = np.flatnonzero(change)
+        grp = np.cumsum(change) - 1
+        pos = np.arange(len(eid)) - starts[grp]
+        keep = pos < k
+        return pd.DataFrame({"event_id": eid[keep], "neighbor_id": nid[keep]})
+
+    merged = (
+        partials.map_batches(tag_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__b")
+        .map_groups(merge_topk, batch_format="pandas")
+    )
+
+    return settled_rows.union(merged)
 
 
 CELL_KNN_HALO_SQL = f"""
