@@ -45,6 +45,9 @@ def build_graph(
 ) -> GraphResult:
     config = config or Config()
     t0 = time.time()
+    from osmwaterwayextractor_ray.stages._prof import prof_mark, prof_reset
+
+    prof_reset()
     original_count = None
 
     from osmwaterwayextractor_ray.stages.checkpoint import checkpointed
@@ -73,8 +76,10 @@ def build_graph(
     with_intersections = checkpointed(
         _intersections, "intersections", config, partition_key="way_id"
     )
+    prof_mark("split pipeline constructed")
     if not config.enable_checkpoints:
         with_intersections = with_intersections.materialize()
+    prof_mark("with_intersections (split kernel)")
 
     def _clustering():
         # two-shuffle path: skinny (key, ep, tot) partial-agg shuffle, then
@@ -96,6 +101,7 @@ def build_graph(
     coord_mapping = checkpointed(_clustering, "clustering", config, partition_key="key")
     if not config.enable_checkpoints:
         coord_mapping = coord_mapping.materialize()
+    prof_mark("coord_mapping (count+cluster)")
 
     if config.edge_assembly == "distributed":
         # partitioned hash joins end to end — no driver-resident mapping
@@ -112,6 +118,7 @@ def build_graph(
         from osmwaterwayextractor_ray.stages.edges import collect_coord_mapping
 
         mapping_ref = collect_coord_mapping(coord_mapping, config)
+        prof_mark("collect_coord_mapping")
         edges = create_edges(with_intersections, coord_mapping, config, mapping_ref=mapping_ref)
         nodes = build_nodes(coord_mapping, config, mapping_ref=mapping_ref)
 

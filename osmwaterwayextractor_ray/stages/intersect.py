@@ -217,11 +217,15 @@ def detect_intersections(ds, config: Config):
     sub-tasks (stages/salt.py) before the pairwise kernel."""
     from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
 
+    from osmwaterwayextractor_ray.stages._prof import prof_mark
+
     segs = emit_segments(ds, config).materialize()
+    prof_mark("emit_segments materialize")
     limit = config.hot_cell_row_limit
     hot = (
         compute_hot_cells(segs, "cell", limit) if segs.count() > limit else {}
     )
+    prof_mark("hot-cell count pass")
     salted = apply_salt(segs, "cell", "way_id", hot)
     return salted.groupby("task").map_groups(
         make_cell_intersect_fn(config), batch_format="pandas"
@@ -275,26 +279,43 @@ class IntersectionSplitter:
         if len(self.pt_lat) == 0 or len(lats) < 2:
             return waterways_table(way_ids, lats, lons, offsets, names, wtypes, widths)
 
-        cand_lat_parts: list[np.ndarray] = []
-        cand_lon_parts: list[np.ndarray] = []
-        n_c = np.zeros(n_ways, dtype=np.int64)
-        for r in range(n_ways):
-            s, e = int(offsets[r]), int(offsets[r + 1])
-            if e - s < 2:
-                continue
-            cl, cn = self._candidates(
-                lats[s:e].min(), lons[s:e].min(), lats[s:e].max(), lons[s:e].max()
-            )
-            if len(cl):
-                cand_lat_parts.append(cl)
-                cand_lon_parts.append(cn)
-                n_c[r] = len(cl)
-        cand_lat = (
-            np.concatenate(cand_lat_parts) if cand_lat_parts else np.array([], dtype=np.float64)
-        )
-        cand_lon = (
-            np.concatenate(cand_lon_parts) if cand_lon_parts else np.array([], dtype=np.float64)
-        )
+        # vectorized per-way candidate lookup (replaces a per-way Python
+        # loop): per-way bbox via reduceat, tol-buffered cell-lattice rows
+        # enumerated with the ragged repeat/cumsum trick, ONE searchsorted
+        # pair over all (way, lat-row) keys, then ragged range gather.
+        # Candidate order per way (row-major lattice) matches the old loop
+        # bit-for-bit — and is irrelevant anyway (insertion sorts totally).
+        NL = n_lon(self.cell_deg)
+        n_verts = np.diff(offsets)
+        valid = n_verts >= 2
+        starts = np.minimum(offsets[:-1], max(len(lats) - 1, 0))
+        mn_lat = np.minimum.reduceat(lats, starts)
+        mx_lat = np.maximum.reduceat(lats, starts)
+        mn_lon = np.minimum.reduceat(lons, starts)
+        mx_lon = np.maximum.reduceat(lons, starts)
+        la0 = np.floor((mn_lat - self.tol_deg + 90.0) / self.cell_deg).astype(np.int64)
+        la1 = np.floor((mx_lat + self.tol_deg + 90.0) / self.cell_deg).astype(np.int64)
+        lo0 = np.floor((mn_lon - self.tol_deg + 180.0) / self.cell_deg).astype(np.int64)
+        lo1 = np.floor((mx_lon + self.tol_deg + 180.0) / self.cell_deg).astype(np.int64)
+        rows = np.where(valid, la1 - la0 + 1, 0)
+        R = int(rows.sum())
+        if R == 0:
+            return waterways_table(way_ids, lats, lons, offsets, names, wtypes, widths)
+        row_pref = np.concatenate(([0], np.cumsum(rows)))[:-1]
+        way_of_row = np.repeat(np.arange(n_ways), rows)
+        local_row = np.arange(R) - np.repeat(row_pref, rows)
+        la = la0[way_of_row] + local_row
+        ls = np.searchsorted(self.pt_cell, la * NL + lo0[way_of_row], side="left")
+        le = np.searchsorted(self.pt_cell, la * NL + lo1[way_of_row], side="right")
+        cnt = le - ls
+        total = int(cnt.sum())
+        if total == 0:
+            return waterways_table(way_ids, lats, lons, offsets, names, wtypes, widths)
+        cnt_pref = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        idx = np.repeat(ls - cnt_pref, cnt) + np.arange(total)
+        cand_lat = self.pt_lat[idx]
+        cand_lon = self.pt_lon[idx]
+        n_c = np.bincount(way_of_row, weights=cnt, minlength=n_ways).astype(np.int64)
         return _split_ways_with_candidates(
             way_ids, lats, lons, offsets, names, wtypes, widths,
             cand_lat, cand_lon, n_c, self.tol_deg, self.precision,
@@ -379,19 +400,24 @@ def _split_ways_with_candidates(
     pos = pos_pair[first]
     on = dist < tol_deg  # ref :2097 strict <
 
-    # --- per-way insertion (only ways with on-line candidates) ---
-    out_lat: list[float] = []
-    out_lon: list[float] = []
-    out_off = [0]
-    for r in range(n_ways):
+    # per-way on-candidate counts; empty reduceat ranges alias the next
+    # way's first element, so mask by n_c == 0
+    ins_per_way = np.add.reduceat(
+        np.concatenate([on, [False]]).astype(np.int64), cand_start[:-1]
+    )
+    ins_per_way[n_c == 0] = 0
+    touched = np.flatnonzero((ins_per_way > 0) & (n_verts >= 2))
+    if len(touched) == 0:
+        return passthrough()
+
+    # --- per-way insertion ONLY for the touched ways (Python loop bounded
+    # by ways that actually receive a point); untouched ways are copied
+    # span-wise with numpy below ---
+    new_parts: dict[int, tuple[list, list]] = {}
+    for r in touched.tolist():
         s, e = int(offsets[r]), int(offsets[r + 1])
         c0, c1 = int(cand_start[r]), int(cand_start[r + 1])
         sel = on[c0:c1]
-        if e - s < 2 or not sel.any():
-            out_lat.extend(lats[s:e].tolist())
-            out_lon.extend(lons[s:e].tolist())
-            out_off.append(len(out_lat))
-            continue
         p_pos = pos[c0:c1][sel]
         p_lat = cand_lat[c0:c1][sel]
         p_lon = cand_lon[c0:c1][sel]
@@ -423,14 +449,31 @@ def _split_ways_with_candidates(
             if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
                 ded_lat.append(la_)
                 ded_lon.append(lo_)
-        out_lat.extend(ded_lat)
-        out_lon.extend(ded_lon)
-        out_off.append(len(out_lat))
+        new_parts[r] = (ded_lat, ded_lon)
+
+    # --- assemble: numpy span copy for untouched ways, parts for touched ---
+    counts_out = n_verts.copy()
+    for r, (dl, _) in new_parts.items():
+        counts_out[r] = len(dl)
+    out_off = np.concatenate(([0], np.cumsum(counts_out)))
+    out_lat = np.empty(int(out_off[-1]), dtype=np.float64)
+    out_lon = np.empty(int(out_off[-1]), dtype=np.float64)
+    vert_way = np.repeat(np.arange(n_ways), n_verts)
+    untouched_v = np.flatnonzero(~np.isin(vert_way, touched))
+    if len(untouched_v):
+        local = np.arange(len(lats)) - np.repeat(offsets[:-1], n_verts)
+        dest = out_off[vert_way[untouched_v]] + local[untouched_v]
+        out_lat[dest] = lats[untouched_v]
+        out_lon[dest] = lons[untouched_v]
+    for r, (dl, dn) in new_parts.items():
+        o = int(out_off[r])
+        out_lat[o : o + len(dl)] = dl
+        out_lon[o : o + len(dn)] = dn
     return waterways_table(
         way_ids,
-        np.asarray(out_lat, dtype=np.float64),
-        np.asarray(out_lon, dtype=np.float64),
-        np.asarray(out_off, dtype=np.int64),
+        out_lat,
+        out_lon,
+        out_off.astype(np.int64),
         names,
         wtypes,
         widths,
@@ -440,8 +483,13 @@ def _split_ways_with_candidates(
 def split_at_intersections(ds, points_ds, config: Config):
     import os
 
-    # guard BEFORE collecting: count() is metadata-cheap on the (already
-    # materialized) points, so the driver never holds an over-budget blob
+    # guard BEFORE collecting: pin the (small, O(junctions)) points in the
+    # object store, then count() is metadata-cheap — the driver never holds
+    # an over-budget blob, and the detection kernel never runs twice
+    points_ds = points_ds.materialize()
+    from osmwaterwayextractor_ray.stages._prof import prof_mark as _pm
+
+    _pm("detect_intersections kernel")
     n_points = points_ds.count()
     budget = int(os.environ.get("WWX_MAX_BROADCAST_ROWS", 50_000_000))
     if n_points > budget:
@@ -458,6 +506,7 @@ def split_at_intersections(ds, points_ds, config: Config):
     order = np.argsort(cells, kind="stable")
     blob = {"lat": lat[order], "lon": lon[order], "cell": cells[order]}
     points_ref = ray.put(blob)
+    _pm("split: driver point-blob prep")
 
     # Plain tasks, not an actor pool: the per-task "setup" is one zero-copy
     # ray.get of the pre-sorted broadcast arrays (sub-ms), and stateless
@@ -603,7 +652,10 @@ def detect_and_split(ds, config: Config):
         return ds
     # both the segment emission and the splitter consume `ds` — pin it once
     # or the whole upstream lineage (clean+simplify) executes twice
+    from osmwaterwayextractor_ray.stages._prof import prof_mark
+
     ds = ds.materialize()
+    prof_mark("clean+simplify materialize")
     points = detect_intersections(ds, config)
     if config.intersection_splitter == "distributed":
         return split_at_intersections_distributed(ds, points, config)
