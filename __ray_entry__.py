@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_knn": geo.knn,
         "geo_cell_knn": geo.cell_knn,
         "geo_cell_knn_halo": geo.cell_knn_halo,
+        # S2 hierarchical cells (from-scratch Hilbert curve; no SQL oracle
+        # — golden-pinned + property-pinned in tests/test_s2.py)
+        "geo_s2_cells": geo.s2_cells,
         # --- pages + stateful extraction (A5) ---
         "geo_extract": pages.geo_extract,
         "geo_extract_cells": pages.geo_extract_cells,
@@ -109,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": textops.lang_doc_stats,
         "token_totals": textops.token_totals,
         "minhash_neardup": textops.minhash_neardup,
+        "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
         "simhash_fingerprints": textops.simhash_fingerprints,
         "langid_pred": textops.langid_pred,
         "winnow_counts": textops.winnow_counts,
@@ -164,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_pages, CAST(0 AS BIGINT) AS n_mismatches FROM documents"
         ),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,

@@ -107,11 +107,13 @@ QUERY_SET = [
     "geo_knn",
     "geo_cell_knn",
     "geo_cell_knn_halo",
+    "geo_s2_cells",
     "geo_extract",
     "geo_extract_cells",
     "dedup_exact",
     "doc_quality",
     "token_totals",
+    "ngram_jaccard_neardup",
     "embed_topk",
     "embed_neardup",
     "simhash_fingerprints",

@@ -162,3 +162,31 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> np.ndarray:
 
     mins = sliding_window_view(hashes, window).min(axis=1)
     return np.unique(mins)
+
+
+def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram shingle hashes, sorted ascending as uint64.
+
+    Tokenization is a plain single-space split — EXACTLY DuckDB's
+    ``string_split(text, ' ')`` (empty tokens from consecutive spaces are
+    kept), so the ngram_jaccard oracle can reproduce the shingle sets.
+    Each shingle is the chr(31)-joined n tokens hashed with xxh64; two
+    shingles are equal iff their strings are equal (modulo the ~2^-64
+    xxh64 collision rate — negligible against any real corpus, and the
+    choice a 100-TB run makes anyway to avoid shipping strings)."""
+    if not text:
+        return np.array([], dtype=np.uint64)
+    toks = text.split(" ")
+    if len(toks) < n:
+        return np.array([], dtype=np.uint64)
+    sep = "\x1f"
+    return np.unique(
+        np.fromiter(
+            (
+                xxh64(sep.join(toks[i : i + n]).encode("utf-8", "surrogatepass"))
+                for i in range(len(toks) - n + 1)
+            ),
+            dtype=np.uint64,
+            count=len(toks) - n + 1,
+        )
+    )

@@ -541,3 +541,61 @@ QUALIFY row_number() OVER (
   ORDER BY (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon), b.event_id
 ) <= {CELL_K}
 """
+
+# ---- S2 cell encoding (the north-star "S2 level-12" index) ----
+
+
+def s2_cells(sf_dir: str, level: int = 12):
+    """Per-S2-cell point counts at ``level`` (default 12 per the design):
+    stateless vectorized encode inside map_batches (from-scratch Hilbert
+    curve, functions/s2.py) + per-batch partial counts, then the skinny
+    groupby(cell) sum — identical shuffle shape to cell_counts, but keyed
+    by the hierarchical curve so sorted keys are spatially local at any
+    prefix level (the property a 100-TB range-partitioned layout wants).
+    No SQL oracle (DuckDB cannot express the curve); golden-pinned at
+    sf0.001 in tests/test_golden.py plus the property suite
+    (tests/test_s2.py)."""
+    from ray.data.aggregate import Sum
+
+    from osmwaterwayextractor_ray.functions.s2 import (
+        s2_cell_center,
+        s2_cell_id,
+        s2_token,
+    )
+
+    pts = points_from_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        cells = s2_cell_id(lat, lon, level)
+        uniq, counts = np.unique(cells, return_counts=True)
+        # int64 view of the uint64 id: Arrow/parquet/DuckDB-safe, order
+        # differs from uint64 only for ids with the top bit set (face >= 4,
+        # lon beyond +/-90) — grouping/equality semantics are unaffected
+        return pa.table(
+            {
+                "cell": pa.array(uniq.view(np.int64), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n_points"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cell").to_numpy(zero_copy_only=False).view(np.uint64)
+        clat, clon = s2_cell_center(ids)
+        return pa.table(
+            {
+                "cell_token": pa.array(s2_token(ids), type=pa.string()),
+                "n_points": batch.column("n_points"),
+                "center_lat": pa.array(np.round(clat, 9), type=pa.float64()),
+                "center_lon": pa.array(np.round(clon, 9), type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

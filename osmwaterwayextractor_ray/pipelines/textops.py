@@ -329,3 +329,150 @@ def winnow_counts(sf_dir: str):
         )
 
     return ds.map_batches(wc, batch_format="pyarrow", batch_size=2048)
+
+# ---- exact n-gram Jaccard similarity self-join (prefix filtering) ----
+
+def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5):
+    """EXACT all-pairs word-trigram Jaccard >= threshold over `documents`
+    — the deterministic complement to the probabilistic minhash_neardup,
+    with a full DuckDB oracle (NGRAM_JACCARD_SQL).
+
+    Scale design is AllPairs/PPJoin prefix filtering (Bayardo et al.,
+    WWW'07 — public): under ANY global total order on shingles, two sets
+    with Jaccard >= t must share an element within their first
+    ``|d| - ceil(t*|d|) + 1`` shingles. The canonical order here is the
+    shingle's xxh64 value (no global-frequency pass needed; a frequency
+    ordering would shrink candidates further and can be added as a
+    pre-pass without changing results). So:
+
+      shingle (map_batches, per-doc sorted distinct hashes, pinned once)
+      -> prefix emission (ragged numpy take, no Python loop)
+      -> groupby(shingle) candidate pairs (fastagg.bucketed_pairs, no
+         stop-band: completeness is the contract; positional/length
+         filtering is the documented refinement if a hot shingle ever
+         dominates)
+      -> distinct pairs -> two partitioned hash joins ship the (small,
+         already-shingled) sets to the pair -> exact intersect + filter.
+
+    Nothing is corpus-sized on the driver; every stage is a map_batches
+    or a bucketed shuffle."""
+    from osmwaterwayextractor_ray.functions.text import word_ngram_hashes
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pairs,
+        distinct as fa_distinct,
+        hash_join,
+    )
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        lists = [word_ngram_hashes(t) for t in texts]
+        keep = [i for i, l in enumerate(lists) if len(l)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                # int64 view of the uint64 hashes; rows stay sorted in
+                # uint64 order (the canonical prefix order)
+                "sh": pa.array(
+                    [lists[i].view(np.int64) for i in keep], type=pa.list_(pa.int64())
+                ),
+                "n_sh": pa.array([len(lists[i]) for i in keep], type=pa.int64()),
+            }
+        )
+
+    # pinned once; feeds the prefix emission AND both verify join sides
+    shingled = docs.map_batches(shingle, batch_format="pyarrow", batch_size=2048).materialize()
+
+    def prefix_emit(batch: pa.Table) -> pa.Table:
+        col = batch.column("sh")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        values = col.values.to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_sh = np.diff(offs)
+        p = n_sh - np.ceil(threshold * n_sh).astype(np.int64) + 1
+        P = int(p.sum())
+        pref = np.concatenate(([0], np.cumsum(p)))[:-1]
+        idx = np.repeat(offs[:-1] - pref, p) + np.arange(P)
+        return pa.table(
+            {
+                "g": pa.array(values[idx], type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, p), type=pa.int64()),
+            }
+        )
+
+    prefixes = shingled.map_batches(prefix_emit, batch_format="pyarrow", batch_size=65536)
+    cand = bucketed_pairs(prefixes, ["g"], "doc_id", "id_a", "id_b")
+    cand = fa_distinct(cand, ["id_a", "id_b"])
+
+    def _side(idc: str, shc: str, nc: str):
+        def rn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {idc: batch["doc_id"], shc: batch["sh"], nc: batch["n_sh"]}
+            )
+
+        return shingled.map_batches(rn, batch_format="pyarrow", batch_size=8192)
+
+    paired = hash_join(cand, _side("id_a", "sh_a", "n_a"), on=["id_a"])
+    paired = hash_join(paired, _side("id_b", "sh_b", "n_b"), on=["id_b"])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        sha = batch.column("sh_a").to_pylist()
+        shb = batch.column("sh_b").to_pylist()
+        inter = np.fromiter(
+            (
+                len(np.intersect1d(np.asarray(x), np.asarray(y), assume_unique=True))
+                for x, y in zip(sha, shb)
+            ),
+            dtype=np.int64,
+            count=len(a),
+        )
+        union = na + nb - inter
+        jac = inter / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "n_inter": pa.array(inter[keep], type=pa.int64()),
+                "n_union": pa.array(union[keep], type=pa.int64()),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+
+
+def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    # word trigrams via the SAME single-space split as word_ngram_hashes
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(sp, i, i + 2), 'string_agg', chr(31)) AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(sp) - 2, 0))) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - c AS BIGINT) AS n_union,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
+"""
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()

@@ -82,7 +82,7 @@ def synth_waterways_ds(n_ways: int):
     return rd.from_arrow(_motif_table(n_ways))
 
 
-def waterways_from_events(sf_dir: str, batch_size: int = 8192, repeat: int = 1):
+def waterways_from_events(sf_dir: str, batch_size: int | None = None, repeat: int = 1):
     """Synthetic waterways derived from the `events` rows (``repeat`` ways
     per event) — the deterministic per-row derivation keeps input size tied
     to the scale factor while the data itself stays fully reproducible.
@@ -95,8 +95,17 @@ def waterways_from_events(sf_dir: str, batch_size: int = 8192, repeat: int = 1):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
     # spread the tiny id column across the cluster BEFORE the (heavier)
     # synthesis map: a single-file read arrives in a handful of blocks and
-    # would cap to_ways' parallelism at that block count
-    ds = ds.repartition(4 * pool_max())
+    # would cap to_ways' parallelism at that block count. batch_size is
+    # sized to the per-block row count (count() here is parquet metadata,
+    # no scan): with the default 8192 the executor would re-bundle the
+    # spread blocks into ~n/8192 fat synthesis tasks and the balanced
+    # block structure would be lost again (measured: 12 tasks of 131-206k
+    # ways each at sf0.1x24, forcing the downstream repartition to move
+    # 230 MB of geometry — ds.stats(), NOTES_r3.md).
+    n_blocks = 4 * pool_max()
+    if batch_size is None:
+        batch_size = max(1, -(-ds.count() // n_blocks))
+    ds = ds.repartition(n_blocks)
 
     # motif geometry as arrays for the vectorized synthesis below
     _m_lat = np.array([[la for la, _ in coords] for coords, *_ in _MOTIF])  # (4, 3)

@@ -21,6 +21,9 @@ GOLDEN = {
     "embed_neardup": ("db859c7036e2a96b", 500),
     "embed_topk_ivf": ("53e74fa2f1bc24fe", 50),
     "media_features": ("63787851c00cfca0", 500),
+    # S2 level-12 cell counts (functions/s2.py has no SQL-expressible
+    # equivalent; property-pinned in tests/test_s2.py, value-pinned here)
+    "geo_s2_cells": ("730e24f4577aed1a", 1000),
     # the three flagship graph queries (VERDICT r2 #8): parity- and
     # invariance-pinned elsewhere, value-hash-pinned here so a driver can
     # see sf0.001 drift; verified identical across num_cpus=4 and 8
