@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S2 hierarchical cells (from-scratch Hilbert curve; no SQL oracle
         # — golden-pinned + property-pinned in tests/test_s2.py)
         "geo_s2_cells": geo.s2_cells,
+        # same output as geo_pip_join, but the prefilter is an S2 cell
+        # cover of each polygon's bbox (two-phase cell -> exact join)
+        "geo_pip_join_s2": geo.pip_join_s2,
         # --- pages + stateful extraction (A5) ---
         "geo_extract": pages.geo_extract,
         "geo_extract_cells": pages.geo_extract_cells,
@@ -158,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": relational.USER_SESSIONS_SQL,
         "geo_cell_counts": geo.CELL_COUNTS_SQL,
         "geo_pip_join": geo.PIP_JOIN_SQL,
+        "geo_pip_join_s2": geo.PIP_JOIN_SQL,
         "geo_knn": geo.KNN_SQL,
         "geo_cell_knn": geo.CELL_KNN_SQL,
         "geo_cell_knn_halo": geo.CELL_KNN_HALO_SQL,

@@ -298,3 +298,67 @@ def s2_token_to_id(tokens) -> np.ndarray:
     for n, t in enumerate(tokens):
         out[n] = _U(0) if t == "X" else _U(int(t.ljust(16, "0"), 16))
     return out
+
+
+def s2_cover_bbox(
+    min_lat: float, min_lon: float, max_lat: float, max_lon: float, level: int
+) -> np.ndarray:
+    """Conservative S2 covering of a lat/lon bbox at ``level`` — the cell
+    prefilter for the two-phase (cell -> exact) spatial joins.
+
+    Returns a SUPERSET of every level-``level`` cell containing any point
+    of the bbox (the exactness contract a prefilter needs): the bbox's
+    boundary is sampled densely in (u, v) face space, the st range padded
+    by one full cell, and the resulting ij rectangle enumerated. u and v
+    attain their extrema over an axis-aligned lat/lon rectangle on its
+    boundary (u depends only on lon; v is monotone in lat for fixed lon),
+    so boundary sampling plus the one-cell pad bounds the range. Restricted
+    to bboxes whose corners all project to ONE cube face (raises
+    ValueError otherwise) — the multi-face general case needs the
+    neighbor-wrap tables and is out of scope for the fixture regions."""
+    if not (min_lat <= max_lat and min_lon <= max_lon):
+        raise ValueError("malformed bbox")
+    corners_lat = np.array([min_lat, min_lat, max_lat, max_lat])
+    corners_lon = np.array([min_lon, max_lon, min_lon, max_lon])
+    face_c, _, _ = _xyz_to_face_uv(*_latlng_to_xyz(corners_lat, corners_lon))
+    if len(np.unique(face_c)) != 1:
+        raise ValueError("s2_cover_bbox: bbox spans multiple cube faces")
+    face = int(face_c[0])
+
+    m = 1024  # boundary samples per edge
+    ts = np.linspace(0.0, 1.0, m)
+    blat = np.concatenate(
+        [
+            np.full(m, min_lat),
+            np.full(m, max_lat),
+            min_lat + (max_lat - min_lat) * ts,
+            min_lat + (max_lat - min_lat) * ts,
+        ]
+    )
+    blon = np.concatenate(
+        [
+            min_lon + (max_lon - min_lon) * ts,
+            min_lon + (max_lon - min_lon) * ts,
+            np.full(m, min_lon),
+            np.full(m, max_lon),
+        ]
+    )
+    bface, bu, bv = _xyz_to_face_uv(*_latlng_to_xyz(blat, blon))
+    if (bface != face).any():
+        raise ValueError("s2_cover_bbox: bbox spans multiple cube faces")
+    s = _uv_to_st(bu)
+    t = _uv_to_st(bv)
+    cell_st = 1.0 / (1 << level)  # one cell side in st units (the pad)
+    shift = 30 - level
+    i0 = int(_st_to_ij(np.array([max(s.min() - cell_st, 0.0)]))[0]) >> shift
+    i1 = int(_st_to_ij(np.array([min(s.max() + cell_st, 1.0)]))[0]) >> shift
+    j0 = int(_st_to_ij(np.array([max(t.min() - cell_st, 0.0)]))[0]) >> shift
+    j1 = int(_st_to_ij(np.array([min(t.max() + cell_st, 1.0)]))[0]) >> shift
+    ii, jj = np.meshgrid(
+        np.arange(i0, i1 + 1, dtype=np.int64), np.arange(j0, j1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    leaf = from_face_ij(
+        np.full(ii.size, face, dtype=np.int64), ii.ravel() << shift, jj.ravel() << shift
+    )
+    return np.unique(s2_parent(leaf, level))

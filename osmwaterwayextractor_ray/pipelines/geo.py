@@ -599,3 +599,92 @@ def s2_cells(sf_dir: str, level: int = 12):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+S2_PREFILTER_LEVEL = 8  # ~0.7 deg cells over the fixture region
+
+
+def pip_join_s2(sf_dir: str):
+    """The north-star two-phase spatial join, S2-keyed: polygon bboxes are
+    covered with level-8 S2 cells (`s2_cover_bbox`, a guaranteed
+    SUPERSET), points prefilter by s2-cell membership, and the exact
+    ray-crossing test runs only on survivors — identical output to
+    `pip_join` (same PIP_JOIN_SQL oracle), with the prefilter keyed by
+    the hierarchical curve instead of the flat lattice. At 10^12 points
+    the cover sets stay O(polygon area / cell area) and broadcast; the
+    exact kernel touches only cell-matched candidates."""
+    import ray
+
+    from osmwaterwayextractor_ray.functions.geometry import points_in_ring
+    from osmwaterwayextractor_ray.functions.s2 import s2_cell_id, s2_cover_bbox
+
+    covers = {
+        pid: s2_cover_bbox(
+            min(v[0] for v in ring),
+            min(v[1] for v in ring),
+            max(v[0] for v in ring),
+            max(v[1] for v in ring),
+            S2_PREFILTER_LEVEL,
+        )
+        for pid, ring in POLYGONS.items()
+    }
+    state_ref = ray.put((POLYGONS, covers))
+    pts = points_from_events(sf_dir)
+
+    class PIPS2:
+        def __init__(self):
+            polys, covers_ = ray.get(state_ref)
+            self.polys = {
+                pid: (
+                    np.array([v[0] for v in ring]),
+                    np.array([v[1] for v in ring]),
+                    np.sort(covers_[pid]),
+                )
+                for pid, ring in polys.items()
+            }
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch.column("lat").to_numpy(zero_copy_only=False)
+            lon = batch.column("lon").to_numpy(zero_copy_only=False)
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            cells = s2_cell_id(lat, lon, S2_PREFILTER_LEVEL)
+            out_eid, out_pid = [], []
+            for pid, (rl, rn, cover) in self.polys.items():
+                # phase 1: S2 cell membership (sorted-cover searchsorted)
+                pos = np.searchsorted(cover, cells)
+                pos[pos == len(cover)] = 0
+                cand = cover[pos] == cells
+                if not cand.any():
+                    continue
+                ci = np.nonzero(cand)[0]
+                # phase 2: exact (bbox + ray crossing), as in pip_join
+                bbox = (
+                    (lat[ci] >= rl.min())
+                    & (lat[ci] <= rl.max())
+                    & (lon[ci] >= rn.min())
+                    & (lon[ci] <= rn.max())
+                )
+                idx = ci[bbox]
+                if not len(idx):
+                    continue
+                inside = points_in_ring(lat[idx], lon[idx], rl, rn)
+                sel = idx[inside]
+                out_eid.append(eid[sel])
+                out_pid.append(np.full(len(sel), pid, dtype=np.int64))
+            if not out_eid:
+                return pa.table(
+                    {
+                        "event_id": pa.array([], type=pa.int64()),
+                        "poly_id": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "event_id": pa.array(np.concatenate(out_eid), type=pa.int64()),
+                    "poly_id": pa.array(np.concatenate(out_pid), type=pa.int64()),
+                }
+            )
+
+    return pts.map_batches(
+        PIPS2, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max())
+    )

@@ -197,3 +197,53 @@ def test_hypothesis_invariants(lat, lon, level):
 def test_invalid_level_raises():
     with pytest.raises(ValueError):
         s2_cell_id([0.0], [0.0], 31)
+
+
+# ---- bbox covering (the cell prefilter for two-phase spatial joins) ----
+
+
+def test_cover_bbox_is_superset_of_interior_points():
+    from osmwaterwayextractor_ray.functions.s2 import s2_cover_bbox
+
+    for (lo_lat, lo_lon, hi_lat, hi_lon) in [
+        (-3.0007, -8.0003, 1.9993, -2.0003),   # the fixture rectangle
+        (0.0007, 0.0013, 4.4013, 4.2007),      # triangle 2's bbox
+        (12.3, 33.1, 17.9, 40.6),              # off-fixture, single face
+    ]:
+        for level in (6, 8, 10):
+            cover = np.sort(s2_cover_bbox(lo_lat, lo_lon, hi_lat, hi_lon, level))
+            assert len(cover) == len(np.unique(cover))
+            lats = rng.uniform(lo_lat, hi_lat, 4000)
+            lons = rng.uniform(lo_lon, hi_lon, 4000)
+            cells = s2_cell_id(lats, lons, level)
+            pos = np.searchsorted(cover, cells)
+            pos[pos == len(cover)] = 0
+            assert (cover[pos] == cells).all(), (level, lo_lat)
+            # corners too (boundary of the closed bbox)
+            ccells = s2_cell_id(
+                np.array([lo_lat, lo_lat, hi_lat, hi_lat]),
+                np.array([lo_lon, hi_lon, lo_lon, hi_lon]),
+                level,
+            )
+            cpos = np.searchsorted(cover, ccells)
+            cpos[cpos == len(cover)] = 0
+            assert (cover[cpos] == ccells).all()
+
+
+def test_cover_bbox_rejects_multi_face_and_malformed():
+    from osmwaterwayextractor_ray.functions.s2 import s2_cover_bbox
+
+    with pytest.raises(ValueError):
+        s2_cover_bbox(-10.0, 30.0, 10.0, 60.0, 8)  # crosses face boundary at 45 deg
+    with pytest.raises(ValueError):
+        s2_cover_bbox(5.0, 5.0, -5.0, 6.0, 8)  # malformed
+
+
+def test_pip_join_s2_equals_flat_pip_join(ray_session):
+    from osmwaterwayextractor_ray.pipelines import geo
+
+    sf = "/root/testdata/sf0.001"
+    a = geo.pip_join(sf).to_pandas().sort_values(["event_id", "poly_id"]).reset_index(drop=True)
+    b = geo.pip_join_s2(sf).to_pandas().sort_values(["event_id", "poly_id"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
