@@ -70,12 +70,25 @@ def langid(text: str) -> str:
 
 # ---- shingles + MinHash ----
 
-_MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
 _N_PERM = 64
-# a,b < 2^31 so a * x32 + b < 2^63 stays exact in uint64 before the mod
-_PERM_A = _rng.randint(1, 1 << 31, size=_N_PERM).astype(np.uint64)
-_PERM_B = _rng.randint(0, 1 << 31, size=_N_PERM).astype(np.uint64)
+# Multiply-shift permutations of Z_2^64 (Dietzfelbinger et al., public):
+# h_i(x) = a_i * x + b_i with WRAPPING uint64 arithmetic and odd a_i is a
+# bijection on the 64-bit space, so taking the min over a set is a valid
+# MinHash permutation. The previous family ((a*x32 + b) mod 2^61-1 with
+# a < 2^31) was NOT min-wise: for small folded x the product never
+# wrapped the modulus, so h was monotone in x across EVERY permutation
+# and the min collapsed onto the globally-smallest shingle hash —
+# measured 47% signature agreement on a Jaccard-0.93 pair (expect 93%).
+_PERM_A = (
+    (_rng.randint(0, 1 << 32, size=_N_PERM).astype(np.uint64) << np.uint64(32))
+    | _rng.randint(0, 1 << 32, size=_N_PERM).astype(np.uint64)
+    | np.uint64(1)
+)
+_PERM_B = (
+    (_rng.randint(0, 1 << 32, size=_N_PERM).astype(np.uint64) << np.uint64(32))
+    | _rng.randint(0, 1 << 32, size=_N_PERM).astype(np.uint64)
+)
 
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -88,17 +101,20 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return np.unique(xxh64_windows(data, k))
 
 
-def minhash_signature(text: str, k: int = 5) -> np.ndarray:
-    """64-permutation MinHash via universal hashing of the shingle hashes
-    (h_i(x) = (a_i*x + b_i) mod 2^61-1 — the standard mergeable scheme)."""
-    sh = shingle_hashes(text, k)
-    # fold to 32 bits so (a * x32 + b) stays exact in uint64, then the
-    # universal-hash family h_i(x) = (a_i*x + b_i) mod (2^61-1) — the
-    # standard mergeable MinHash permutation scheme
-    x32 = (sh >> np.uint64(32)) ^ (sh & np.uint64(0xFFFFFFFF))
-    m = np.uint64(_MERSENNE)
-    h = (_PERM_A[:, None] * x32[None, :] + _PERM_B[:, None]) % m
+def minhash_signature_from_shingles(sh: np.ndarray) -> np.ndarray:
+    """64-permutation MinHash of an already-shingled (uint64 hash) set —
+    lets callers that also need the set size shingle exactly once.
+    h_i(x) = a_i*x + b_i over wrapping uint64 (odd a_i: a bijection of
+    Z_2^64, see _PERM_A)."""
+    with np.errstate(over="ignore"):
+        h = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
     return h.min(axis=1)
+
+
+def minhash_signature(text: str, k: int = 5) -> np.ndarray:
+    """64-permutation MinHash of the k-byte shingle set (multiply-shift
+    permutations of the xxh64 shingle hashes)."""
+    return minhash_signature_from_shingles(shingle_hashes(text, k))
 
 
 def minhash_bands(sig: np.ndarray, n_bands: int = 16) -> list[int]:

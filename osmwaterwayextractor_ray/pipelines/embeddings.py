@@ -194,7 +194,7 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995, skew_threshold: int | N
 
     # distributed exact-cosine verify: pairs ⋈ corpus on vec_a, then vec_b,
     # shipping pre-normalized embeddings through the partitioned join
-    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join, lookup_join
 
     def _emb_side(id_col: str, emb_col: str):
         def rn(batch: pa.Table) -> pa.Table:
@@ -216,13 +216,20 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995, skew_threshold: int | N
     # skew_threshold: opt-in hot-key guard (fastagg.hash_join) for a
     # mega-duplicate vector dominating the candidate pairs; pins the
     # intermediate sets so the heavy-hitter pre-pass doesn't re-run
-    # upstream stages. Off by default (bucket sizes bound the pair count).
+    # upstream stages. Off by default (bucket sizes bound the pair count),
+    # where the Arrow-native lookup_join attaches the vectors with pc.take
+    # — the list<float64> payload never round-trips through pandas rows.
     if skew_threshold is not None:
         cand = cand.materialize()
-    paired = hash_join(cand, _emb_side("vec_a", "emb_a"), on=["vec_a"], skew_threshold=skew_threshold)
-    if skew_threshold is not None:
-        paired = paired.materialize()
-    paired = hash_join(paired, _emb_side("vec_b", "emb_b"), on=["vec_b"], skew_threshold=skew_threshold)
+        paired = hash_join(
+            cand, _emb_side("vec_a", "emb_a"), on=["vec_a"], skew_threshold=skew_threshold
+        ).materialize()
+        paired = hash_join(
+            paired, _emb_side("vec_b", "emb_b"), on=["vec_b"], skew_threshold=skew_threshold
+        )
+    else:
+        paired = lookup_join(cand, _emb_side("vec_id", "emb"), "vec_a", "vec_id", {"emb": "emb_a"})
+        paired = lookup_join(paired, _emb_side("vec_id", "emb"), "vec_b", "vec_id", {"emb": "emb_b"})
 
     def _list_matrix(col) -> np.ndarray:
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

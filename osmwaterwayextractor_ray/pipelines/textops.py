@@ -167,22 +167,46 @@ def _corpus_with_planted_dups(sf_dir: str):
 
 class _MinHashStage:
     """Actor-pool stage: shingle + MinHash + LSH band emission (compiled
-    state — permutation tables — built once per actor)."""
+    state — permutation tables — built once per actor).
 
-    def __init__(self, n_bands: int = 32):
-        # 32 bands x 2 rows: recall at Jaccard 0.6 is 1-(1-0.6^2)^32 ≈ 1-6e-7
+    Band geometry is 21 bands × 3 rows (63 of the 64 permutations): the
+    s-curve midpoint (1/b)^(1/r) ≈ 0.36 sits just below the 0.6 query
+    threshold, so recall at J=0.6 is 1-(1-0.6³)^21 ≈ 0.994 while pairs
+    down at the corpus' ambient J≈0.1 collide with probability
+    1-(1-0.001)^21 ≈ 2% instead of ~27%. The previous 32×2 geometry
+    (midpoint 0.18, recall 1-6e-7) was measured to emit 2.1M candidate
+    pairs from an 8.5k-doc corpus — quadratic junk that made the exact
+    verify 90% of the pipeline's wall time and would be fatal on web
+    text. The recall loss is the documented LSH trade (Leskovec et al.,
+    MMDS ch.3); the deterministic complement with full recall is
+    ngram_jaccard_neardup.
+
+    The emitted doc id is packed as ``doc_id << 17 | min(n_shingles,
+    2^17-1)`` so the AllPairs length filter (J <= min/max of set sizes)
+    can run on the candidate pairs BEFORE any payload join. Clamping at
+    the 17-bit cap only ever raises the min/max ratio, so an over-long
+    doc can never be wrongly filtered — just verified."""
+
+    def __init__(self, n_bands: int = 21):
         self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.functions.text import (
+            minhash_signature_from_shingles,
+            shingle_hashes,
+        )
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
         out_band, out_key, out_doc = [], [], []
         for did, t in zip(ids.tolist(), texts):
-            sig = minhash_signature(t)
+            sh = shingle_hashes(t)
+            sig = minhash_signature_from_shingles(sh)
+            packed = (did << _NSH_BITS) | min(len(sh), _NSH_CAP)
             for b, key in enumerate(minhash_bands(sig, self.n_bands)):
                 out_band.append(b)
                 out_key.append(key)
-                out_doc.append(did)
+                out_doc.append(packed)
         return pa.table(
             {
                 "band": pa.array(out_band, type=pa.int32()),
@@ -210,66 +234,148 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
         _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
     )
 
+    import pyarrow.compute as pc
+
     from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
-    from osmwaterwayextractor_ray.stages.fastagg import distinct as fa_distinct
 
     # candidate pairs per (band, band_key) LSH bucket — resolved with one
     # vectorized kernel per coarse hash bucket, NOT one map_groups call per
     # fine bucket (10^4+ fine buckets made the per-group overhead dominate);
-    # >200-id buckets are dropped (stop-band guard, unchanged semantics)
+    # >200-id buckets are dropped (stop-band guard, unchanged semantics).
+    # Ids arrive size-packed (_MinHashStage): apply the exact AllPairs
+    # length filter (J <= min/max of the distinct-shingle counts, Bayardo
+    # et al. WWW'07) on the skinny pair stream, then unpack — pairs whose
+    # sizes already disqualify them never reach the payload joins.
     cand = bucketed_pairs(
         bands, ["band", "band_key"], "doc_id", "doc_a", "doc_b", max_group=200
     )
-    cand = fa_distinct(cand, ["doc_a", "doc_b"])
 
-    # distributed exact-Jaccard verify: pairs ⋈ corpus on doc_a, then doc_b
-    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+    def length_filter(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        na, nb = a & _NSH_CAP, b & _NSH_CAP
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep] >> _NSH_BITS, type=pa.int64()),
+                "doc_b": pa.array(b[keep] >> _NSH_BITS, type=pa.int64()),
+            }
+        )
 
-    def _text_side(id_col: str, text_col: str):
+    cand = cand.map_batches(length_filter, batch_format="pyarrow", batch_size=65536)
+
+    # multi-collision requirement (the multi-probe/"c of b" LSH trick,
+    # MMDS ch.3): a pair must collide in >= 2 of the 21 bands. The band
+    # multiplicity comes free from the pair stream (fastagg.pair_counts —
+    # the same grouped count the exact ngram join uses), and it replaces
+    # the distinct-dedup pass. Ambient pairs (J ~= 0.1, per-band p = J^3)
+    # almost never double-collide (P ~= 210*J^6), while verify-relevant
+    # pairs survive with P = 1-(1-p)^21-21p(1-p)^20: 0.959 at J = 0.6,
+    # 0.989 at 0.65, 0.9998 at 0.8. Measured on the sf0.1 corpus this
+    # cuts candidates 835k -> ~15k, making the exact verify ~free.
+    from osmwaterwayextractor_ray.stages.fastagg import pair_counts
+
+    counted = pair_counts(cand, "doc_a", "doc_b", "n_bands")
+
+    def multi_collision(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch.column("n_bands"), 2)
+        out = batch.filter(keep)
+        return out.select(["doc_a", "doc_b"])
+
+    # pin the (tiny) candidate set: feeding the un-pinned 3-shuffle
+    # candidate pipeline straight into the verify joins' union/cogroup
+    # DAG re-executed it (measured +10 s at sf0.1 — same symptom as the
+    # corpus pin above)
+    cand = counted.map_batches(multi_collision, batch_format="pyarrow", batch_size=65536).materialize()
+
+    # distributed exact-Jaccard verify: pairs ⋈ corpus on doc_a, then
+    # doc_b, shipping each doc's SORTED DISTINCT shingle-hash array
+    # (computed once per corpus doc — the old path re-shingled texts
+    # inside every verify batch, ~5x the shingling work) — then one
+    # vectorized lexsort per batch counts the per-pair intersections.
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join, lookup_join
+
+    def _sh_side(id_col: str, sh_col: str):
         def rn(batch: pa.Table) -> pa.Table:
-            return pa.table({id_col: batch["doc_id"], text_col: batch["text"]})
+            from osmwaterwayextractor_ray.functions.text import shingle_hashes
 
-        return corpus.map_batches(rn, batch_format="pyarrow", batch_size=8192)
+            texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+            lists = [shingle_hashes(t).view(np.int64) for t in texts]
+            ns = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+            flat = np.concatenate(lists) if lists else np.empty(0, np.int64)
+            offs = np.concatenate(([0], np.cumsum(ns))).astype(np.int32)
+            return pa.table(
+                {
+                    id_col: batch["doc_id"],
+                    sh_col: pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(flat, type=pa.int64()),
+                    ),
+                }
+            )
+
+        return corpus.map_batches(rn, batch_format="pyarrow", batch_size=2048)
 
     # skew_threshold: opt-in hot-key guard for the verify joins (a
     # mega-duplicate doc id appearing in >threshold candidate pairs is
     # salted across sub-buckets — fastagg.hash_join docstring). Off by
     # default: the max_group stop-band above already bounds any one doc to
-    # O(bands × max_group) pairs. When on, pin the candidate set so the
-    # heavy-hitter pre-pass doesn't re-run the LSH banding.
+    # O(bands × max_group) pairs, and the Arrow-native lookup_join attaches
+    # the shingle payload with pc.take (no pandas row objects). When on,
+    # pin the candidate set so the heavy-hitter pre-pass doesn't re-run
+    # the LSH banding.
     if skew_threshold is not None:
         cand = cand.materialize()
-    paired = hash_join(cand, _text_side("doc_a", "text_a"), on=["doc_a"], skew_threshold=skew_threshold)
-    if skew_threshold is not None:
-        paired = paired.materialize()  # pre-pass for join 2 must not re-run join 1
-    paired = hash_join(paired, _text_side("doc_b", "text_b"), on=["doc_b"], skew_threshold=skew_threshold)
+        paired = hash_join(
+            cand, _sh_side("doc_a", "sh_a"), on=["doc_a"], skew_threshold=skew_threshold
+        ).materialize()  # pre-pass for join 2 must not re-run join 1
+        paired = hash_join(
+            paired, _sh_side("doc_b", "sh_b"), on=["doc_b"], skew_threshold=skew_threshold
+        )
+    else:
+        # pin the (corpus-linear, spillable) shingle side once — it feeds
+        # both join sides, and leaving it lazy re-ran the shingling per
+        # consumer (measured ~2x the whole verify phase)
+        side = _sh_side("doc_id", "sh").materialize()
+        paired = lookup_join(cand, side, "doc_a", "doc_id", {"sh": "sh_a"})
+        paired = lookup_join(paired, side, "doc_b", "doc_id", {"sh": "sh_b"})
+
+    def _list_parts(col):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # slice-safe: honor the array's offset window into its value buffer
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return vals, offs
 
     def verify(batch: pa.Table) -> pa.Table:
-        from osmwaterwayextractor_ray.functions.text import shingle_hashes
-
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
         b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        ta = batch.column("text_a").to_pylist()
-        tb = batch.column("text_b").to_pylist()
-        # each doc occurs in MANY candidate pairs — shingle it once per
-        # batch, not once per pair (same jaccard() semantics)
-        memo: dict[str, set] = {}
-
-        def sh(t: str) -> set:
-            s = memo.get(t)
-            if s is None:
-                s = set(shingle_hashes(t).tolist())
-                memo[t] = s
-            return s
-
-        def jac_pair(x: str, y: str) -> float:
-            sa, sb = sh(x), sh(y)
-            if not sa and not sb:
-                return 1.0
-            return len(sa & sb) / len(sa | sb)
-
-        jac = np.array([jac_pair(x, y) for x, y in zip(ta, tb)], dtype=np.float64)
-        keep = jac >= threshold if len(jac) else np.zeros(0, dtype=bool)
+        n = len(a)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        va, oa = _list_parts(batch.column("sh_a"))
+        vb, ob = _list_parts(batch.column("sh_b"))
+        na, nb = np.diff(oa), np.diff(ob)
+        # both sides are distinct-per-doc, so duplicates in the combined
+        # per-pair stream = the intersection: concat values with their
+        # pair index, lexsort, count adjacent equals
+        pid = np.concatenate([np.repeat(np.arange(n), na), np.repeat(np.arange(n), nb)])
+        vals = np.concatenate(
+            [va[oa[0] : oa[-1]] if len(va) else va, vb[ob[0] : ob[-1]] if len(vb) else vb]
+        )
+        order = np.lexsort((vals, pid))
+        pid, vals = pid[order], vals[order]
+        dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+        inter = np.bincount(pid[1:][dup], minlength=n)
+        union = na + nb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep = jac >= threshold
         return pa.table(
             {
                 "doc_a": pa.array(a[keep], type=pa.int64()),
@@ -332,122 +438,108 @@ def winnow_counts(sf_dir: str):
 
 # ---- exact n-gram Jaccard similarity self-join (prefix filtering) ----
 
+_NSH_BITS = 17
+_NSH_CAP = (1 << _NSH_BITS) - 1
+
+
 def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5):
     """EXACT all-pairs word-trigram Jaccard >= threshold over `documents`
     — the deterministic complement to the probabilistic minhash_neardup,
     with a full DuckDB oracle (NGRAM_JACCARD_SQL).
 
-    Scale design is AllPairs/PPJoin prefix filtering (Bayardo et al.,
-    WWW'07 — public): under ANY global total order on shingles, two sets
-    with Jaccard >= t must share an element within their first
-    ``|d| - ceil(t*|d|) + 1`` shingles. The canonical order here is the
-    shingle's xxh64 value (no global-frequency pass needed; a frequency
-    ordering would shrink candidates further and can be added as a
-    pre-pass without changing results). So:
+    Count-based exact set-similarity join (the classic inverted-index
+    plan, e.g. Sarawagi & Kirpal SIGMOD'04 — public): every (shingle,
+    doc) posting is emitted flat, per-shingle doc pairs are generated in
+    hash buckets (one row per SHARED shingle per pair), and a grouped
+    COUNT of those rows is |A ∩ B| exactly — so Jaccard needs no shingle
+    lists shipped to the pair at all. Each doc's set size rides packed in
+    the id's low ``_NSH_BITS`` bits, which also powers the AllPairs
+    length filter (Bayardo et al., WWW'07: J <= min/max of the sizes, so
+    min < t*max disqualifies) BEFORE the counting shuffle:
 
-      shingle (map_batches, per-doc sorted distinct hashes, pinned once)
-      -> prefix emission (ragged numpy take, no Python loop)
-      -> groupby(shingle) candidate pairs (fastagg.bucketed_pairs, no
-         stop-band: completeness is the contract; positional/length
-         filtering is the documented refinement if a hot shingle ever
-         dominates)
-      -> distinct pairs -> two partitioned hash joins ship the (small,
-         already-shingled) sets to the pair -> exact intersect + filter.
+      postings (map_batches, per-doc distinct hashes, flat — no lists)
+      -> per-shingle pairs (fastagg.bucketed_pairs, multiplicity kept)
+      -> vectorized length filter -> grouped count = n_inter
+      -> unpack sizes, Jaccard, threshold.
 
-    Nothing is corpus-sized on the driver; every stage is a map_batches
-    or a bucketed shuffle."""
+    An earlier revision used AllPairs prefix emission + two joins that
+    shipped the shingle lists to each candidate pair; the posting-count
+    plan is ~2x the pair rows (two int64s each) but zero list shipping
+    and no verify kernel — measured 2x faster end-to-end. Both plans are
+    quadratic in a shingle's doc frequency; for web-scale corpora with
+    stop-shingles the bounded-cost answer is `minhash_neardup`.
+
+    Docs with more than ``_NSH_CAP`` shingles fail loud (ValueError)
+    rather than silently mis-scoring. Nothing is corpus-sized on the
+    driver; every stage is a map_batches or a bucketed shuffle."""
     from osmwaterwayextractor_ray.functions.text import word_ngram_hashes
-    from osmwaterwayextractor_ray.stages.fastagg import (
-        bucketed_pairs,
-        distinct as fa_distinct,
-        hash_join,
-    )
+    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
 
     docs = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def shingle(batch: pa.Table) -> pa.Table:
+    def postings(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = batch.column("text").to_pylist()
         lists = [word_ngram_hashes(t) for t in texts]
-        keep = [i for i, l in enumerate(lists) if len(l)]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[keep], type=pa.int64()),
-                # int64 view of the uint64 hashes; rows stay sorted in
-                # uint64 order (the canonical prefix order)
-                "sh": pa.array(
-                    [lists[i].view(np.int64) for i in keep], type=pa.list_(pa.int64())
-                ),
-                "n_sh": pa.array([len(lists[i]) for i in keep], type=pa.int64()),
-            }
-        )
-
-    # pinned once; feeds the prefix emission AND both verify join sides
-    shingled = docs.map_batches(shingle, batch_format="pyarrow", batch_size=2048).materialize()
-
-    def prefix_emit(batch: pa.Table) -> pa.Table:
-        col = batch.column("sh")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        values = col.values.to_numpy(zero_copy_only=False)
-        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n_sh = np.diff(offs)
-        p = n_sh - np.ceil(threshold * n_sh).astype(np.int64) + 1
-        P = int(p.sum())
-        pref = np.concatenate(([0], np.cumsum(p)))[:-1]
-        idx = np.repeat(offs[:-1] - pref, p) + np.arange(P)
-        return pa.table(
-            {
-                "g": pa.array(values[idx], type=pa.int64()),
-                "doc_id": pa.array(np.repeat(ids, p), type=pa.int64()),
-            }
-        )
-
-    prefixes = shingled.map_batches(prefix_emit, batch_format="pyarrow", batch_size=65536)
-    cand = bucketed_pairs(prefixes, ["g"], "doc_id", "id_a", "id_b")
-    cand = fa_distinct(cand, ["id_a", "id_b"])
-
-    def _side(idc: str, shc: str, nc: str):
-        def rn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {idc: batch["doc_id"], shc: batch["sh"], nc: batch["n_sh"]}
+        ns = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+        if (ns > _NSH_CAP).any():
+            raise ValueError(
+                f"document exceeds {_NSH_CAP} distinct shingles; use "
+                "minhash_neardup for unbounded-length corpora"
             )
+        packed = (ids << _NSH_BITS) | ns
+        g = np.concatenate(lists).view(np.int64) if len(lists) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "g": pa.array(g, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(packed, ns), type=pa.int64()),
+            }
+        )
 
-        return shingled.map_batches(rn, batch_format="pyarrow", batch_size=8192)
+    # small batches: the per-doc shingling loop is the one Python-loop
+    # stage, so give the actor pool enough tasks to spread it
+    post = docs.map_batches(postings, batch_format="pyarrow", batch_size=512)
+    # one output row per (shared shingle, pair): multiplicity IS the signal
+    pairs = bucketed_pairs(post, ["g"], "doc_id", "id_a", "id_b")
 
-    paired = hash_join(cand, _side("id_a", "sh_a", "n_a"), on=["id_a"])
-    paired = hash_join(paired, _side("id_b", "sh_b", "n_b"), on=["id_b"])
-
-    def verify(batch: pa.Table) -> pa.Table:
+    def length_filter(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
         b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        sha = batch.column("sh_a").to_pylist()
-        shb = batch.column("sh_b").to_pylist()
-        inter = np.fromiter(
-            (
-                len(np.intersect1d(np.asarray(x), np.asarray(y), assume_unique=True))
-                for x, y in zip(sha, shb)
-            ),
-            dtype=np.int64,
-            count=len(a),
-        )
-        union = na + nb - inter
-        jac = inter / union
-        keep = jac >= threshold
+        na, nb = a & _NSH_CAP, b & _NSH_CAP
+        keep = np.minimum(na, nb) >= threshold * np.maximum(na, nb)
         return pa.table(
             {
                 "id_a": pa.array(a[keep], type=pa.int64()),
                 "id_b": pa.array(b[keep], type=pa.int64()),
+            }
+        )
+
+    filtered = pairs.map_batches(length_filter, batch_format="pyarrow", batch_size=65536)
+
+    # grouped count over nearly-unique (id_a, id_b) keys — one row per
+    # shared shingle, so the multiplicity IS |A ∩ B| (fastagg.pair_counts)
+    from osmwaterwayextractor_ray.stages.fastagg import pair_counts
+
+    counted = pair_counts(filtered, "id_a", "id_b", "n_inter")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        inter = batch.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (a & _NSH_CAP) + (b & _NSH_CAP) - inter
+        jac = inter / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep] >> _NSH_BITS, type=pa.int64()),
+                "id_b": pa.array(b[keep] >> _NSH_BITS, type=pa.int64()),
                 "n_inter": pa.array(inter[keep], type=pa.int64()),
                 "n_union": pa.array(union[keep], type=pa.int64()),
                 "jaccard": pa.array(jac[keep], type=pa.float64()),
             }
         )
 
-    return paired.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+    return counted.map_batches(finish, batch_format="pyarrow", batch_size=65536)
 
 
 def _ngram_jaccard_sql(threshold: float = 0.5) -> str:

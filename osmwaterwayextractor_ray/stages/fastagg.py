@@ -277,8 +277,20 @@ def _salted(ds, on: list[str], hot: set[tuple], factor: int, replicate: bool, ba
             out = df.iloc[idx].copy()
             out["__salt"] = salt.astype(np.int64)
         else:
-            # deterministic row-content hash -> block-structure-invariant
-            rh = pd.util.hash_pandas_object(df, index=False).to_numpy().astype(np.uint64)
+            # deterministic row-content hash -> block-structure-invariant.
+            # List/array payload columns are unhashable and excluded; the
+            # remaining columns (keys + scalars) still split a hot key as
+            # long as its rows differ somewhere hashable.
+            hcols = []
+            for c in df.columns:
+                s = df[c]
+                if s.dtype != object:
+                    hcols.append(c)
+                    continue
+                nn = s.dropna()
+                if nn.empty or isinstance(nn.iloc[0], (str, bytes)):
+                    hcols.append(c)
+            rh = pd.util.hash_pandas_object(df[hcols], index=False).to_numpy().astype(np.uint64)
             out = df
             out["__salt"] = np.where(is_hot, (rh % np.uint64(factor)).astype(np.int64), 0)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
@@ -346,5 +358,107 @@ def hash_join(
         if drop:
             out = out.drop(columns=drop)
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return grouped.map_groups(merge, batch_format="pyarrow")
+
+
+def pair_counts(
+    ds,
+    a_col: str,
+    b_col: str,
+    count_col: str = "n",
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """Grouped COUNT over an (a, b) pair stream: one output row per
+    distinct pair with its multiplicity. The keys are nearly unique
+    (LSH band collisions, shared-shingle postings), so a per-batch
+    pandas-groupby partial can't compress them — rows go straight to
+    hash buckets and each bucket counts runs with one lexsort +
+    run-length diff (no per-group Python)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((a * np.uint64(1099511628211) + b) % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                a_col: batch[a_col],
+                b_col: batch[b_col],
+                "__part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def count_runs(g: pd.DataFrame) -> pa.Table:
+        a = g[a_col].to_numpy()
+        b = g[b_col].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        change = np.ones(len(a), dtype=bool)
+        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                a_col: pa.array(a[starts], type=pa.int64()),
+                b_col: pa.array(b[starts], type=pa.int64()),
+                count_col: pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(count_runs, batch_format="pandas")
+    )
+
+
+def lookup_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    take_cols: dict[str, str],
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """Arrow-native inner equi-join against a UNIQUE-keyed right side:
+    per bucket, right rows are located with one searchsorted and the
+    requested columns attached to left via ``pyarrow.compute.take`` —
+    no pandas round-trip, so list/binary payload columns (shingle sets,
+    embedding vectors) never become per-row Python objects. Left rows
+    whose key is absent from right are dropped (inner semantics).
+
+    ``take_cols`` maps right-side column -> output name. Both sides
+    shuffle once (the same cogroup as ``hash_join``); use this instead of
+    ``hash_join`` whenever the right side is an entity table keyed by a
+    unique id and the left just needs payload attached."""
+    import pyarrow.compute as pc
+
+    grouped, split = cogroup(
+        left, right, [left_key], right_on=[right_key],
+        num_parts=num_parts, batch_size=batch_size,
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        lk = lg.column(left_key).to_numpy(zero_copy_only=False)
+        rk = rg.column(right_key).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
+        pos = np.searchsorted(rks, lk)
+        pos[pos == len(rks)] = 0
+        ok = (rks[pos] == lk) if len(rks) else np.zeros(len(lk), dtype=bool)
+        if not ok.all():
+            lg = lg.filter(pa.array(ok))
+            pos = pos[ok]
+        idx = pa.array(order[pos], type=pa.int64())
+        cols = {c: lg[c] for c in lg.schema.names}
+        for rc, out in take_cols.items():
+            col = rg.column(rc)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[out] = pc.take(col, idx)
+        return pa.table(cols)
 
     return grouped.map_groups(merge, batch_format="pyarrow")
