@@ -116,7 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": textops.token_totals,
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
+        "dedup_clusters": textops.dedup_clusters,
         "simhash_fingerprints": textops.simhash_fingerprints,
+        "simhash_neardup": textops.simhash_neardup,
         "langid_pred": textops.langid_pred,
         "winnow_counts": textops.winnow_counts,
         # --- embeddings ---
@@ -173,6 +175,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
+        "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,

@@ -114,9 +114,12 @@ QUERY_SET = [
     "doc_quality",
     "token_totals",
     "ngram_jaccard_neardup",
+    "minhash_neardup",
+    "dedup_clusters",
     "embed_topk",
     "embed_neardup",
     "simhash_fingerprints",
+    "simhash_neardup",
     "media_byte_stats",
 ]
 

@@ -387,6 +387,99 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
     return paired.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR, Hacker's Delight 5-2)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """EXACT all-pairs SimHash near-dup join over the planted corpus:
+    every pair with hamming(simhash_a, simhash_b) <= max_hamming.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    Completeness is by pigeonhole (the classic Manku/Jain/Sarma WWW'07
+    block-permutation scheme): the 64-bit fingerprint splits into 4
+    16-bit blocks, and any pair within hamming 3 differs in at most 3
+    blocks, so at least one block is IDENTICAL — emitting each doc under
+    its 4 (block_idx, block_value) keys and pairing within buckets
+    yields every qualifying pair exactly. The popcount verify runs on
+    fingerprints shipped through two skinny Arrow lookup_joins; nothing
+    is corpus-sized on the driver. ``max_hamming`` must stay < 4 for
+    the 4-block cover to be complete (guarded)."""
+    if max_hamming >= 4:
+        raise ValueError("4-block pigeonhole cover requires max_hamming <= 3")
+
+    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs, lookup_join, pair_counts
+
+    corpus = _corpus_with_planted_dups(sf_dir).materialize()
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        vals = np.fromiter((simhash64(t) for t in texts), dtype=np.uint64, count=len(texts))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(vals.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    prints = corpus.map_batches(
+        fingerprint, batch_format="pyarrow", batch_size=1024
+    ).materialize()  # feeds the band stage AND both verify join sides
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_b, out_k, out_id = [], [], []
+        for b in range(4):
+            out_b.append(np.full(len(h), b, dtype=np.int32))
+            out_k.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            out_id.append(ids)
+        return pa.table(
+            {
+                "block": pa.array(np.concatenate(out_b), type=pa.int32()),
+                "key": pa.array(np.concatenate(out_k), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+    banded = prints.map_batches(blocks, batch_format="pyarrow", batch_size=65536)
+    cand = bucketed_pairs(banded, ["block", "key"], "doc_id", "doc_a", "doc_b")
+    # dedup multi-block collisions (count >= 1 is all we need — reuse the
+    # grouped pair count, then drop the multiplicity)
+    counted = pair_counts(cand, "doc_a", "doc_b", "n_blocks")
+
+    def drop_count(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_a", "doc_b"])
+
+    cand = counted.map_batches(drop_count, batch_format="pyarrow", batch_size=65536).materialize()
+
+    side = prints
+    paired = lookup_join(cand, side, "doc_a", "doc_id", {"simhash": "sim_a"})
+    paired = lookup_join(paired, side, "doc_b", "doc_id", {"simhash": "sim_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        ha = batch.column("sim_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        hb = batch.column("sim_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = _popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=65536)
+
+
 def simhash_fingerprints(sf_dir: str):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
@@ -568,3 +661,73 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
 
 
 NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
+
+
+# ---- near-dup clustering (distributed connected components) ----
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Assign every document to its near-duplicate cluster: connected
+    components over the EXACT n-gram Jaccard pair graph
+    (ngram_jaccard_neardup), component id = min doc_id of the cluster,
+    singletons map to themselves. This is the operator a real dedup
+    pipeline runs AFTER pair finding — keep one representative per
+    component, not per pair (pairs alone under-delete transitive
+    duplicate chains A~B~C where A~C is below threshold).
+
+    Scale design: pairs come from the bounded posting-count join; the
+    components run through stages/components.connected_components
+    (per-partition union-find + O(boundary) driver closure — the snap-
+    clustering pattern, nothing O(corpus) on the driver); the singleton
+    fill is one partitioned left join against the doc-id column."""
+    from osmwaterwayextractor_ray.stages.components import connected_components
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+
+    pairs = ngram_jaccard_neardup(sf_dir, threshold)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    edges = pairs.map_batches(project, batch_format="pyarrow", batch_size=65536)
+    assigns = connected_components(edges, "id_a", "id_b", out_node="doc_id", out_comp="component")
+
+    docs = _read_documents(sf_dir, ["doc_id"])
+    joined = hash_join(docs, assigns, on=["doc_id"], how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # unmatched docs are singletons: component = own doc_id. The
+        # left-join's miss marker may be an Arrow null (int path) or a
+        # NaN (pandas float round-trip) — handle both.
+        import pyarrow.compute as pc
+
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        cf = pc.cast(batch.column("component"), pa.float64(), safe=False)
+        miss = pc.or_kleene(pc.is_null(cf), pc.is_nan(cf))
+        c = pc.cast(pc.if_else(miss, pc.cast(d, pa.float64()), cf), pa.int64())
+        return pa.table({"doc_id": d, "component": c})
+
+    return joined.map_batches(fill, batch_format="pyarrow", batch_size=65536)
+
+
+def _dedup_clusters_sql(threshold: float = 0.5) -> str:
+    # transitive closure of the exact pair graph via label propagation:
+    # reach(d, l) enumerates every component member label reachable from
+    # d (bounded by sum of component sizes squared — components are
+    # small), MIN(l) is the component id; UNION (not ALL) terminates it
+    pairs = _ngram_jaccard_sql(threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(d, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.l FROM reach r JOIN edges e ON e.b = r.d
+)
+SELECT d AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM reach GROUP BY d
+"""
+
+
+DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()

@@ -15,6 +15,9 @@ SF = "/root/testdata/sf0.001"
 
 GOLDEN = {
     "simhash_fingerprints": ("828d97a1d3aafc94", 500),
+    # exact 4-block pigeonhole hamming<=3 join (also brute-force-verified
+    # in test_pipelines_rowsonly.py)
+    "simhash_neardup": ("2da22f24242b57f6", 240),
     "winnow_counts": ("4e9b44131c67b470", 500),
     "langid_pred": ("da49af9736a598a0", 500),
     # re-pinned after the minhash permutation-family fix (multiply-shift

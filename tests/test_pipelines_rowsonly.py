@@ -158,3 +158,53 @@ def test_embed_topk_ivf_recall(ray_session):
     # cosines of overlapping pairs agree
     m = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
     assert (m["cosine_e"] - m["cosine_a"]).abs().max() < 1e-9
+
+
+def test_connected_components_chain_partition_invariant(ray_session):
+    """A 100-node chain forces cross-partition closure through every hash
+    bucket; the labeling must equal brute-force min-reachable and be
+    invariant to num_parts."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.components import connected_components
+
+    chain = [(i, i + 1) for i in range(100)]          # one big component -> 0
+    pairs = [(200 + 2 * i, 201 + 2 * i) for i in range(20)]  # 20 two-node comps
+    edges = chain + pairs
+    ds = rd.from_items([{"a": a, "b": b} for a, b in edges])
+    want = {i: 0 for i in range(101)}
+    want.update({200 + 2 * i: 200 + 2 * i for i in range(20)})
+    want.update({201 + 2 * i: 200 + 2 * i for i in range(20)})
+    for parts in (3, 32):
+        got = connected_components(ds, "a", "b", num_parts=parts).to_pandas()
+        got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+        assert got_map == want, f"num_parts={parts}"
+        assert len(got) == len(want)
+
+
+def test_simhash_neardup_exact_vs_bruteforce(ray_session):
+    """The 4-block pigeonhole join must return EXACTLY the brute-force
+    all-pairs hamming <= 3 set over the planted corpus."""
+    import numpy as np
+
+    from osmwaterwayextractor_ray.functions.text import simhash64
+    from osmwaterwayextractor_ray.pipelines.textops import _popcount64, simhash_neardup
+
+    got = simhash_neardup(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pid, pt = [], []
+    for i, t in zip(docs.doc_id.astype(int), docs.text):
+        pid.append(i), pt.append(t)
+        if len(t) > 200:
+            pid.append(i + 1_000_000), pt.append(t[:-40])
+    h = np.array([simhash64(t) for t in pt], dtype=np.uint64)
+    ids = np.array(pid, dtype=np.int64)
+    want = set()
+    for i in range(len(h)):
+        ham = _popcount64(h[i] ^ h[i + 1:])
+        for j in np.flatnonzero(ham <= 3):
+            a, b = ids[i], ids[i + 1 + j]
+            want.add((min(a, b), max(a, b)))
+    found = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert found == want
+    assert (got["hamming"] <= 3).all()
