@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
         "dedup_clusters": textops.dedup_clusters,
+        "curate_corpus": textops.curate_corpus,
+        "stratified_sample": textops.stratified_sample,
         "simhash_fingerprints": textops.simhash_fingerprints,
         "simhash_neardup": textops.simhash_neardup,
         "langid_pred": textops.langid_pred,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
         "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
+        "curate_corpus": textops.CURATE_CORPUS_SQL,
+        "stratified_sample": textops.STRATIFIED_SAMPLE_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,

@@ -116,6 +116,8 @@ QUERY_SET = [
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "dedup_clusters",
+    "curate_corpus",
+    "stratified_sample",
     "embed_topk",
     "embed_neardup",
     "simhash_fingerprints",

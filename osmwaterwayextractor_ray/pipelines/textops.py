@@ -565,10 +565,15 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5):
     Docs with more than ``_NSH_CAP`` shingles fail loud (ValueError)
     rather than silently mis-scoring. Nothing is corpus-sized on the
     driver; every stage is a map_batches or a bucketed shuffle."""
+    return _ngram_jaccard_pairs(_read_documents(sf_dir, ["doc_id", "text"]), threshold)
+
+
+def _ngram_jaccard_pairs(docs, threshold: float):
+    """The posting-count join over any (doc_id, text) Dataset — see
+    ngram_jaccard_neardup for the plan; curate_corpus runs it on the
+    filtered/deduped survivor set."""
     from osmwaterwayextractor_ray.functions.text import word_ngram_hashes
     from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
-
-    docs = _read_documents(sf_dir, ["doc_id", "text"])
 
     def postings(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -635,10 +640,12 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5):
     return counted.map_batches(finish, batch_format="pyarrow", batch_size=65536)
 
 
-def _ngram_jaccard_sql(threshold: float = 0.5) -> str:
-    # word trigrams via the SAME single-space split as word_ngram_hashes
+def _ngram_jaccard_sql(threshold: float = 0.5, source: str = "documents") -> str:
+    # word trigrams via the SAME single-space split as word_ngram_hashes;
+    # ``source`` lets curate_corpus run the identical join over its
+    # filtered survivor CTE
     return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM {source}),
 sh AS (
   SELECT DISTINCT doc_id,
          list_aggregate(list_slice(sp, i, i + 2), 'string_agg', chr(31)) AS g
@@ -731,3 +738,182 @@ SELECT d AS doc_id, CAST(MIN(l) AS BIGINT) AS component FROM reach GROUP BY d
 
 
 DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+# ---- flagship corpus curation (filter -> dedup -> representative) ----
+
+def curate_corpus(
+    sf_dir: str,
+    min_tokens: int = 20,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    threshold: float = 0.5,
+):
+    """The end-to-end training-corpus curation pipeline, chaining the
+    engine's text operators the way a real data pipeline would:
+
+      quality filter (token/char floors, punct ratio <= 10% in exact
+      integer math) -> language whitelist -> exact dedup (min doc_id
+      per content hash) -> exact near-dup clustering over the SURVIVORS
+      (ngram Jaccard pairs -> distributed connected components) -> keep
+      only cluster representatives (doc_id == component min).
+
+    Returns (doc_id, lang, n_tokens) for every kept document. Fully
+    SQL-checkable (CURATE_CORPUS_SQL) because each stage is; clustering
+    runs on the filtered survivor set, NOT the raw corpus — filtering
+    first is both the cheaper order and the semantics real pipelines
+    use (a near-dup of a rejected doc must not be dropped for it)."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.components import connected_components
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join, lookup_join
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+    lang_set = set(langs)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        nt = np.asarray(token_counts(texts), dtype=np.int64)
+        nc = np.asarray(char_counts(texts), dtype=np.int64)
+        npn = np.asarray(punct_counts(texts), dtype=np.int64)
+        lang_ok = np.fromiter(
+            (l in lang_set for l in batch.column("lang").to_pylist()), dtype=bool, count=len(texts)
+        )
+        keep = (nt >= min_tokens) & (nc >= min_chars) & (npn * 10 <= nc) & lang_ok
+        out = batch.append_column("n_tokens", pa.array(nt, type=pa.int64()))
+        return out.filter(pa.array(keep))
+
+    # pinned: feeds the dedup chain AND the final metadata join side
+    filtered = ds.map_batches(filt, batch_format="pyarrow", batch_size=4096).materialize()
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        h = text_hash64(texts)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": batch["text"],
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    deduped = grouped_agg(
+        filtered.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "text": ("text", "min")},
+    ).select_columns(["doc_id", "text"]).materialize()  # feeds pairs AND the survivor join
+
+    pairs = _ngram_jaccard_pairs(deduped, threshold)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    edges = pairs.map_batches(project, batch_format="pyarrow", batch_size=65536)
+    assigns = connected_components(edges, "id_a", "id_b", out_node="doc_id", out_comp="component")
+
+    survivors = deduped.select_columns(["doc_id"])
+    joined = hash_join(survivors, assigns, on=["doc_id"], how="left")
+
+    def reps(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        cf = pc.cast(batch.column("component"), pa.float64(), safe=False)
+        miss = pc.or_kleene(pc.is_null(cf), pc.is_nan(cf))
+        c = pc.cast(pc.if_else(miss, pc.cast(d, pa.float64()), cf), pa.int64())
+        return pa.table({"doc_id": d}).filter(pc.equal(d, c))
+
+    kept = joined.map_batches(reps, batch_format="pyarrow", batch_size=65536)
+
+    def meta(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "lang", "n_tokens"])
+
+    meta_side = filtered.map_batches(meta, batch_format="pyarrow", batch_size=65536)
+    return lookup_join(
+        kept, meta_side, "doc_id", "doc_id", {"lang": "lang", "n_tokens": "n_tokens"}
+    )
+
+
+def _curate_corpus_sql(
+    min_tokens: int = 20,
+    min_chars: int = 100,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    threshold: float = 0.5,
+) -> str:
+    in_list = ", ".join(f"'{l}'" for l in langs)
+    pairs = _ngram_jaccard_sql(threshold, source="d")
+    return f"""
+WITH RECURSIVE fq AS (
+  SELECT doc_id, text, lang,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, lang, n_tokens FROM fq
+  WHERE n_tokens >= {min_tokens} AND n_chars >= {min_chars}
+    AND n_punct * 10 <= n_chars AND lang IN ({in_list})
+),
+d AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+pairs AS ({pairs}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(x, l) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.a, r.l FROM reach r JOIN edges e ON e.b = r.x
+),
+comp AS (SELECT x AS doc_id, MIN(l) AS component FROM reach GROUP BY x)
+SELECT f.doc_id, f.lang, CAST(f.n_tokens AS BIGINT) AS n_tokens
+FROM comp JOIN f ON f.doc_id = comp.doc_id
+WHERE comp.doc_id = comp.component
+"""
+
+
+CURATE_CORPUS_SQL = _curate_corpus_sql()
+
+
+# ---- deterministic stratified sampling ----
+
+def stratified_sample(sf_dir: str, k: int = 10):
+    """k docs per source, chosen by a deterministic pseudo-random order:
+    Knuth multiplicative hash h = (doc_id * 2654435761) mod 2^32, ties
+    broken by doc_id — the standard seeded-sample trick that is exactly
+    reproducible in SQL (STRATIFIED_SAMPLE_SQL), independent of block
+    structure, and needs no global sort: each batch keeps its local
+    top-k per source (partial), then one tiny per-source merge."""
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = (df["doc_id"].to_numpy().astype(np.int64) * 2654435761) % 4294967296
+        df = df.sort_values(["source", "h", "doc_id"]).groupby("source", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return pa.Table.from_pandas(
+            g[["source", "doc_id"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return parts.groupby("source").map_groups(final, batch_format="pandas")
+
+
+def _stratified_sample_sql(k: int = 10) -> str:
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {k}
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
