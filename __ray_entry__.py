@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": relational.events_window,
         "user_sessions": relational.user_sessions,
         "q3_top_revenue": relational2.q3_top_revenue,
+        "q5_local_supplier_volume": relational2.q5_local_supplier_volume,
         "q6_revenue": relational2.q6_revenue,
         "events_props_sum": relational2.events_props_sum,
         "top_tokens": relational2.top_tokens,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_revenue": relational2.Q3_TOP_REVENUE_SQL,
+        "q5_local_supplier_volume": relational2.Q5_SQL,
         "q6_revenue": relational2.Q6_REVENUE_SQL,
         "events_props_sum": relational2.EVENTS_PROPS_SUM_SQL,
         "top_tokens": relational2.TOP_TOKENS_SQL,

@@ -92,6 +92,7 @@ def headline() -> dict:
 QUERY_SET = [
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q5_local_supplier_volume",
     "q6_revenue",
     "events_props_sum",
     "top_tokens",

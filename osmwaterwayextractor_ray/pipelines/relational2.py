@@ -277,6 +277,124 @@ GROUP BY r.r_name
 """
 
 
+def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
+    """TPC-H Q5 shape — the 6-table join: revenue per nation where the
+    customer and the supplier sit in the SAME nation of one region, over
+    a one-year order window. The canonical mixed join plan:
+
+      region/nation (25+5 rows) -> driver dicts, ray.put broadcast
+      (fixed-size dims — the CLAUDE.md broadcast budget);
+      customer & supplier (dataset-sized) -> broadcast-FILTERED to the
+      region's nations inside map_batches, then partitioned hash joins;
+      orders date-filtered at the read -> ⨝ customer on custkey;
+      lineitem -> ⨝ that on orderkey; per-(suppkey, nationkey) partial
+      pre-aggregation BEFORE the supplier join shrinks the fact stream
+      to O(suppliers) rows; final same-nation filter + nation rollup.
+
+    Revenue is rounded to integer cents at the end (the q6 discipline:
+    robust to last-ulp float-sum ordering)."""
+    import ray
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = int(region.loc[region["r_name"] == region_name, "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rkey]
+    lookup_ref = ray.put(
+        (set(nat["n_nationkey"].astype(int)), dict(zip(nat["n_nationkey"], nat["n_name"])))
+    )
+
+    def _in_region(key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            keys, _ = _ray.get(lookup_ref)
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(k, list(keys))))
+
+        return f
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(_in_region("c_nationkey"), batch_format="pyarrow", batch_size=65536)
+
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1997-01-01", "us")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def date_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(date_window, batch_format="pyarrow", batch_size=65536)
+    oc = hash_join(orders, cust, left_on=["o_custkey"], right_on=["c_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "rev": r,
+            }
+        )
+
+    li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
+    lioc = hash_join(li, oc, left_on=["l_orderkey"], right_on=["o_orderkey"])
+
+    # shrink to O(suppliers x nations-in-region) before the supplier join
+    per_supp = grouped_agg(lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")})
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(_in_region("s_nationkey"), batch_format="pyarrow", batch_size=65536)
+    js = hash_join(per_supp, supp, left_on=["l_suppkey"], right_on=["s_suppkey"])
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["c_nationkey"], batch["s_nationkey"])
+        return batch.filter(keep).select(["c_nationkey", "rev"])
+
+    local = js.map_batches(same_nation, batch_format="pyarrow", batch_size=65536)
+    per_nation = grouped_agg(local, ["c_nationkey"], {"revenue": ("rev", "sum")})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        _, n2name = _ray.get(lookup_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["c_nationkey"].map(n2name)
+        df["revenue_cents"] = np.rint(df["revenue"].to_numpy() * 100).astype(np.int64)
+        return pa.Table.from_pandas(
+            df[["n_name", "revenue_cents"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return per_nation.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def part_type_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean
