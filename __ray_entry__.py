@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
+        "kmeans_embeddings": embeddings.kmeans_embeddings,
         "embed_neardup": embeddings.embed_neardup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,
@@ -186,5 +187,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
+        "kmeans_embeddings": embeddings.KMEANS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
     }

@@ -120,6 +120,7 @@ QUERY_SET = [
     "curate_corpus",
     "stratified_sample",
     "embed_topk",
+    "kmeans_embeddings",
     "embed_neardup",
     "simhash_fingerprints",
     "simhash_neardup",

@@ -258,6 +258,167 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995, skew_threshold: int | N
     return paired.map_batches(verify, batch_format="pyarrow", batch_size=8192)
 
 
+# ---- distributed k-means (Lloyd) over the embedding column ----
+
+KM_K = 8
+KM_ITERS = 3
+_KM_Q = 1_000_000  # centroid quantization grid (1e-6)
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
+    """Lloyd's k-means over the embedding column — the iterative
+    broadcast-and-partial-aggregate primitive (semantic clustering /
+    data-mixing buckets for a training corpus). Per iteration:
+
+      centroids (k x DIM, tiny) -> ray.put broadcast;
+      map_batches: argmin-of-squared-distance assignment + per-cluster
+      PARTIAL sums — emitted as EXACT int64 sums of the inputs quantized
+      to the 1e-6 grid (floor(v*1e6 + 0.5)), so the reduce is integer
+      addition: bit-identical under ANY batch structure / num_cpus / add
+      order (the CLAUDE.md invariance rule — float partial sums would
+      drift in the low bits and could flip boundary assignments);
+      driver: combine the O(k x n_batches) partials, mean, de-quantize.
+      Empty clusters keep their previous centroid.
+
+    Init is the first k vectors by vec_id (deterministic). Distances use
+    the elementwise (x_i - c_i)^2 form — the same expression the SQL
+    oracle evaluates, so both engines see identical centroids and
+    distances up to per-dimension addition order. Returns
+    (vec_id, cluster) from a final assignment pass. KMEANS_SQL unrolls
+    the same ``iters`` iterations as chained CTEs."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # deterministic init: the first k vectors by vec_id (predicate
+    # pushdown — only row groups containing them leave storage)
+    it = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    ids0 = it.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids0)
+    order = order[ids0[order] < k]
+    C = np.array(
+        [it.column("embedding")[int(i)].as_py() for i in order], dtype=np.float64
+    )
+
+    def _assign(mat: np.ndarray, C_: np.ndarray) -> np.ndarray:
+        d2 = ((mat[:, None, :] - C_[None, :, :]) ** 2).sum(axis=-1)
+        return d2.argmin(axis=1)  # ties -> lowest cluster index
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            C_ = ray.get(ref)
+            ids, mat = _emb_matrix(batch)
+            cl = _assign(mat, C_)
+            q = np.floor(mat * _KM_Q + 0.5).astype(np.int64)
+            kk = C_.shape[0]
+            S = np.zeros((kk, mat.shape[1]), dtype=np.int64)
+            np.add.at(S, cl, q)
+            n = np.bincount(cl, minlength=kk).astype(np.int64)
+            offs = np.arange(0, (kk + 1) * mat.shape[1], mat.shape[1], dtype=np.int32)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk), type=pa.int64()),
+                    "n": pa.array(n, type=pa.int64()),
+                    "s": pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()),
+                        pa.array(S.ravel(), type=pa.int64()),
+                    ),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096).take_all()
+        S = np.zeros((k, C.shape[1]), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        for r in rows:  # O(k x n_batches) driver rows — tiny
+            S[r["cluster"]] += np.asarray(r["s"], dtype=np.int64)
+            n[r["cluster"]] += r["n"]
+        nz = n > 0
+        C = C.copy()
+        C[nz] = (S[nz] / n[nz, None]) / _KM_Q
+
+    ref = ray.put(C)
+
+    def final(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        cl = _assign(mat, C_)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(cl, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow", batch_size=4096)
+
+
+def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    dim, q = DIM, _KM_Q
+
+    def d2(c_alias: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (CAST(e.embedding[i] AS DOUBLE) - {c_alias}.emb[i]) "
+            f"* (CAST(e.embedding[i] AS DOUBLE) - {c_alias}.emb[i])))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE)) AS emb FROM embeddings WHERE vec_id < {k})",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2('c')}, c.cid) AS rn
+    FROM e CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""u{t} AS (
+  SELECT a.cid, i,
+         SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * {q} + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM a{t} a JOIN e ON e.vec_id = a.vec_id,
+       LATERAL UNNEST(generate_series(1, {dim})) AS t(i)
+  GROUP BY a.cid, i
+)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT p.cid, COALESCE(uu.emb, p.emb) AS emb
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid, list((CAST(s AS DOUBLE) / n) / {q} ORDER BY i) AS emb
+    FROM u{t} GROUP BY cid
+  ) uu ON uu.cid = p.cid
+)"""
+        )
+    parts.append(
+        f"""af AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2('c')}, c.cid) AS rn
+    FROM e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af"
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
 # ---- IVF-style bucketed ANN (the scale path for similarity search) ----
 
 N_COARSE = 16   # coarse centroids (deterministic: the first N_COARSE vectors)
