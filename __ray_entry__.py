@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": textops.dedup_clusters,
         "curate_corpus": textops.curate_corpus,
         "stratified_sample": textops.stratified_sample,
+        "quality_percentiles": textops.quality_percentiles,
         "simhash_fingerprints": textops.simhash_fingerprints,
         "simhash_neardup": textops.simhash_neardup,
         "langid_pred": textops.langid_pred,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
         "curate_corpus": textops.CURATE_CORPUS_SQL,
         "stratified_sample": textops.STRATIFIED_SAMPLE_SQL,
+        "quality_percentiles": textops.QUALITY_PERCENTILES_SQL,
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,

@@ -119,6 +119,7 @@ QUERY_SET = [
     "dedup_clusters",
     "curate_corpus",
     "stratified_sample",
+    "quality_percentiles",
     "embed_topk",
     "kmeans_embeddings",
     "embed_neardup",

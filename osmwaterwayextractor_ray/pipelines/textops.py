@@ -875,6 +875,66 @@ WHERE comp.doc_id = comp.component
 CURATE_CORPUS_SQL = _curate_corpus_sql()
 
 
+# ---- exact distributed percentiles (value histogram) ----
+
+def quality_percentiles(sf_dir: str, ps: tuple[float, ...] = (0.5, 0.95, 0.99)):
+    """EXACT per-language percentiles of doc length — the
+    value-histogram plan for bounded-cardinality columns: one grouped
+    count per (lang, n_chars) — the distributed shuffle is O(distinct
+    values), NOT O(docs) — then the cumulative-count rank selection runs
+    on the tiny histogram (driver-side; bounded by value cardinality,
+    the same budget class as cluster.py's boundary collect). Exact
+    lower-value convention: p-th percentile = smallest v with
+    cum_count >= ceil(p * n). Complements stages/qa.py's t-digest
+    (approximate, unbounded-cardinality floats) with an exact path for
+    integer-valued metrics."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_documents(sf_dir, ["lang", "n_chars"])
+    hist = grouped_agg(ds, ["lang", "n_chars"], {"cnt": ("n_chars", "count")})
+    rows = hist.take_all()
+
+    import collections
+
+    by_lang: dict[str, list[tuple[int, int]]] = collections.defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append((int(r["n_chars"]), int(r["cnt"])))
+    out = []
+    for lang in sorted(by_lang):
+        vc = sorted(by_lang[lang])
+        vals = np.array([v for v, _ in vc], dtype=np.int64)
+        cum = np.cumsum([c for _, c in vc])
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for p in ps:
+            rank = int(np.ceil(p * n))
+            row[f"p{int(p * 100)}"] = int(vals[np.searchsorted(cum, rank)])
+        out.append(row)
+    return pd.DataFrame(out)
+
+
+def _quality_percentiles_sql(ps: tuple[float, ...] = (0.5, 0.95, 0.99)) -> str:
+    cols = ",\n  ".join(
+        f"CAST(min(CASE WHEN cum >= ceil({p} * n) THEN v END) AS BIGINT) AS p{int(p * 100)}"
+        for p in ps
+    )
+    return f"""
+WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+w AS (
+  SELECT lang, v,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM c
+)
+SELECT lang,
+  {cols}
+FROM w GROUP BY lang
+"""
+
+
+QUALITY_PERCENTILES_SQL = _quality_percentiles_sql()
+
+
 # ---- deterministic stratified sampling ----
 
 def stratified_sample(sf_dir: str, k: int = 10):
