@@ -166,8 +166,12 @@ def _corpus_with_planted_dups(sf_dir: str):
 
 
 class _MinHashStage:
-    """Actor-pool stage: shingle + MinHash + LSH band emission (compiled
-    state — permutation tables — built once per actor).
+    """Actor-pool stage: shingle + MinHash + LSH band keys in ONE pass,
+    emitted one row per doc: (packed id, 21 band keys, sorted distinct
+    shingle hashes). Pinning this table once lets the band explosion AND
+    both verify join sides project from it — each doc is shingled
+    exactly once in the whole pipeline (compiled state — permutation
+    tables — is module-level, loaded once per worker).
 
     Band geometry is 21 bands × 3 rows (63 of the 64 permutations): the
     s-curve midpoint (1/b)^(1/r) ≈ 0.36 sits just below the 0.6 query
@@ -198,20 +202,24 @@ class _MinHashStage:
 
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
-        out_band, out_key, out_doc = [], [], []
+        out_keys, out_packed, sh_lists = [], [], []
         for did, t in zip(ids.tolist(), texts):
             sh = shingle_hashes(t)
             sig = minhash_signature_from_shingles(sh)
-            packed = (did << _NSH_BITS) | min(len(sh), _NSH_CAP)
-            for b, key in enumerate(minhash_bands(sig, self.n_bands)):
-                out_band.append(b)
-                out_key.append(key)
-                out_doc.append(packed)
+            out_packed.append((did << _NSH_BITS) | min(len(sh), _NSH_CAP))
+            out_keys.append(minhash_bands(sig, self.n_bands))
+            sh_lists.append(sh.view(np.int64))
+        ns = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(sh_lists))
+        flat = np.concatenate(sh_lists) if sh_lists else np.empty(0, np.int64)
+        offs = np.concatenate(([0], np.cumsum(ns))).astype(np.int32)
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "band_key": pa.array(out_key, type=pa.int64()),
-                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "doc_id": pa.array(out_packed, type=pa.int64()),
+                "bands": pa.array(out_keys, type=pa.list_(pa.int64())),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(flat, type=pa.int64()),
+                ),
             }
         )
 
@@ -222,21 +230,41 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
     doc_b, deduplicated across buckets.
 
     The exact-Jaccard verify is fully distributed: candidate pairs are
-    hash-joined back to the corpus text twice (doc_a side, doc_b side)
-    with fastagg.hash_join — no whole-corpus driver materialization or
-    broadcast. The planted corpus is materialized ONCE (object-store
-    blocks, spillable) and feeds all three consumers (MinHash stage +
-    both join sides) instead of being re-derived per consumer
-    (VERDICT r2 perf #2)."""
-    corpus = _corpus_with_planted_dups(sf_dir).materialize()
-
-    bands = corpus.map_batches(
-        _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
-    )
-
+    joined back to the shingle table twice (doc_a side, doc_b side) —
+    no whole-corpus driver materialization or broadcast. ONE actor-pool
+    pass (_MinHashStage) shingles, signs and bands every doc, and its
+    pinned per-doc output (object-store blocks, spillable) feeds the
+    band explosion AND both verify join sides — each doc is shingled
+    exactly once in the whole pipeline."""
     import pyarrow.compute as pc
 
     from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
+
+    prep = (
+        _corpus_with_planted_dups(sf_dir)
+        .map_batches(
+            _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
+        )
+        .materialize()
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        col = batch.column("bands")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        keys = arr.values.to_numpy(zero_copy_only=False)
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.diff(offs)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        band_idx = np.concatenate([np.arange(k, dtype=np.int32) for k in n]) if len(n) else np.empty(0, np.int32)
+        return pa.table(
+            {
+                "band": pa.array(band_idx, type=pa.int32()),
+                "band_key": pa.array(keys[offs[0] : offs[-1]] if len(keys) else keys, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n), type=pa.int64()),
+            }
+        )
+
+    bands = prep.map_batches(explode_bands, batch_format="pyarrow", batch_size=8192)
 
     # candidate pairs per (band, band_key) LSH bucket — resolved with one
     # vectorized kernel per coarse hash bucket, NOT one map_groups call per
@@ -288,33 +316,23 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
     # corpus pin above)
     cand = counted.map_batches(multi_collision, batch_format="pyarrow", batch_size=65536).materialize()
 
-    # distributed exact-Jaccard verify: pairs ⋈ corpus on doc_a, then
-    # doc_b, shipping each doc's SORTED DISTINCT shingle-hash array
-    # (computed once per corpus doc — the old path re-shingled texts
-    # inside every verify batch, ~5x the shingling work) — then one
+    # distributed exact-Jaccard verify: pairs ⋈ shingle table on doc_a,
+    # then doc_b — the sorted distinct shingle arrays are a PROJECTION of
+    # the pinned prep table (no re-shingling anywhere) — then one
     # vectorized lexsort per batch counts the per-pair intersections.
     from osmwaterwayextractor_ray.stages.fastagg import hash_join, lookup_join
 
     def _sh_side(id_col: str, sh_col: str):
         def rn(batch: pa.Table) -> pa.Table:
-            from osmwaterwayextractor_ray.functions.text import shingle_hashes
-
-            texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
-            lists = [shingle_hashes(t).view(np.int64) for t in texts]
-            ns = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
-            flat = np.concatenate(lists) if lists else np.empty(0, np.int64)
-            offs = np.concatenate(([0], np.cumsum(ns))).astype(np.int32)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    id_col: batch["doc_id"],
-                    sh_col: pa.ListArray.from_arrays(
-                        pa.array(offs, type=pa.int32()),
-                        pa.array(flat, type=pa.int64()),
-                    ),
+                    id_col: pa.array(ids >> _NSH_BITS, type=pa.int64()),
+                    sh_col: batch["sh"],
                 }
             )
 
-        return corpus.map_batches(rn, batch_format="pyarrow", batch_size=2048)
+        return prep.map_batches(rn, batch_format="pyarrow", batch_size=8192)
 
     # skew_threshold: opt-in hot-key guard for the verify joins (a
     # mega-duplicate doc id appearing in >threshold candidate pairs is
@@ -333,10 +351,9 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
             paired, _sh_side("doc_b", "sh_b"), on=["doc_b"], skew_threshold=skew_threshold
         )
     else:
-        # pin the (corpus-linear, spillable) shingle side once — it feeds
-        # both join sides, and leaving it lazy re-ran the shingling per
-        # consumer (measured ~2x the whole verify phase)
-        side = _sh_side("doc_id", "sh").materialize()
+        # the side is a cheap projection of the pinned prep table — no
+        # extra pin needed (re-projection per consumer is just pc.take)
+        side = _sh_side("doc_id", "sh")
         paired = lookup_join(cand, side, "doc_a", "doc_id", {"sh": "sh_a"})
         paired = lookup_join(paired, side, "doc_b", "doc_id", {"sh": "sh_b"})
 
