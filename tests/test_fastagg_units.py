@@ -1,0 +1,76 @@
+"""Unit tests for the fastagg join/count primitives and the generic
+connected-components stage — edge cases the oracle queries don't force
+(missing keys, empty sides, list payloads, randomized graphs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_items(rows)
+
+
+def test_lookup_join_inner_semantics_and_list_payload(ray_session):
+    from osmwaterwayextractor_ray.stages.fastagg import lookup_join
+
+    left = _ds([{"k": 1}, {"k": 2}, {"k": 2}, {"k": 99}])  # 99 absent from right
+    right_tbl = pa.table(
+        {
+            "rid": pa.array([1, 2, 3], type=pa.int64()),
+            "payload": pa.array([[10, 11], [20], [30, 31, 32]], type=pa.list_(pa.int64())),
+        }
+    )
+    import ray.data as rd
+
+    right = rd.from_arrow(right_tbl)
+    out = lookup_join(left, right, "k", "rid", {"payload": "p"}).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 2]  # inner: unmatched left row dropped
+    got = [list(v) for v in out["p"]]
+    assert got == [[10, 11], [20], [20]]
+
+
+def test_lookup_join_empty_left(ray_session):
+    from osmwaterwayextractor_ray.stages.fastagg import lookup_join
+
+    left = _ds([{"k": 123}])
+
+    def drop_all(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 0)
+
+    left = left.map_batches(drop_all, batch_format="pyarrow")
+    right = _ds([{"rid": 1, "v": 7}])
+    out = lookup_join(left, right, "k", "rid", {"v": "v"}).to_pandas()
+    assert len(out) == 0
+
+
+def test_pair_counts_multiplicity(ray_session):
+    from osmwaterwayextractor_ray.stages.fastagg import pair_counts
+
+    rows = [{"a": 1, "b": 2}] * 5 + [{"a": 1, "b": 3}] * 2 + [{"a": 4, "b": 5}]
+    out = pair_counts(_ds(rows), "a", "b", "n").to_pandas()
+    got = {(int(r.a), int(r.b)): int(r.n) for r in out.itertuples()}
+    assert got == {(1, 2): 5, (1, 3): 2, (4, 5): 1}
+
+
+def test_connected_components_random_vs_bruteforce(ray_session):
+    """Randomized graphs across several densities: the distributed CC
+    labeling must equal the driver-side union-find ground truth."""
+    from osmwaterwayextractor_ray.stages.components import connected_components
+    from osmwaterwayextractor_ray.state.unionfind import connected_components_from_pairs
+
+    rng = np.random.default_rng(1234)
+    for n_nodes, n_edges in [(50, 20), (200, 150), (400, 800)]:
+        a = rng.integers(0, n_nodes, size=n_edges, dtype=np.int64)
+        b = rng.integers(0, n_nodes, size=n_edges, dtype=np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        want = connected_components_from_pairs(a, b)
+        ds = _ds([{"a": int(x), "b": int(y)} for x, y in zip(a, b)])
+        got = connected_components(ds, "a", "b", num_parts=5).to_pandas()
+        got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
+        assert got_map == want, f"n={n_nodes} e={len(a)}"
