@@ -74,3 +74,19 @@ def test_connected_components_random_vs_bruteforce(ray_session):
         got = connected_components(ds, "a", "b", num_parts=5).to_pandas()
         got_map = dict(zip(got["node"].astype(int), got["component"].astype(int)))
         assert got_map == want, f"n={n_nodes} e={len(a)}"
+
+
+def test_entry_module_integrity():
+    """Every oracle key and every bench QUERY_SET name must resolve to a
+    registered query callable (guards registration typos)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+    import bench
+
+    qs = em.queries()
+    missing_oracle = set(em.oracle_sql()) - set(qs)
+    missing_bench = set(bench.QUERY_SET) - set(qs)
+    assert not missing_oracle, missing_oracle
+    assert not missing_bench, missing_bench
