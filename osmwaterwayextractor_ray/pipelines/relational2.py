@@ -296,7 +296,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
     import ray
     import ray.data as rd
 
-    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
 
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     region = pd.read_parquet(f"{sf_dir}/region.parquet")
@@ -331,12 +331,47 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
         return batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_orderkey", "o_custkey"])
 
     orders = orders.map_batches(date_window, batch_format="pyarrow", batch_size=65536)
-    oc = hash_join(orders, cust, left_on=["o_custkey"], right_on=["c_custkey"])
+    # pinned: feeds the Bloom build and the lineitem join. All three
+    # joins below have UNIQUE-keyed right sides (custkey, orderkey,
+    # suppkey), so they use the Arrow-native lookup_join (searchsorted
+    # + take per bucket, no pandas merge).
+    oc = lookup_join(
+        orders, cust, "o_custkey", "c_custkey", {"c_nationkey": "c_nationkey"}
+    ).materialize()
+
+    # Bloom semi-join prefilter for the fact table, built DISTRIBUTEDLY
+    # (per-batch partial filters OR-merged on the driver — the driver
+    # holds one O(capacity)-bit array, never the key set): only ~the
+    # surviving fraction of lineitem enters the partitioned join, and
+    # Bloom false positives are harmless because the join itself is the
+    # exact check.
+    from osmwaterwayextractor_ray.functions.bloom import BloomFilter
+
+    n_keys = max(oc.count(), 1)
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        b = BloomFilter(n_keys)
+        b.add(batch.column("o_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([b.bits.tobytes()], type=pa.binary())})
+
+    bf = BloomFilter(n_keys)
+    for r in oc.map_batches(partial_bloom, batch_format="pyarrow", batch_size=65536).take_all():
+        bf.bits |= np.frombuffer(r["bits"], dtype=bf.bits.dtype)
+    bf_ref = ray.put(bf)
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bf_ = _ray.get(bf_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bf_.contains(keys)))
+
+    li = li.map_batches(semi, batch_format="pyarrow", batch_size=65536)
 
     def rev(batch: pa.Table) -> pa.Table:
         r = pc.multiply(
@@ -351,7 +386,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
         )
 
     li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
-    lioc = hash_join(li, oc, left_on=["l_orderkey"], right_on=["o_orderkey"])
+    lioc = lookup_join(li, oc, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"})
 
     # shrink to O(suppliers x nations-in-region) before the supplier join
     per_supp = grouped_agg(lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")})
@@ -359,7 +394,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
     supp = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_in_region("s_nationkey"), batch_format="pyarrow", batch_size=65536)
-    js = hash_join(per_supp, supp, left_on=["l_suppkey"], right_on=["s_suppkey"])
+    js = lookup_join(per_supp, supp, "l_suppkey", "s_suppkey", {"s_nationkey": "s_nationkey"})
 
     def same_nation(batch: pa.Table) -> pa.Table:
         keep = pc.equal(batch["c_nationkey"], batch["s_nationkey"])

@@ -426,7 +426,14 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
     yields every qualifying pair exactly. The popcount verify runs on
     fingerprints shipped through two skinny Arrow lookup_joins; nothing
     is corpus-sized on the driver. ``max_hamming`` must stay < 4 for
-    the 4-block cover to be complete (guarded)."""
+    the 4-block cover to be complete (guarded).
+
+    Scale trade (documented, not guarded): completeness forbids a
+    stop-band, so a 16-bit block value shared by m docs contributes
+    O(m^2) candidate rows — a corpus of exact-duplicate fingerprints is
+    quadratic (as is its OUTPUT). At web scale run exact dedup first
+    (collapse identical texts) and use `minhash_neardup`'s bounded
+    bucketed plan for the fuzzy tail."""
     if max_hamming >= 4:
         raise ValueError("4-block pigeonhole cover requires max_hamming <= 3")
 
