@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": relational2.top_tokens,
         "orders_monthly": relational2.orders_monthly,
         "supplier_region_rollup": relational2.supplier_region_rollup,
+        "customers_no_orders": relational2.customers_no_orders,
+        "events_top3_per_user": relational2.events_top3_per_user,
         "part_type_stats": relational2.part_type_stats,
         "embed_norms": relational2.embed_norms,
         "purchase_attribution": relational2.purchase_attribution,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": relational2.TOP_TOKENS_SQL,
         "orders_monthly": relational2.ORDERS_MONTHLY_SQL,
         "supplier_region_rollup": relational2.SUPPLIER_REGION_ROLLUP_SQL,
+        "customers_no_orders": relational2.CUSTOMERS_NO_ORDERS_SQL,
+        "events_top3_per_user": relational2.EVENTS_TOP3_SQL,
         "part_type_stats": relational2.PART_TYPE_STATS_SQL,
         "embed_norms": relational2.EMBED_NORMS_SQL,
         "purchase_attribution": relational2.PURCHASE_ATTRIBUTION_SQL,

@@ -103,6 +103,8 @@ QUERY_SET = [
     "customer_order_stats",
     "events_window",
     "user_sessions",
+    "customers_no_orders",
+    "events_top3_per_user",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",

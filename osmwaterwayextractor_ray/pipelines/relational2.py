@@ -430,6 +430,86 @@ GROUP BY n_name
 """
 
 
+def customers_no_orders(sf_dir: str):
+    """Distributed anti-join (NOT IN): customers with NO order in the
+    1996H1 window. One cogroup shuffle, per-bucket np.isin — neither
+    side is driver-resident (fastagg.anti_join)."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import anti_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    lo = np.datetime64("1996-01-01", "us")
+    hi = np.datetime64("1996-07-01", "us")
+
+    def window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((d >= lo) & (d < hi))).select(["o_custkey"])
+
+    orders = orders.map_batches(window, batch_format="pyarrow", batch_size=65536)
+    return anti_join(cust, orders, "c_custkey", "o_custkey")
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+)
+"""
+
+
+def events_top3_per_user(sf_dir: str, k: int = 3):
+    """Grouped top-k window (row_number <= k per user by (ts DESC,
+    event_id) — the dense total tie-break makes the result set
+    deterministic): per-batch partial top-k per user shrinks the stream,
+    then one hash-bucket shuffle resolves the per-user top-k with a
+    single lexsort per bucket — no per-user map_groups calls."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    N_PARTS = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = (
+            df.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, True])
+            .groupby("user_id", sort=False)
+            .head(k)
+        )
+        df["__part"] = (
+            df["user_id"].to_numpy().astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(N_PARTS)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.sort_values(["user_id", "ts", "event_id"], ascending=[True, False, True])
+            .groupby("user_id", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(
+            g[["user_id", "ts", "event_id", "value"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return parts.groupby("__part").map_groups(topk, batch_format="pandas")
+
+
+EVENTS_TOP3_SQL = """
+SELECT user_id, ts, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) <= 3
+"""
+
+
 def part_type_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean

@@ -413,6 +413,32 @@ def pair_counts(
     )
 
 
+def anti_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """Left rows whose key does NOT appear in right (NOT IN with non-null
+    keys). Same one-shuffle cogroup as hash_join; each bucket filters
+    with one np.isin against the bucket's right keys."""
+    grouped, split = cogroup(
+        left, right, [left_key], right_on=[right_key],
+        num_parts=num_parts, batch_size=batch_size,
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        lk = lg.column(left_key).to_numpy(zero_copy_only=False)
+        rk = rg.column(right_key).to_numpy(zero_copy_only=False)
+        keep = ~np.isin(lk, rk)
+        return lg.filter(pa.array(keep))
+
+    return grouped.map_groups(merge, batch_format="pyarrow")
+
+
 def lookup_join(
     left,
     right,
