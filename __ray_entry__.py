@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pages,
         relational,
         relational2,
+        relational3,
         textops,
     )
 
@@ -92,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": relational2.purchase_attribution,
         "events_sliding_window": relational2.events_sliding_window,
         "urgent_lineitems": relational2.urgent_lineitems,
+        "orders_rollup": relational3.orders_rollup,
+        "events_pivot": relational3.events_pivot,
+        "events_lag_gaps": relational3.events_lag_gaps,
+        "orders_running_total": relational3.orders_running_total,
+        "signup_error_window_join": relational3.signup_error_window_join,
+        "nation_trade_fulljoin": relational3.nation_trade_fulljoin,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -145,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         pages,
         relational,
         relational2,
+        relational3,
         textops,
         embeddings,
     )
@@ -165,6 +173,12 @@ def oracle_sql() -> dict[str, str]:
         "purchase_attribution": relational2.PURCHASE_ATTRIBUTION_SQL,
         "events_sliding_window": relational2.EVENTS_SLIDING_WINDOW_SQL,
         "urgent_lineitems": relational2.URGENT_LINEITEMS_SQL,
+        "orders_rollup": relational3.ORDERS_ROLLUP_SQL,
+        "events_pivot": relational3.EVENTS_PIVOT_SQL,
+        "events_lag_gaps": relational3.EVENTS_LAG_GAPS_SQL,
+        "orders_running_total": relational3.ORDERS_RUNNING_TOTAL_SQL,
+        "signup_error_window_join": relational3.SIGNUP_ERROR_WINDOW_SQL,
+        "nation_trade_fulljoin": relational3.NATION_TRADE_FULLJOIN_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

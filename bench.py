@@ -105,6 +105,12 @@ QUERY_SET = [
     "user_sessions",
     "customers_no_orders",
     "events_top3_per_user",
+    "orders_rollup",
+    "events_pivot",
+    "events_lag_gaps",
+    "orders_running_total",
+    "signup_error_window_join",
+    "nation_trade_fulljoin",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",

@@ -1,0 +1,563 @@
+"""Third relational operator set: multi-level aggregates and window /
+non-equi-join primitives the first two modules don't cover.
+
+  * orders_rollup        — GROUP BY ROLLUP (hierarchical subtotals) as
+                           three chained partial aggregations; coarser
+                           levels re-aggregate the (tiny) finest level,
+                           never the fact table.
+  * events_pivot         — pivot (conditional aggregation): one column
+                           per event_type, vectorized per-batch partials.
+  * events_lag_gaps      — LAG window: per-user gap to the previous
+                           event under a total (ts, event_id) order.
+  * orders_running_total — per-key running sum (ROWS UNBOUNDED
+                           PRECEDING) via one bucket shuffle + grouped
+                           cumsum; exact int64 cents.
+  * signup_error_window_join — banded interval join (non-equi |Δt| ≤ 1h)
+                           via temporal binning: each pair meets in
+                           exactly one bin (the right event's), the
+                           classic distributed range-join plan.
+  * nation_trade_fulljoin — FULL OUTER JOIN of two grouped aggregates.
+
+All money/value sums are exact int64 cents (CAST(round(x*100) AS
+BIGINT) on the oracle side) so results are bit-stable under any block
+structure — the float-sum-order lesson from the graph pipeline
+(CLAUDE.md).  No reference counterpart (the reference has no relational
+surface); these are the §2.6/§2.7 generalizations the north star needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_FNV = np.uint64(1099511628211)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.round(x * 100.0).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP
+# ---------------------------------------------------------------------------
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, priority): finest level is a distributed
+    partial-agg + bucket combine; the (year) subtotals and grand total
+    re-aggregate the FINEST RESULT (≤ years × priorities rows), so the
+    fact table is read exactly once. NULL group keys use the sentinels
+    -1 / 'ALL' to keep both engines' dtypes non-nullable."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_year": pa.array(year, type=pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        keys=["o_year", "o_orderpriority"],
+        agg_spec={"n_orders": ("cents", "count"), "total_cents": ("cents", "sum")},
+    )
+
+    def lift_year(batch: pa.Table) -> pa.Table:
+        # re-key the finest rows for the (year) subtotal level
+        return batch.set_column(
+            batch.schema.get_field_index("o_orderpriority"),
+            "o_orderpriority",
+            pa.array(["ALL"] * batch.num_rows, type=pa.string()),
+        )
+
+    def lift_all(batch: pa.Table) -> pa.Table:
+        t = lift_year(batch)
+        return t.set_column(
+            t.schema.get_field_index("o_year"),
+            "o_year",
+            pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+        )
+
+    spec = {"n_orders": ("n_orders", "sum"), "total_cents": ("total_cents", "sum")}
+    by_year = grouped_agg(
+        fine.map_batches(lift_year, batch_format="pyarrow"),
+        keys=["o_year", "o_orderpriority"],
+        agg_spec=spec,
+        num_parts=4,
+    )
+    total = grouped_agg(
+        fine.map_batches(lift_all, batch_format="pyarrow"),
+        keys=["o_year", "o_orderpriority"],
+        agg_spec=spec,
+        num_parts=1,
+    )
+    cols = ["o_year", "o_orderpriority", "n_orders", "total_cents"]
+    return (
+        fine.select_columns(cols)
+        .union(by_year.select_columns(cols))
+        .union(total.select_columns(cols))
+    )
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_year, -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       n_orders, total_cents
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders
+  GROUP BY ROLLUP(o_year, o_orderpriority)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(sf_dir: str):
+    """Pivot event_type into one count column per type plus an exact
+    int64-cents value total, per user. Per-batch vectorized partials
+    (one boolean reduction per type) then the standard bucket combine —
+    the pivot never shuffles raw events."""
+    import ray.data as rd
+
+    N_PARTS = 8
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "et": batch.column("event_type").to_pandas(),
+                "cents": _cents(batch.column("value").to_numpy(zero_copy_only=False)),
+            }
+        )
+        for t in _EVENT_TYPES:
+            df[f"n_{t}"] = (df["et"] == t).astype(np.int64)
+        agg = {f"n_{t}": (f"n_{t}", "sum") for t in _EVENT_TYPES}
+        agg["value_cents"] = ("cents", "sum")
+        g = df.groupby("user_id", as_index=False, sort=False).agg(**agg)
+        g["__part"] = (
+            g["user_id"].to_numpy().astype(np.uint64) * _FNV % np.uint64(N_PARTS)
+        ).astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("user_id", as_index=False, sort=False).agg(
+            **{c: (c, "sum") for c in g.columns if c not in ("user_id", "__part")}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return parts.groupby("__part").map_groups(combine, batch_format="pandas")
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+  count(*) FILTER (event_type = 'click')    AS n_click,
+  count(*) FILTER (event_type = 'error')    AS n_error,
+  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+  count(*) FILTER (event_type = 'signup')   AS n_signup,
+  count(*) FILTER (event_type = 'view')     AS n_view,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LAG window
+# ---------------------------------------------------------------------------
+
+
+def events_lag_gaps(sf_dir: str):
+    """LAG(ts) OVER (PARTITION BY user ORDER BY ts, event_id): the gap in
+    microseconds to the user's previous event. Needs the whole key in one
+    place, so it is exactly one hash-bucket shuffle; inside each bucket a
+    single lexsort + diff resolves every user (no per-user calls). The
+    (ts, event_id) order is total, so output is partitioning-invariant."""
+    import ray.data as rd
+
+    N_PARTS = 32
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__part", pa.array((u * _FNV % np.uint64(N_PARTS)).astype(np.int64))
+        )
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]")
+        tsi = ts.astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, tsi, u))
+        u, tsi, eid = u[order], tsi[order], eid[order]
+        gap = np.empty(len(u), dtype=np.int64)
+        gap[1:] = tsi[1:] - tsi[:-1]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        keep = ~first
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep]),
+                "ts": pa.array(tsi[keep].astype("datetime64[us]")),
+                "event_id": pa.array(eid[keep]),
+                "gap_us": pa.array(gap[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+
+EVENTS_LAG_GAPS_SQL = """
+SELECT user_id, ts, event_id,
+  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+    AS gap_us
+FROM events
+QUALIFY gap_us IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-key running total
+# ---------------------------------------------------------------------------
+
+
+def orders_running_total(sf_dir: str):
+    """SUM OVER (PARTITION BY custkey ORDER BY date, orderkey ROWS
+    UNBOUNDED PRECEDING) in exact int64 cents. One bucket shuffle; each
+    bucket computes every customer's prefix sums with one lexsort + a
+    cumsum minus per-group offsets (reduceat-style, no per-key loop)."""
+    import ray.data as rd
+
+    N_PARTS = 32
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        c = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+                "__part": pa.array((c * _FNV % np.uint64(N_PARTS)).astype(np.int64)),
+            }
+        )
+        return t
+
+    def running(g: pd.DataFrame) -> pa.Table:
+        c = g["o_custkey"].to_numpy()
+        k = g["o_orderkey"].to_numpy()
+        d = g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["cents"].to_numpy()
+        order = np.lexsort((k, d, c))
+        c, k, d, v = c[order], k[order], d[order], v[order]
+        cs = np.cumsum(v)
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(first)
+        # offset before each group's first row, broadcast to members
+        base = np.repeat(cs[starts] - v[starts], np.diff(np.append(starts, len(c))))
+        return pa.table(
+            {
+                "o_custkey": pa.array(c),
+                "o_orderkey": pa.array(k),
+                "o_orderdate": pa.array(d.astype("datetime64[us]")),
+                "running_cents": pa.array(cs - base),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS running_cents
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Banded interval (range) join
+# ---------------------------------------------------------------------------
+
+_WIN_US = 3_600_000_000  # ±1 hour
+
+
+def signup_error_window_join(sf_dir: str):
+    """Non-equi range join: for every signup event, how many error events
+    happened within ±1 h — no equality key at all. Distributed plan =
+    temporal binning: bin width equals the window, the LEFT side is
+    replicated into every bin its window overlaps (≤3), the RIGHT side
+    goes to its own bin only, so each qualifying (signup, error) pair
+    meets in exactly one co-group (the error's bin) and is counted once.
+    Zero-match signups are restored by a left hash-join against the
+    bucketed counts."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def split(kind: str, replicate: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            et = batch.column("event_type").to_pandas().to_numpy()
+            m = et == kind
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)[m]
+            ts = (
+                batch.column("ts")
+                .to_numpy(zero_copy_only=False)[m]
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            if not replicate:
+                return pa.table(
+                    {
+                        "event_id": pa.array(ids),
+                        "ts_us": pa.array(ts),
+                        "bin": pa.array(ts // _WIN_US),
+                    }
+                )
+            lo = (ts - _WIN_US) // _WIN_US
+            hi = (ts + _WIN_US) // _WIN_US
+            reps = (hi - lo + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(ids)), reps)
+            bins = np.concatenate(
+                [np.arange(a, b + 1) for a, b in zip(lo.tolist(), hi.tolist())]
+            ) if len(ids) else np.array([], dtype=np.int64)
+            return pa.table(
+                {
+                    "event_id": pa.array(ids[idx]),
+                    "ts_us": pa.array(ts[idx]),
+                    "bin": pa.array(bins),
+                }
+            )
+
+        return f
+
+    signups = ds.map_batches(split("signup", True), batch_format="pyarrow", batch_size=65536)
+    errors = ds.map_batches(split("error", False), batch_format="pyarrow", batch_size=65536)
+
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup
+
+    grouped, splitg = cogroup(
+        signups, errors, ["bin"], num_parts=32, batch_size=65536
+    )
+
+    def count_in_window(g: pa.Table) -> pa.Table:
+        lg, rg = splitg(g)
+        s_ids = lg.column("event_id").to_numpy(zero_copy_only=False)
+        s_ts = lg.column("ts_us").to_numpy(zero_copy_only=False)
+        s_bin = lg.column("bin").to_numpy(zero_copy_only=False)
+        e_ts = rg.column("ts_us").to_numpy(zero_copy_only=False)
+        e_bin = rg.column("bin").to_numpy(zero_copy_only=False)
+        out_id, out_n = [], []
+        # a bucket holds whole bins; resolve each bin with two searchsorteds
+        for b in np.unique(s_bin):
+            sm = s_bin == b
+            ets = np.sort(e_ts[e_bin == b])
+            lo = np.searchsorted(ets, s_ts[sm] - _WIN_US, side="left")
+            hi = np.searchsorted(ets, s_ts[sm] + _WIN_US, side="right")
+            out_id.append(s_ids[sm])
+            out_n.append(hi - lo)
+        if not out_id:
+            return pa.table(
+                {"event_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_id)),
+                "n": pa.array(np.concatenate(out_n).astype(np.int64)),
+            }
+        )
+
+    per_bin = grouped.map_groups(count_in_window, batch_format="pyarrow")
+    counts = grouped_agg(per_bin, keys=["event_id"], agg_spec={"n_errors": ("n", "sum")})
+
+    base = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id").filter(
+                    pa.array(b.column("event_type").to_pandas().to_numpy() == "signup")
+                ),
+                "ts": b.column("ts").filter(
+                    pa.array(b.column("event_type").to_pandas().to_numpy() == "signup")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    joined = hash_join(base, counts, on=["event_id"], how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_errors").to_pandas().fillna(0).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "n_errors": pa.array(n),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SIGNUP_ERROR_WINDOW_SQL = """
+SELECT s.event_id, s.ts, count(e.event_id) AS n_errors
+FROM events s
+LEFT JOIN events e
+  ON e.event_type = 'error'
+ AND abs(epoch_us(e.ts) - epoch_us(s.ts)) <= 3600000000
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER JOIN
+# ---------------------------------------------------------------------------
+
+
+def nation_trade_fulljoin(sf_dir: str):
+    """FULL OUTER JOIN of two grouped aggregates (high-balance customers
+    vs high-balance suppliers per nation): both sides are distributed
+    partial aggs; the outer join itself is the partitioned cogroup with
+    pandas how='outer' per bucket; unmatched sides zero-fill. The
+    25-row nation name lookup is a broadcast small (CLAUDE.md rule)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    def side(table: str, keycol: str, balcol: str, thr: float, n_out: str, c_out: str):
+        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[keycol, balcol])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            bal = batch.column(balcol).to_numpy(zero_copy_only=False)
+            m = bal > thr
+            return pa.table(
+                {
+                    "nk": pa.array(
+                        batch.column(keycol)
+                        .to_numpy(zero_copy_only=False)[m]
+                        .astype(np.int64)
+                    ),
+                    "cents": pa.array(_cents(bal[m])),
+                }
+            )
+
+        return grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            keys=["nk"],
+            agg_spec={n_out: ("cents", "count"), c_out: ("cents", "sum")},
+            num_parts=8,
+        )
+
+    cust = side("customer", "c_nationkey", "c_acctbal", 9500.0, "n_cust", "cust_bal_cents")
+    supp = side("supplier", "s_nationkey", "s_acctbal", 9000.0, "n_supp", "supp_bal_cents")
+
+    # explicit schemas: the balance filters can leave a side EMPTY at tiny
+    # scale, and an empty Dataset cannot report its own schema
+    def _schema(n_out: str, c_out: str) -> pa.Schema:
+        return pa.schema(
+            [("nk", pa.int64()), (n_out, pa.int64()), (c_out, pa.int64())]
+        )
+
+    joined = hash_join(
+        cust, supp, on=["nk"], how="outer", num_parts=8,
+        left_schema=_schema("n_cust", "cust_bal_cents"),
+        right_schema=_schema("n_supp", "supp_bal_cents"),
+    )
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    names = dict(
+        zip(
+            nt.column("n_nationkey").to_numpy(zero_copy_only=False).tolist(),
+            nt.column("n_name").to_pylist(),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {
+                "n_name": df["nk"].map(names),
+                "n_cust": df["n_cust"].fillna(0).astype(np.int64),
+                "cust_bal_cents": df["cust_bal_cents"].fillna(0).astype(np.int64),
+                "n_supp": df["n_supp"].fillna(0).astype(np.int64),
+                "supp_bal_cents": df["supp_bal_cents"].fillna(0).astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+NATION_TRADE_FULLJOIN_SQL = """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS n_cust,
+         SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS cust_bal_cents
+  FROM customer WHERE c_acctbal > 9500 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, count(*) AS n_supp,
+         SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS supp_bal_cents
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT n.n_name,
+       COALESCE(c.n_cust, 0) AS n_cust,
+       CAST(COALESCE(c.cust_bal_cents, 0) AS BIGINT) AS cust_bal_cents,
+       COALESCE(s.n_supp, 0) AS n_supp,
+       CAST(COALESCE(s.supp_bal_cents, 0) AS BIGINT) AS supp_bal_cents
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
+"""

@@ -168,6 +168,8 @@ def cogroup(
     right_on: list[str] | None = None,
     num_parts: int = 32,
     batch_size: int = 65536,
+    left_schema=None,
+    right_schema=None,
 ):
     """Generic partitioned co-group (the union trick): tag each side with
     ``__part = hash(key) % P`` and ``__side``, null-pad to a shared
@@ -181,9 +183,19 @@ def cogroup(
     ``right_on`` defaults to ``left_on``; both sides land in the same
     bucket iff their key hashes agree. This underlies ``hash_join`` and
     every bespoke assemble/verify co-group (intersect splitter, PBF way
-    reassembly). Key-hash salting for skewed keys is the caller's job."""
+    reassembly). Key-hash salting for skewed keys is the caller's job.
+
+    ``left_schema``/``right_schema``: explicit pyarrow schemas for sides
+    whose schema can't be inferred (a filter may leave a side EMPTY, and
+    ``Dataset.schema()`` then returns None)."""
     right_on = right_on or left_on
-    lschema, rschema = left.schema(), right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "cogroup: a side's schema is unavailable (empty dataset?) — "
+            "pass left_schema/right_schema explicitly"
+        )
     lnames, rnames = list(lschema.names), list(rschema.names)
 
     def _pa_type(t):
@@ -309,6 +321,8 @@ def hash_join(
     right_on: list[str] | None = None,
     skew_threshold: int | None = None,
     skew_factor: int = 8,
+    left_schema=None,
+    right_schema=None,
 ):
     """Partitioned hash join: co-group by key-hash bucket (``cogroup``),
     pandas-merge per bucket. Key columns may differ per side via
@@ -342,7 +356,8 @@ def hash_join(
             bucket_r = list(right_on) + ["__salt"]
 
     grouped, split = cogroup(
-        left, right, bucket_l, right_on=bucket_r, num_parts=num_parts, batch_size=batch_size
+        left, right, bucket_l, right_on=bucket_r, num_parts=num_parts,
+        batch_size=batch_size, left_schema=left_schema, right_schema=right_schema,
     )
     merge_keys_same = on is not None
 
