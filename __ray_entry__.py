@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": relational3.orders_running_total,
         "signup_error_window_join": relational3.signup_error_window_join,
         "nation_trade_fulljoin": relational3.nation_trade_fulljoin,
+        # approximate COUNT DISTINCT via from-scratch HyperLogLog (no SQL
+        # oracle — sketch-defined estimate; golden + error-bound pinned)
+        "distinct_counts_hll": relational3.distinct_counts_hll,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -137,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
+        "embed_topk_pq": embeddings.embed_topk_pq,
         "kmeans_embeddings": embeddings.kmeans_embeddings,
         "embed_neardup": embeddings.embed_neardup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---

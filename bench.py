@@ -111,6 +111,7 @@ QUERY_SET = [
     "orders_running_total",
     "signup_error_window_join",
     "nation_trade_fulljoin",
+    "distinct_counts_hll",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",
@@ -129,6 +130,7 @@ QUERY_SET = [
     "stratified_sample",
     "quality_percentiles",
     "embed_topk",
+    "embed_topk_pq",
     "kmeans_embeddings",
     "embed_neardup",
     "simhash_fingerprints",

@@ -523,3 +523,129 @@ def embed_topk_ivf(sf_dir: str):
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
 
     return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+# ---- product-quantization ANN (asymmetric distance computation) ----
+
+PQ_M = 16  # subspaces of DIM // PQ_M dims -> 16-byte codes (16x vs fp32)
+PQ_K = 32  # centroids per subspace (fits uint8 codes with headroom)
+PQ_TRAIN = 1024  # deterministic training sample: vec_id < PQ_TRAIN
+PQ_ITERS = 10
+PQ_RERANK = 64  # ADC shortlist size per (query, batch) for exact rerank
+# (M=16, K=32, R=64 measured recall@5 = 1.0 vs brute force at sf0.001;
+# M=8/R=40 was 0.78 — the tuning sweep lives in NOTES_r3.md)
+
+
+def _pq_train(sample: np.ndarray, seed: int = 11) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks over a normalized training
+    sample (Jégou, Douze & Schmid 2011). Driver-side on a CONSTANT-size
+    sample — the codebook is a model artifact like the LSH planes, not a
+    data-scale computation. Deterministic (fixed-seed init, numpy only).
+    Returns (PQ_M, PQ_K, DIM // PQ_M)."""
+    n, dim = sample.shape
+    sub = dim // PQ_M
+    k = min(PQ_K, n)
+    books = np.empty((PQ_M, k, sub), dtype=np.float64)
+    rs = np.random.RandomState(seed)
+    for m in range(PQ_M):
+        x = sample[:, m * sub : (m + 1) * sub]
+        cents = x[rs.choice(n, k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d = ((x[:, None, :] - cents[None]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = x[mask].mean(0)
+        books[m] = cents
+    return books
+
+
+def embed_topk_pq(sf_dir: str):
+    """Approximate cosine top-k via product quantization: every vector is
+    encoded to PQ_M uint8 codes (16 bytes at DIM=64 — 16x smaller than
+    the fp32 payload, the memory-bound regime for 10^9+ vector ANN), and
+    each query scores candidates with one table lookup per subspace
+    (asymmetric distance: query stays exact, candidate is its nearest
+    per-subspace centroid), then the ADC top-PQ_RERANK shortlist per
+    (query, batch) is reranked with exact cosine — the standard
+    PQ-scan + rerank plan: exact math touches ~1% of the vectors, the
+    other 99% are scored from 8-byte codes. Same
+    partial-top-k-per-batch + tiny groupby(qid) merge as embed_topk;
+    composes with the IVF bucketing (embed_topk_ivf) for the full
+    IVF-PQ scale path.
+
+    Approximate by design -> rows-only driver check; recall vs the exact
+    brute force and golden values are pinned in tests."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(PQ_TRAIN, N_QUERIES))],
+    )
+    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    emb_col = qt.column("embedding")
+
+    def _rows(mask) -> np.ndarray:
+        sel = [int(i) for i in np.nonzero(mask)[0]]
+        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
+
+    train = _rows(ids_all < PQ_TRAIN)
+    train_n = train / np.linalg.norm(train, axis=1, keepdims=True)
+    books = _pq_train(train_n)
+    sub = train.shape[1] // PQ_M
+
+    q_mat = _rows(ids_all < N_QUERIES)
+    q_ids = ids_all[ids_all < N_QUERIES]
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # ADC inner-product tables: tabs[q, m, k] = q_sub(m) . books[m, k]
+    tabs = np.einsum("qmd,mkd->qmk", qn.reshape(len(q_ids), PQ_M, sub), books)
+    shared = ray.put((q_ids, qn, tabs, books))
+
+    class EncodeAndScore:
+        def __init__(self):
+            self.q_ids, self.qn, self.tabs, self.books = ray.get(shared)
+            # ||c||^2 per subspace centroid, for the argmin without the
+            # (constant) ||x||^2 term
+            self.c2 = np.stack([(b**2).sum(1) for b in self.books])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            xs = matn.reshape(len(ids), PQ_M, sub)
+            sims = np.zeros((len(self.q_ids), len(ids)))
+            for m in range(PQ_M):
+                codes = (self.c2[m][None, :] - 2.0 * xs[:, m, :] @ self.books[m].T).argmin(1)
+                sims += self.tabs[:, m, codes]
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids.tolist()):
+                row = sims[qi]
+                cand = np.nonzero(ids != qid)[0]
+                short = cand[np.lexsort((ids[cand], -row[cand]))][:PQ_RERANK]
+                exact = matn[short] @ self.qn[qi]
+                sel = np.lexsort((ids[short], -exact))[:K]
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_v.append(ids[short[sel]])
+                out_s.append(exact[sel])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                    "cosine": pa.array(
+                        np.round(np.concatenate(out_s), 6), type=pa.float64()
+                    ),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        EncodeAndScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")

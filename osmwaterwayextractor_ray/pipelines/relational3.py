@@ -543,6 +543,49 @@ def nation_trade_fulljoin(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Approximate COUNT DISTINCT (HyperLogLog sketch)
+# ---------------------------------------------------------------------------
+
+
+def distinct_counts_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT ...) via the from-scratch mergeable
+    HyperLogLog (state/hll.py): each block contributes one 2^p-byte
+    register row, merging is elementwise max — cardinality questions at
+    10^12 rows move sketch bytes, never keys. No SQL oracle (the
+    estimate is sketch-defined); golden-pinned + error-bound-tested in
+    tests/test_hll.py."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.state.hll import approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def texthash(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column("text").to_pandas().to_numpy()
+        ).astype(np.int64)
+        return pa.table({"text_hash": pa.array(h)})
+
+    rows = [
+        ("events.user_id", approx_distinct(ev.select_columns(["user_id"]), "user_id")),
+        ("events.event_id", approx_distinct(ev.select_columns(["event_id"]), "event_id")),
+        (
+            "documents.text",
+            approx_distinct(
+                docs.map_batches(texthash, batch_format="pyarrow"), "text_hash"
+            ),
+        ),
+    ]
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_hll": pa.array([r[1] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 NATION_TRADE_FULLJOIN_SQL = """
 WITH c AS (
   SELECT c_nationkey AS nk, count(*) AS n_cust,

@@ -26,7 +26,14 @@ GOLDEN = {
     "minhash_neardup": ("2ea3161aec9a0120", 454),
     "embed_neardup": ("db859c7036e2a96b", 500),
     "embed_topk_ivf": ("53e74fa2f1bc24fe", 50),
+    # PQ ADC scan + exact rerank (recall-vs-exact pinned in
+    # test_pipelines_rowsonly.py; the ADC shortlist is per-batch, so the
+    # pin holds for the fixed sf0.001 read layout — verified cpus=4/8)
+    "embed_topk_pq": ("1c838a777d11fa68", 50),
     "media_features": ("63787851c00cfca0", 500),
+    # HyperLogLog approximate-distinct counts (sketch-defined estimates;
+    # error bounds + merge invariance pinned in tests/test_hll.py)
+    "distinct_counts_hll": ("d631263d512d4d59", 3),
     # S2 level-12 cell counts (functions/s2.py has no SQL-expressible
     # equivalent; property-pinned in tests/test_s2.py, value-pinned here)
     "geo_s2_cells": ("730e24f4577aed1a", 1000),

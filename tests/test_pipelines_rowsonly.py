@@ -160,6 +160,23 @@ def test_embed_topk_ivf_recall(ray_session):
     assert (m["cosine_e"] - m["cosine_a"]).abs().max() < 1e-9
 
 
+def test_embed_topk_pq_recall(ray_session):
+    """PQ (M=16 subspaces x 32 centroids, ADC shortlist + exact rerank)
+    must recover the exact top-k at this scale (measured 1.0; bound set
+    at 0.9 for codebook-drift headroom) and every returned cosine must
+    be a true cosine (the rerank is exact math on the shortlist)."""
+    from osmwaterwayextractor_ray.pipelines.embeddings import embed_topk, embed_topk_pq
+
+    exact = embed_topk(SF).to_pandas()
+    approx = embed_topk_pq(SF).to_pandas()
+    exact_set = set(zip(exact["qid"], exact["vec_id"]))
+    approx_set = set(zip(approx["qid"], approx["vec_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"PQ recall {recall:.2f}"
+    m = exact.merge(approx, on=["qid", "vec_id"], suffixes=("_e", "_a"))
+    assert (m["cosine_e"] - m["cosine_a"]).abs().max() < 1e-9
+
+
 def test_connected_components_chain_partition_invariant(ray_session):
     """A 100-node chain forces cross-partition closure through every hash
     bucket; the labeling must equal brute-force min-reachable and be
