@@ -338,11 +338,12 @@ def signup_error_window_join(sf_dir: str):
     replicated into every bin its window overlaps (≤3), the RIGHT side
     goes to its own bin only, so each qualifying (signup, error) pair
     meets in exactly one co-group (the error's bin) and is counted once.
-    Zero-match signups are restored by a left hash-join against the
-    bucketed counts."""
+    Every signup sits in its own bin too, so the per-bin partial counts
+    (including zeros) already cover every left row — the final grouped
+    sum needs no zero-fill join."""
     import ray.data as rd
 
-    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup, grouped_agg
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
@@ -387,10 +388,8 @@ def signup_error_window_join(sf_dir: str):
     signups = ds.map_batches(split("signup", True), batch_format="pyarrow", batch_size=65536)
     errors = ds.map_batches(split("error", False), batch_format="pyarrow", batch_size=65536)
 
-    from osmwaterwayextractor_ray.stages.fastagg import cogroup
-
     grouped, splitg = cogroup(
-        signups, errors, ["bin"], num_parts=32, batch_size=65536
+        signups, errors, ["bin"], num_parts=16, batch_size=65536
     )
 
     def count_in_window(g: pa.Table) -> pa.Table:
@@ -400,7 +399,7 @@ def signup_error_window_join(sf_dir: str):
         s_bin = lg.column("bin").to_numpy(zero_copy_only=False)
         e_ts = rg.column("ts_us").to_numpy(zero_copy_only=False)
         e_bin = rg.column("bin").to_numpy(zero_copy_only=False)
-        out_id, out_n = [], []
+        out_id, out_ts, out_n = [], [], []
         # a bucket holds whole bins; resolve each bin with two searchsorteds
         for b in np.unique(s_bin):
             sm = s_bin == b
@@ -408,48 +407,43 @@ def signup_error_window_join(sf_dir: str):
             lo = np.searchsorted(ets, s_ts[sm] - _WIN_US, side="left")
             hi = np.searchsorted(ets, s_ts[sm] + _WIN_US, side="right")
             out_id.append(s_ids[sm])
+            out_ts.append(s_ts[sm])
             out_n.append(hi - lo)
         if not out_id:
             return pa.table(
-                {"event_id": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "ts_us": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
             )
         return pa.table(
             {
                 "event_id": pa.array(np.concatenate(out_id)),
+                "ts_us": pa.array(np.concatenate(out_ts)),
                 "n": pa.array(np.concatenate(out_n).astype(np.int64)),
             }
         )
 
     per_bin = grouped.map_groups(count_in_window, batch_format="pyarrow")
-    counts = grouped_agg(per_bin, keys=["event_id"], agg_spec={"n_errors": ("n", "sum")})
-
-    base = ds.map_batches(
-        lambda b: pa.table(
-            {
-                "event_id": b.column("event_id").filter(
-                    pa.array(b.column("event_type").to_pandas().to_numpy() == "signup")
-                ),
-                "ts": b.column("ts").filter(
-                    pa.array(b.column("event_type").to_pandas().to_numpy() == "signup")
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        batch_size=65536,
+    counts = grouped_agg(
+        per_bin,
+        keys=["event_id", "ts_us"],
+        agg_spec={"n_errors": ("n", "sum")},
+        num_parts=16,
     )
-    joined = hash_join(base, counts, on=["event_id"], how="left")
 
     def finish(batch: pa.Table) -> pa.Table:
-        n = batch.column("n_errors").to_pandas().fillna(0).to_numpy().astype(np.int64)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         return pa.table(
             {
                 "event_id": batch["event_id"],
-                "ts": batch["ts"],
-                "n_errors": pa.array(n),
+                "ts": pa.array(ts),
+                "n_errors": batch["n_errors"],
             }
         )
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return counts.map_batches(finish, batch_format="pyarrow")
 
 
 SIGNUP_ERROR_WINDOW_SQL = """

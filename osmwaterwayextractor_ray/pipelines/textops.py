@@ -144,7 +144,15 @@ FROM documents GROUP BY source
 
 def _corpus_with_planted_dups(sf_dir: str):
     """documents ∪ deterministic near-dup copies (doc_id + 1_000_000, last
-    40 chars dropped) — gives the LSH pipeline known positives at any sf."""
+    40 chars dropped) — gives the LSH pipeline known positives at any sf.
+
+    NOTE (measured, kept): the corpus is ONE parquet file with ONE row
+    group, so the isolated prep stage runs near-serially — but adding a
+    ``.repartition(pool_max())`` here made the FULL near-dup pipelines
+    consistently SLOWER in interleaved A/B (minhash 9.7-10.5 s vs
+    7.2-7.7 s at sf0.1/32): the extra barrier plus 32x the downstream
+    task count outweigh the prep parallelism at this corpus size. Real
+    many-file inputs parallelize at the read with no barrier."""
     import ray.data as rd
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
@@ -224,6 +232,21 @@ class _MinHashStage:
         )
 
 
+# module-level stage instance: the permutation tables are module-level
+# constants, so the shingle+sign pass needs no per-actor state — plain
+# task-based map_batches reuses prestarted workers instead of paying an
+# actor-pool spin-up for a handful of batches (interleaved A/B at
+# sf0.1/32: prep 2.8-3.2 s task vs 3.8-4.4 s actor, 3/3 reps faster)
+_MINHASH_STAGE = None
+
+
+def _minhash_prep(batch: pa.Table) -> pa.Table:
+    global _MINHASH_STAGE
+    if _MINHASH_STAGE is None:
+        _MINHASH_STAGE = _MinHashStage()
+    return _MINHASH_STAGE(batch)
+
+
 def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | None = None):
     """Candidate pairs from LSH buckets, verified with exact shingle
     Jaccard >= threshold. Returns (doc_a, doc_b, jaccard) with doc_a <
@@ -231,7 +254,7 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
 
     The exact-Jaccard verify is fully distributed: candidate pairs are
     joined back to the shingle table twice (doc_a side, doc_b side) —
-    no whole-corpus driver materialization or broadcast. ONE actor-pool
+    no whole-corpus driver materialization or broadcast. ONE task-based
     pass (_MinHashStage) shingles, signs and bands every doc, and its
     pinned per-doc output (object-store blocks, spillable) feeds the
     band explosion AND both verify join sides — each doc is shingled
@@ -242,9 +265,7 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
 
     prep = (
         _corpus_with_planted_dups(sf_dir)
-        .map_batches(
-            _MinHashStage, batch_format="pyarrow", batch_size=1024, concurrency=(1, pool_max())
-        )
+        .map_batches(_minhash_prep, batch_format="pyarrow", batch_size=1024)
         .materialize()
     )
 
