@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,
         "media_byte_stats": multimodal.media_byte_stats,
+        "media_resize": multimodal.media_resize,
+        "media_frame_sample": multimodal.media_frame_sample,
     }
 
 
@@ -213,4 +215,5 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
+        "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,
     }

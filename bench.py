@@ -136,6 +136,8 @@ QUERY_SET = [
     "simhash_fingerprints",
     "simhash_neardup",
     "media_byte_stats",
+    "media_resize",
+    "media_frame_sample",
 ]
 
 

@@ -145,3 +145,136 @@ def media_byte_stats(sf_dir: str):
 
 
 MEDIA_BYTE_STATS_SQL = "SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents"
+
+class MediaResizer:
+    """Actor-pool resize stage (thumbnailing for a vision training set).
+    'image/fake' payloads "resize" via a deterministic byte-stride
+    downsample sized by the stub-decoded dimensions — the STUB stand-in
+    for PIL's ``img.resize`` + re-encode; real 'image/*' payloads resize
+    through PIL when Pillow is installed. Output keeps the binary-column
+    schema (payload stays opaque downstream), so resize stages chain
+    like any other media transform."""
+
+    TARGET = 64  # target square thumbnail edge
+
+    def __init__(self):
+        self._pil_image = _probe_pil()
+
+    def _resize_stub(self, payload: bytes) -> tuple[bytes, int, int]:
+        meta = _decode_stub(payload)
+        # byte budget scales with pixel ratio, exactly like a re-encode
+        ratio = (self.TARGET * self.TARGET) / float(meta["width"] * meta["height"])
+        n_out = max(1, int(len(payload) * min(1.0, ratio)))
+        stride = max(1, len(payload) // n_out)
+        return payload[::stride][:n_out], self.TARGET, self.TARGET
+
+    def _resize_real(self, payload: bytes) -> tuple[bytes, int, int]:
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload))
+        thumb = img.resize((self.TARGET, self.TARGET))
+        buf = io.BytesIO()
+        thumb.save(buf, format="PNG")
+        return buf.getvalue(), self.TARGET, self.TARGET
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        out, ws, hs = [], [], []
+        for p, mt in zip(payloads, mtypes):
+            if mt == "image/fake":
+                b, w, h = self._resize_stub(p or b"")
+            elif mt.startswith("image/") and self._pil_image is not None:
+                b, w, h = self._resize_real(p or b"")
+            else:
+                raise NotImplementedError(f"no resizer for media type {mt!r}")
+            out.append(b)
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "media_type": batch["media_type"],
+                "payload": pa.array(out, type=pa.binary()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+            }
+        )
+
+
+def media_resize(sf_dir: str):
+    """Thumbnail pipeline: decode -> resize -> re-encoded binary column.
+    Returns metadata only (payload dropped) so the driver's check stays
+    small; payload determinism is pinned by tests/test_multimodal_ops.py."""
+    import pyarrow.compute as pc
+
+    media = media_from_documents(sf_dir)
+    resized = media.map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, pool_max()),
+    )
+
+    def meta(batch: pa.Table) -> pa.Table:
+        n = pc.binary_length(batch["payload"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "thumb_bytes": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(meta, batch_format="pyarrow")
+
+
+FRAME_BYTES = 256  # fake container frame size
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def media_frame_sample(sf_dir: str):
+    """Frame sampling for a fake video container: the payload is split
+    into fixed FRAME_BYTES-size frames and every FRAME_STRIDE-th frame is
+    emitted as its own row — the one-row-to-many-rows (flat_map) shape a
+    real ffmpeg frame sampler has, with bounded per-row output. Fully
+    oracle-checked: frame indices and byte lengths are pure functions of
+    the payload length (the frame CONTENT hash is exercised by
+    tests/test_multimodal_ops.py instead, since SQL can't xxh64)."""
+    media = media_from_documents(sf_dir)
+
+    def frames(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_n = [], [], []
+        for did, p in zip(ids.tolist(), payloads):
+            p = p or b""
+            n_frames = max(1, -(-len(p) // FRAME_BYTES))
+            for fi in range(0, n_frames, FRAME_STRIDE):
+                chunk = p[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                out_id.append(did)
+                out_idx.append(fi)
+                out_n.append(len(chunk))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int64()),
+                "n_frame_bytes": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return media.map_batches(frames, batch_format="pyarrow")
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb,
+         unnest(range(0, GREATEST(1, CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT)))) AS g
+  FROM documents
+)
+SELECT doc_id, CAST(g AS BIGINT) AS frame_idx,
+       CAST(LEAST({FRAME_BYTES}, nb - g * {FRAME_BYTES}) AS BIGINT) AS n_frame_bytes
+FROM f WHERE g % {FRAME_STRIDE} = 0
+"""

@@ -31,6 +31,9 @@ GOLDEN = {
     # pin holds for the fixed sf0.001 read layout — verified cpus=4/8)
     "embed_topk_pq": ("1c838a777d11fa68", 50),
     "media_features": ("63787851c00cfca0", 500),
+    # resize stage metadata (stub thumbnails; payload determinism pinned
+    # in tests/test_multimodal_ops.py)
+    "media_resize": ("7ba800d580d54fdf", 500),
     # HyperLogLog approximate-distinct counts (sketch-defined estimates;
     # error bounds + merge invariance pinned in tests/test_hll.py)
     "distinct_counts_hll": ("d631263d512d4d59", 3),
