@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S2 hierarchical cells (from-scratch Hilbert curve; no SQL oracle
         # — golden-pinned + property-pinned in tests/test_s2.py)
         "geo_s2_cells": geo.s2_cells,
+        # zoom-pyramid rollup: one point scan, coarser levels by parent
+        # arithmetic over the pinned fine aggregate (golden-pinned; the
+        # sum(children)==parent invariant is pinned in tests/test_s2.py)
+        "geo_s2_rollup": geo.s2_rollup,
         # same output as geo_pip_join, but the prefilter is an S2 cell
         # cover of each polygon's bbox (two-phase cell -> exact join)
         "geo_pip_join_s2": geo.pip_join_s2,

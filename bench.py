@@ -118,6 +118,7 @@ QUERY_SET = [
     "geo_cell_knn",
     "geo_cell_knn_halo",
     "geo_s2_cells",
+    "geo_s2_rollup",
     "geo_extract",
     "geo_extract_cells",
     "dedup_exact",

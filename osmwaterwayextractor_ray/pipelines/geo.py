@@ -601,6 +601,91 @@ def s2_cells(sf_dir: str, level: int = 12):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def s2_rollup(sf_dir: str, fine: int = 12, levels: tuple = (12, 8, 4)):
+    """Hierarchical spatial rollup: point counts at every level of the S2
+    hierarchy in ONE scan of the points. The fine (level-12) aggregate is
+    the only data-scale shuffle; every coarser level is derived from the
+    FINE RESULT by `s2_parent` id arithmetic (a 6-bit shift-and-mask, no
+    re-scan, no second shuffle over points) — the spatial twin of
+    orders_rollup's re-aggregate-the-finest-level plan, and exactly how a
+    100-TB tile service builds its zoom pyramid. Output one row per
+    (level, cell): the parent invariant sum(children) == parent count is
+    pinned in tests/test_s2.py. No SQL oracle (curve ids); golden-pinned."""
+    from osmwaterwayextractor_ray.functions.s2 import s2_cell_id, s2_parent, s2_token
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    assert fine == max(levels)
+    pts = points_from_events(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        cells = s2_cell_id(lat, lon, fine)
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq.view(np.int64), type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    # pinned: O(level-12 cells) rows feed one projection per level — the
+    # point scan and its shuffle run exactly once
+    fine_agg = grouped_agg(
+        pts.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        keys=["cell"],
+        agg_spec={"n_points": ("n", "sum")},
+        num_parts=8,
+    ).materialize()
+
+    def lift(level: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("cell").to_numpy(zero_copy_only=False).view(np.uint64)
+            parents = s2_parent(ids, level)
+            return pa.table(
+                {
+                    "level": pa.array(np.full(len(ids), level, dtype=np.int64)),
+                    "cell": pa.array(parents.view(np.int64), type=pa.int64()),
+                    "n": batch.column("n_points"),
+                }
+            )
+
+        return f
+
+    def tag_fine(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "level": pa.array(np.full(batch.num_rows, fine, dtype=np.int64)),
+                "cell": batch["cell"],
+                "n_points": batch["n_points"],
+            }
+        )
+
+    out = fine_agg.map_batches(tag_fine, batch_format="pyarrow")
+    for level in levels:
+        if level == fine:
+            continue
+        agg = grouped_agg(
+            fine_agg.map_batches(lift(level), batch_format="pyarrow"),
+            keys=["level", "cell"],
+            agg_spec={"n_points": ("n", "sum")},
+            num_parts=4,
+        )
+        out = out.union(agg)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("cell").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table(
+            {
+                "level": batch["level"],
+                "cell_token": pa.array(s2_token(ids), type=pa.string()),
+                "n_points": batch["n_points"],
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 S2_PREFILTER_LEVEL = 8  # ~0.7 deg cells over the fixture region
 
 

@@ -40,6 +40,9 @@ GOLDEN = {
     # S2 level-12 cell counts (functions/s2.py has no SQL-expressible
     # equivalent; property-pinned in tests/test_s2.py, value-pinned here)
     "geo_s2_cells": ("730e24f4577aed1a", 1000),
+    # zoom-pyramid rollup (levels 12/8/4 from one scan; parent-sum
+    # invariant pinned in tests/test_s2.py)
+    "geo_s2_rollup": ("29fa4e3bec5500ba", 1706),
     # the three flagship graph queries (VERDICT r2 #8): parity- and
     # invariance-pinned elsewhere, value-hash-pinned here so a driver can
     # see sf0.001 drift; verified identical across num_cpus=4 and 8

@@ -247,3 +247,28 @@ def test_pip_join_s2_equals_flat_pip_join(ray_session):
     b = geo.pip_join_s2(sf).to_pandas().sort_values(["event_id", "poly_id"]).reset_index(drop=True)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def test_s2_rollup_parent_invariant(ray_session):
+    """Every coarse cell's count equals the sum of its fine descendants
+    (the zoom-pyramid correctness property), and each level's total
+    equals the point count."""
+    import numpy as np
+
+    from osmwaterwayextractor_ray.functions.s2 import s2_parent, s2_token_to_id
+    from osmwaterwayextractor_ray.pipelines.geo import s2_rollup
+
+    df = s2_rollup("/root/testdata/sf0.001").to_pandas()
+    totals = df.groupby("level")["n_points"].sum()
+    assert totals.nunique() == 1  # same points counted at every level
+    fine = df[df["level"] == 12]
+    fids = s2_token_to_id(fine["cell_token"].tolist())
+    for lvl in (8, 4):
+        coarse = df[df["level"] == lvl].set_index("cell_token")["n_points"]
+        parents = s2_parent(fids, lvl)
+        from osmwaterwayextractor_ray.functions.s2 import s2_token
+        got = (
+            fine.assign(parent=s2_token(parents))
+            .groupby("parent")["n_points"].sum()
+        )
+        assert got.sort_index().equals(coarse.sort_index())
