@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk_ivf": embeddings.embed_topk_ivf,
         "embed_topk_pq": embeddings.embed_topk_pq,
         "kmeans_embeddings": embeddings.kmeans_embeddings,
+        "label_centroid_sums": embeddings.label_centroid_sums,
         "embed_neardup": embeddings.embed_neardup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,
@@ -218,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "token_totals": textops.TOKEN_TOTALS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
+        "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
         "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,
     }

@@ -133,6 +133,7 @@ QUERY_SET = [
     "embed_topk",
     "embed_topk_pq",
     "kmeans_embeddings",
+    "label_centroid_sums",
     "embed_neardup",
     "simhash_fingerprints",
     "simhash_neardup",

@@ -649,3 +649,60 @@ def embed_topk_pq(sf_dir: str):
         return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
 
     return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
+# ---- grouped vector aggregate (per-label centroid sums) ----
+
+
+def label_centroid_sums(sf_dir: str):
+    """Grouped aggregate over a VECTOR column: per-label sum of the
+    embedding vectors plus member counts — the reduction behind class
+    centroids / per-domain mean embeddings in a training-data pipeline.
+    Per batch, one np.add.at folds the whole (rows x DIM) block into
+    per-label partial matrices; only O(labels x DIM) skinny rows reach
+    the shuffle. Sums are exact int64 on the 1e-6 quantization grid
+    (floor(v*1e6 + 0.5), the kmeans discipline) so the result is
+    bit-identical under any block structure AND matches the SQL oracle
+    exactly. Output one row per (label, dim): mean_q = qsum / n_vecs
+    de-quantizes driver-side when a caller wants the centroid."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, q.shape[1]), type=pa.int64()),
+                "dim": pa.array(np.tile(np.arange(q.shape[1], dtype=np.int64), len(uniq))),
+                "qsum": pa.array(sums.ravel(), type=pa.int64()),
+                "n_vecs": pa.array(np.repeat(counts, q.shape[1]), type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return grouped_agg(
+        parts,
+        keys=["label", "dim"],
+        agg_spec={"qsum": ("qsum", "sum"), "n_vecs": ("n_vecs", "sum")},
+        num_parts=8,
+    )
+
+
+LABEL_CENTROID_SUMS_SQL = f"""
+SELECT CAST(label AS BIGINT) AS label, g AS dim,
+       CAST(SUM(CAST(floor(CAST(embedding[g + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS qsum,
+       count(*) AS n_vecs
+FROM embeddings, generate_series(0, {DIM - 1}) AS t(g)
+GROUP BY label, g
+"""
