@@ -99,9 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": relational3.orders_running_total,
         "signup_error_window_join": relational3.signup_error_window_join,
         "nation_trade_fulljoin": relational3.nation_trade_fulljoin,
+        "orders_cube": relational3.orders_cube,
+        "events_value_ntile": relational3.events_value_ntile,
         # approximate COUNT DISTINCT via from-scratch HyperLogLog (no SQL
         # oracle — sketch-defined estimate; golden + error-bound pinned)
         "distinct_counts_hll": relational3.distinct_counts_hll,
+        # t-digest percentile estimates (sketch-defined; golden-pinned,
+        # error bound pinned in tests/test_qa_properties.py)
+        "value_percentiles_sketch": relational3.value_percentiles_sketch,
         # --- geospatial (J5/J6, cells, north-star surfaces) ---
         "geo_cell_counts": geo.cell_counts,
         "geo_pip_join": geo.pip_join,
@@ -190,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_running_total": relational3.ORDERS_RUNNING_TOTAL_SQL,
         "signup_error_window_join": relational3.SIGNUP_ERROR_WINDOW_SQL,
         "nation_trade_fulljoin": relational3.NATION_TRADE_FULLJOIN_SQL,
+        "orders_cube": relational3.ORDERS_CUBE_SQL,
+        "events_value_ntile": relational3.EVENTS_VALUE_NTILE_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

@@ -112,6 +112,9 @@ QUERY_SET = [
     "signup_error_window_join",
     "nation_trade_fulljoin",
     "distinct_counts_hll",
+    "orders_cube",
+    "events_value_ntile",
+    "value_percentiles_sketch",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",
@@ -219,13 +222,16 @@ def main_scaling():
     hi = int(os.environ.get("SCALE_HI", str(lo * 4)))
     reps = int(os.environ.get("SCALE_REPS", "1"))
 
-    def best(ncpu):
-        # min over repetitions = the least-scheduler-noise estimate
-        runs = [_run_headline_subprocess(ncpu) for _ in range(reps)]
-        return min(runs, key=lambda r: r["sec"])
-
-    r_lo = best(lo)
-    r_hi = best(hi)
+    # INTERLEAVED reps (lo, hi, lo, hi, ...): ambient load on this box
+    # drifts on the minutes scale, so running all-lo-then-all-hi biases
+    # whichever level lands in the quieter phase; alternating puts both
+    # levels through the same noise window, min per level afterwards
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(_run_headline_subprocess(lo))
+        runs_hi.append(_run_headline_subprocess(hi))
+    r_lo = min(runs_lo, key=lambda r: r["sec"])
+    r_hi = min(runs_hi, key=lambda r: r["sec"])
     eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
     print(
         json.dumps(

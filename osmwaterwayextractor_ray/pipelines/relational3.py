@@ -598,3 +598,181 @@ SELECT n.n_name,
 FROM c FULL OUTER JOIN s ON c.nk = s.nk
 JOIN nation n ON n.n_nationkey = COALESCE(c.nk, s.nk)
 """
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping-set combinations)
+# ---------------------------------------------------------------------------
+
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE(year, priority): the rollup's plan plus the
+    (priority)-only grouping set — all four levels re-aggregate the tiny
+    finest aggregate, one fact-table scan total. Same -1/'ALL' NULL
+    sentinels as orders_rollup."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = d.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table(
+            {
+                "o_year": pa.array(year, type=pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    fine = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        keys=["o_year", "o_orderpriority"],
+        agg_spec={"n_orders": ("cents", "count"), "total_cents": ("cents", "sum")},
+    ).materialize()  # feeds all four grouping-set projections
+
+    def lift(drop_year: bool, drop_prio: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            t = batch
+            if drop_prio:
+                t = t.set_column(
+                    t.schema.get_field_index("o_orderpriority"),
+                    "o_orderpriority",
+                    pa.array(["ALL"] * t.num_rows, type=pa.string()),
+                )
+            if drop_year:
+                t = t.set_column(
+                    t.schema.get_field_index("o_year"),
+                    "o_year",
+                    pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                )
+            return t
+
+        return f
+
+    spec = {"n_orders": ("n_orders", "sum"), "total_cents": ("total_cents", "sum")}
+    cols = ["o_year", "o_orderpriority", "n_orders", "total_cents"]
+    out = fine.select_columns(cols)
+    for dy, dp in [(False, True), (True, False), (True, True)]:
+        lifted = fine.map_batches(lift(dy, dp), batch_format="pyarrow")
+        agg = grouped_agg(
+            lifted, keys=["o_year", "o_orderpriority"], agg_spec=spec, num_parts=4
+        )
+        out = out.union(agg.select_columns(cols))
+    return out
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_year, -1) AS o_year,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       n_orders, total_cents
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+         count(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM orders
+  GROUP BY CUBE(o_year, o_orderpriority)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# NTILE window
+# ---------------------------------------------------------------------------
+
+
+def events_value_ntile(sf_dir: str, n: int = 4):
+    """NTILE(n) OVER (PARTITION BY user ORDER BY value, event_id): equal
+    rank buckets per user (the first size%n tiles take the extra row —
+    exact SQL NTILE semantics). One bucket shuffle; each bucket resolves
+    every user with a lexsort + pure rank arithmetic."""
+    import ray.data as rd
+
+    N_PARTS = 32
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "__part", pa.array((u * _FNV % np.uint64(N_PARTS)).astype(np.int64))
+        )
+
+    def ntile(g: pd.DataFrame) -> pa.Table:
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        v = g["value"].to_numpy()
+        order = np.lexsort((e, v, u))
+        u, e, v = u[order], e[order], v[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(u)))
+        r = np.arange(len(u)) - np.repeat(starts, sizes)  # 0-based rank in user
+        s = np.repeat(sizes, sizes)
+        base, rem = s // n, s % n
+        cut = rem * (base + 1)
+        big = r < cut
+        tile = np.where(
+            big, r // (base + 1), rem + (r - cut) // np.maximum(base, 1)
+        ) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u),
+                "event_id": pa.array(e),
+                "value": pa.array(v),
+                "tile": pa.array(tile.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(ntile, batch_format="pandas")
+    )
+
+
+EVENTS_VALUE_NTILE_SQL = """
+SELECT user_id, event_id, value,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# t-digest percentile sketch as a first-class query
+# ---------------------------------------------------------------------------
+
+
+def value_percentiles_sketch(sf_dir: str):
+    """Approximate p50/p90/p99 of events.value via the from-scratch
+    mergeable t-digest (state/tdigest.py — the same sketch the QA stage
+    uses at scale, exposed as a query): per-batch digests, one weighted
+    intermediate compress, O(delta) driver rows. Estimates are
+    sketch-defined -> no SQL oracle; golden-pinned, and the ~1% error
+    bound vs the exact sorted-index percentile is pinned in
+    tests/test_qa_properties.py for the same code path."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.state.tdigest import digest_dataset, quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    means, weights = digest_dataset(ds, "value")
+    qs = [0.5, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "value_est": pa.array(
+                [round(quantile(means, weights, q), 6) for q in qs], type=pa.float64()
+            ),
+        }
+    )

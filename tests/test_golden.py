@@ -37,6 +37,9 @@ GOLDEN = {
     # HyperLogLog approximate-distinct counts (sketch-defined estimates;
     # error bounds + merge invariance pinned in tests/test_hll.py)
     "distinct_counts_hll": ("d631263d512d4d59", 3),
+    # t-digest p50/p90/p99 estimates (error bound pinned in
+    # tests/test_qa_properties.py for the same digest code path)
+    "value_percentiles_sketch": ("31ad7c232a2a57c3", 3),
     # S2 level-12 cell counts (functions/s2.py has no SQL-expressible
     # equivalent; property-pinned in tests/test_s2.py, value-pinned here)
     "geo_s2_cells": ("730e24f4577aed1a", 1000),
