@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_fulljoin": relational3.nation_trade_fulljoin,
         "orders_cube": relational3.orders_cube,
         "events_value_ntile": relational3.events_value_ntile,
+        "user_set_ops": relational3.user_set_ops,
+        "orders_above_cust_avg": relational3.orders_above_cust_avg,
         # approximate COUNT DISTINCT via from-scratch HyperLogLog (no SQL
         # oracle — sketch-defined estimate; golden + error-bound pinned)
         "distinct_counts_hll": relational3.distinct_counts_hll,
@@ -197,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_fulljoin": relational3.NATION_TRADE_FULLJOIN_SQL,
         "orders_cube": relational3.ORDERS_CUBE_SQL,
         "events_value_ntile": relational3.EVENTS_VALUE_NTILE_SQL,
+        "user_set_ops": relational3.USER_SET_OPS_SQL,
+        "orders_above_cust_avg": relational3.ORDERS_ABOVE_CUST_AVG_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

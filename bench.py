@@ -115,6 +115,8 @@ QUERY_SET = [
     "orders_cube",
     "events_value_ntile",
     "value_percentiles_sketch",
+    "user_set_ops",
+    "orders_above_cust_avg",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",

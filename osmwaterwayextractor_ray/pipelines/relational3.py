@@ -776,3 +776,140 @@ def value_percentiles_sketch(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (EXCEPT / INTERSECT with SQL distinct semantics)
+# ---------------------------------------------------------------------------
+
+
+def user_set_ops(sf_dir: str):
+    """EXCEPT and INTERSECT over user-id sets (users who clicked vs users
+    who purchased): per-side distinct partials shrink each stream, then
+    ONE cogroup shuffle resolves both set ops per bucket with two np.isin
+    masks. Output rows are tagged by op; SQL-distinct semantics (each
+    surviving id once per op)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def side(kind: str):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.equal(batch.column("event_type"), kind)
+            u = batch.filter(m).column("user_id").to_numpy(zero_copy_only=False)
+            return pa.table({"user_id": pa.array(np.unique(u), type=pa.int64())})
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+
+    grouped, split = cogroup(side("click"), side("purchase"), ["user_id"], num_parts=8)
+
+    def setops(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        a = np.unique(lg.column("user_id").to_numpy(zero_copy_only=False))
+        b = np.unique(rg.column("user_id").to_numpy(zero_copy_only=False))
+        in_b = np.isin(a, b)
+        ids = np.concatenate([a[~in_b], a[in_b]])
+        ops = np.concatenate(
+            [
+                np.repeat(np.array(["except"], dtype=object), (~in_b).sum()),
+                np.repeat(np.array(["intersect"], dtype=object), in_b.sum()),
+            ]
+        )
+        return pa.table(
+            {
+                "op": pa.array(ops, type=pa.string()),
+                "user_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    return grouped.map_groups(setops, batch_format="pyarrow")
+
+
+USER_SET_OPS_SQL = """
+SELECT 'except' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'intersect' AS op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated aggregate filter (orders above their customer's average)
+# ---------------------------------------------------------------------------
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery shape: orders strictly above their own
+    customer's average order value. Per-customer (sum, count) is a
+    partial agg; the comparison joins it back and uses the integer
+    cross-multiplication ``cents * n > sum_cents`` — exact int64 math,
+    no float average, so the result hash-matches SQL bit-for-bit."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "cents": pa.array(
+                    _cents(batch.column("o_totalprice").to_numpy(zero_copy_only=False))
+                ),
+            }
+        )
+
+    orders = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    per_cust = grouped_agg(
+        orders,
+        keys=["o_custkey"],
+        agg_spec={"sum_cents": ("cents", "sum"), "n_orders": ("cents", "count")},
+        num_parts=16,
+    )
+    joined = lookup_join(
+        orders, per_cust, "o_custkey", "o_custkey",
+        {"sum_cents": "sum_cents", "n_orders": "n_orders"},
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        c = batch.column("cents").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_cents").to_numpy(zero_copy_only=False)
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False)
+        keep = c * n > s
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": out["o_orderkey"],
+                "o_custkey": out["o_custkey"],
+                "cents": out["cents"],
+            }
+        )
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
+ORDERS_ABOVE_CUST_AVG_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), agg AS (
+  SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS sum_cents, count(*) AS n
+  FROM o GROUP BY o_custkey
+)
+SELECT o.o_orderkey, o.o_custkey, o.cents
+FROM o JOIN agg USING (o_custkey)
+WHERE o.cents * agg.n > agg.sum_cents
+"""
