@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ntile": relational3.events_value_ntile,
         "user_set_ops": relational3.user_set_ops,
         "orders_above_cust_avg": relational3.orders_above_cust_avg,
+        "heavy_users_mg": relational3.heavy_users_mg,
         # approximate COUNT DISTINCT via from-scratch HyperLogLog (no SQL
         # oracle — sketch-defined estimate; golden + error-bound pinned)
         "distinct_counts_hll": relational3.distinct_counts_hll,
@@ -201,6 +202,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_ntile": relational3.EVENTS_VALUE_NTILE_SQL,
         "user_set_ops": relational3.USER_SET_OPS_SQL,
         "orders_above_cust_avg": relational3.ORDERS_ABOVE_CUST_AVG_SQL,
+        # exact on this data: 150 distinct users < 256 MG counters, so
+        # the summary never trims (see heavy_users_mg docstring)
+        "heavy_users_mg": relational3.HEAVY_USERS_MG_SQL,
         "filter_revenue": relational.FILTER_REVENUE_SQL,
         "customer_order_stats": relational.CUSTOMER_ORDER_STATS_SQL,
         "top_orders": relational.TOP_ORDERS_SQL,

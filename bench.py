@@ -117,6 +117,7 @@ QUERY_SET = [
     "value_percentiles_sketch",
     "user_set_ops",
     "orders_above_cust_avg",
+    "heavy_users_mg",
     "geo_cell_counts",
     "geo_pip_join",
     "geo_knn",

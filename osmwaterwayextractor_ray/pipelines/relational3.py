@@ -913,3 +913,36 @@ SELECT o.o_orderkey, o.o_custkey, o.cents
 FROM o JOIN agg USING (o_custkey)
 WHERE o.cents * agg.n > agg.sum_cents
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def heavy_users_mg(sf_dir: str, top: int = 20):
+    """Top users by event count via the mergeable Misra-Gries summary
+    (state/heavyhitters.py): O(k) rows per block move instead of a
+    distinct-key shuffle. With k=256 counters and only 150 distinct
+    users the summary provably never trims, so the counts are EXACT and
+    the query carries a full SQL oracle; the trimming/error-bound regime
+    (distinct >> k) is pinned by tests/test_heavyhitters.py on zipf
+    data."""
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.state.heavyhitters import approx_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    keys, counts = approx_top_k(ds, "user_id", k=256, top=top)
+    return pa.table(
+        {
+            "user_id": pa.array(keys, type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+HEAVY_USERS_MG_SQL = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
+"""
