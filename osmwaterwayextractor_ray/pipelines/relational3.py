@@ -17,6 +17,17 @@ non-equi-join primitives the first two modules don't cover.
                            exactly one bin (the right event's), the
                            classic distributed range-join plan.
   * nation_trade_fulljoin — FULL OUTER JOIN of two grouped aggregates.
+  * orders_cube          — GROUP BY CUBE: all four grouping sets from
+                           the same pinned finest aggregate.
+  * events_value_ntile   — NTILE window (exact SQL tile-size semantics
+                           via rank arithmetic).
+  * user_set_ops         — EXCEPT + INTERSECT (SQL distinct semantics)
+                           in one cogroup shuffle.
+  * orders_above_cust_avg — correlated-aggregate filter by exact integer
+                           cross-multiplication (no float average).
+  * distinct_counts_hll / value_percentiles_sketch / heavy_users_mg —
+                           the three mergeable sketch families (HLL,
+                           t-digest, Misra-Gries) as first-class queries.
 
 All money/value sums are exact int64 cents (CAST(round(x*100) AS
 BIGINT) on the oracle side) so results are bit-stable under any block
