@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textops.doc_quality,
         "lang_doc_stats": textops.lang_doc_stats,
         "token_totals": textops.token_totals,
+        "bpe_token_stats": textops.bpe_token_stats,
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
         "dedup_clusters": textops.dedup_clusters,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,
+        "bpe_token_stats": textops.BPE_TOKEN_STATS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,

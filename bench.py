@@ -130,6 +130,7 @@ QUERY_SET = [
     "dedup_exact",
     "doc_quality",
     "token_totals",
+    "bpe_token_stats",
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "dedup_clusters",

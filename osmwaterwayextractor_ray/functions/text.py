@@ -32,6 +32,24 @@ def token_counts(texts) -> np.ndarray:
     return np.fromiter((len(tokenize(t)) for t in texts), dtype=np.int64, count=len(texts))
 
 
+# GPT-2-style BPE pretokenizer pattern (Radford et al. 2019), ASCII form
+# WITHOUT the trailing-whitespace lookahead — RE2 (the DuckDB oracle's
+# engine) has no lookahead, and this exact pattern was verified to
+# tokenize identically under Python re and DuckDB regexp_extract_all on
+# the full corpus (tests/test_text_functions.py pins agreement).
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_counts(texts) -> np.ndarray:
+    """Tokens per text under the BPE-ish pretokenizer — the
+    pre-merge vocabulary unit a byte-pair tokenizer starts from (the
+    whitespace `token_counts` is the cheap heuristic twin)."""
+    return np.fromiter(
+        (len(_BPE_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
+
+
 def char_counts(texts) -> np.ndarray:
     return np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
 

@@ -1022,3 +1022,48 @@ SELECT source, doc_id FROM (
 
 
 STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
+def bpe_token_stats(sf_dir: str):
+    """Per-source BPE-pretokenizer stats (the token-budget accounting a
+    training-data pipeline runs before tokenizer training): doc counts +
+    total BPE-ish tokens. Per-batch vectorized partials, skinny grouped
+    sum. The regex is RE2-compatible by construction, so the DuckDB
+    oracle runs the IDENTICAL pattern (functions/text.py::BPE_PATTERN)."""
+    from osmwaterwayextractor_ray.functions.text import bpe_token_counts
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_bpe": pa.array(bpe_token_counts(texts), type=pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return grouped_agg(
+        toks,
+        keys=["source"],
+        agg_spec={"n_docs": ("n_bpe", "count"), "total_bpe_tokens": ("n_bpe", "sum")},
+        num_parts=4,
+    )
+
+
+def _bpe_sql() -> str:
+    from osmwaterwayextractor_ray.functions.text import BPE_PATTERN
+
+    # single quotes doubled for the SQL literal; backslashes pass through
+    # verbatim (DuckDB standard strings are not escape-processed)
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT source, count(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS total_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
+BPE_TOKEN_STATS_SQL = _bpe_sql()

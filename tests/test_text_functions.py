@@ -186,3 +186,34 @@ def test_hash_join_skew_guard_output_invariant(ray_session):
         .reset_index(drop=True)[["k", "v", "name"]]
     )
     pd.testing.assert_frame_equal(plain, salted2)
+
+
+def test_bpe_pattern_matches_re2():
+    """The BPE-ish pretokenizer must count identically under Python re
+    and DuckDB's RE2 (the oracle engine) — the pattern is deliberately
+    lookahead-free for this."""
+    import duckdb
+
+    from osmwaterwayextractor_ray.functions.text import BPE_PATTERN, bpe_token_counts
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    texts = [t or "" for _, t in rows]
+    ours = bpe_token_counts(texts)
+    pat = BPE_PATTERN.replace("'", "''")
+    sql = con.execute(
+        f"SELECT len(regexp_extract_all(text, '{pat}')) "
+        "FROM '/root/testdata/sf0.001/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    rows_sorted = sorted(zip([d for d, _ in rows], ours.tolist()))
+    assert [n for _, n in rows_sorted] == [r[0] for r in sql]
+
+
+def test_bpe_token_edge_cases():
+    from osmwaterwayextractor_ray.functions.text import bpe_token_counts
+
+    # "it's 42!" -> [it, 's, " 42", !]; "  a" -> ["  ", a]
+    counts = bpe_token_counts(["", "hello world", "it's 42!", "  a"])
+    assert counts.tolist() == [0, 2, 4, 2]
