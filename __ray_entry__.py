@@ -8,8 +8,10 @@ Every implemented operator/pipeline from SURVEY.md §2 has a queries()
 entry; those whose semantics are ANSI-SQL-expressible also have an
 oracle_sql() entry (column names match exactly — the driver hash-compares
 by sorted column name). Non-SQL ops (union-find clustering, MinHash/LSH,
-SimHash, langid heuristics, winnowing, sign-LSH near-dup) get rows-only
-checks from the driver and are pinned by pytest instead (tests/).
+SimHash, langid heuristics, winnowing, sign-LSH near-dup, S2 curve ids,
+IVF/PQ ANN, the HLL/t-digest sketch estimates, media resize stubs) get
+rows-only checks from the driver and are pinned by pytest golden hashes,
+parity suites and error-bound tests instead (tests/).
 """
 
 from __future__ import annotations
