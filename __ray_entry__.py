@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitems": relational2.urgent_lineitems,
         "orders_rollup": relational3.orders_rollup,
         "events_pivot": relational3.events_pivot,
+        "events_unpivot": relational3.events_unpivot,
         "events_lag_gaps": relational3.events_lag_gaps,
         "orders_running_total": relational3.orders_running_total,
         "signup_error_window_join": relational3.signup_error_window_join,
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "urgent_lineitems": relational2.URGENT_LINEITEMS_SQL,
         "orders_rollup": relational3.ORDERS_ROLLUP_SQL,
         "events_pivot": relational3.EVENTS_PIVOT_SQL,
+        "events_unpivot": relational3.EVENTS_UNPIVOT_SQL,
         "events_lag_gaps": relational3.EVENTS_LAG_GAPS_SQL,
         "orders_running_total": relational3.ORDERS_RUNNING_TOTAL_SQL,
         "signup_error_window_join": relational3.SIGNUP_ERROR_WINDOW_SQL,

@@ -107,6 +107,7 @@ QUERY_SET = [
     "events_top3_per_user",
     "orders_rollup",
     "events_pivot",
+    "events_unpivot",
     "events_lag_gaps",
     "orders_running_total",
     "signup_error_window_join",

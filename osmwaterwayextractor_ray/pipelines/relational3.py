@@ -957,3 +957,50 @@ HEAVY_USERS_MG_SQL = """
 SELECT user_id, count(*) AS n_events FROM events
 GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt (wide -> long)
+# ---------------------------------------------------------------------------
+
+
+def events_unpivot(sf_dir: str):
+    """UNPIVOT: melts the per-user pivot back to long (user_id,
+    event_type, n_events) rows — one numpy repeat/tile per batch, no
+    shuffle beyond the pivot's own. Zero-count combinations are kept
+    (the melt is lossless), so the oracle builds the full user x type
+    lattice with a VALUES cross join."""
+    wide = events_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        n_types = len(_EVENT_TYPES)
+        counts = np.stack(
+            [
+                batch.column(f"n_{t}").to_numpy(zero_copy_only=False)
+                for t in _EVENT_TYPES
+            ],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, n_types), type=pa.int64()),
+                "event_type": pa.array(
+                    np.tile(np.array(_EVENT_TYPES, dtype=object), len(u)),
+                    type=pa.string(),
+                ),
+                "n_events": pa.array(counts.ravel(), type=pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT user_id FROM events) u
+CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')) t(event_type)
+LEFT JOIN (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
+) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
