@@ -154,11 +154,13 @@ def customer_order_stats(sf_dir: str, mode: str = "distributed"):
     if mode == "distributed":
         from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
 
+        # pinned: hash_join schema-probes its sides; unpinned, the agg
+        # chain would run once for the probe and again for the join
         per_cust = grouped_agg(
             orders,
             ["o_custkey"],
             {"n_orders": ("o_totalprice", "count"), "total_price": ("o_totalprice", "sum")},
-        )
+        ).materialize()
         cust = rd.read_parquet(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         )

@@ -388,8 +388,15 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
     li = li.map_batches(rev, batch_format="pyarrow", batch_size=65536)
     lioc = lookup_join(li, oc, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"})
 
-    # shrink to O(suppliers x nations-in-region) before the supplier join
-    per_supp = grouped_agg(lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")})
+    # shrink to O(suppliers x nations-in-region) before the supplier join.
+    # PINNED: the downstream lookup_join probes its left side's schema,
+    # and a schema probe on a lazy shuffle output executes the whole
+    # upstream sort for limit=1 — then the real run executes it AGAIN
+    # (seen in ds.stats: the mid-plan ran twice). Materializing the tiny
+    # aggregate makes the probe free and the chain run once.
+    per_supp = grouped_agg(
+        lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")}
+    ).materialize()
 
     supp = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]

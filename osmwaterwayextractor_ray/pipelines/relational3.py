@@ -883,12 +883,14 @@ def orders_above_cust_avg(sf_dir: str):
         )
 
     orders = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    # pinned: lookup_join schema-probes its sides; a lazy shuffle output
+    # would execute its whole agg for the probe and again for the run
     per_cust = grouped_agg(
         orders,
         keys=["o_custkey"],
         agg_spec={"sum_cents": ("cents", "sum"), "n_orders": ("cents", "count")},
         num_parts=16,
-    )
+    ).materialize()
     joined = lookup_join(
         orders, per_cust, "o_custkey", "o_custkey",
         {"sum_cents": "sum_cents", "n_orders": "n_orders"},

@@ -866,7 +866,9 @@ def curate_corpus(
         c = pc.cast(pc.if_else(miss, pc.cast(d, pa.float64()), cf), pa.int64())
         return pa.table({"doc_id": d}).filter(pc.equal(d, c))
 
-    kept = joined.map_batches(reps, batch_format="pyarrow", batch_size=65536)
+    # pinned: the final lookup_join schema-probes `kept`; unpinned, the
+    # survivor hash_join would execute for the probe and again for real
+    kept = joined.map_batches(reps, batch_format="pyarrow", batch_size=65536).materialize()
 
     def meta(batch: pa.Table) -> pa.Table:
         return batch.select(["doc_id", "lang", "n_tokens"])
