@@ -551,7 +551,10 @@ def split_at_intersections_distributed(ds, points_ds, config: Config):
             }
         )
 
-    pts = points_ds.map_batches(point_cells, batch_format="pyarrow")
+    # pinned: points_ds is the lazy detect-intersections groupby output,
+    # and hash_join's schema probe would execute that whole shuffle for
+    # limit=1 before the real run executes it again (CLAUDE.md rule)
+    pts = points_ds.map_batches(point_cells, batch_format="pyarrow").materialize()
 
     def way_cells(batch: pa.Table) -> pa.Table:
         """(cell, way_id) for every grid cell touched by a tol-expanded
@@ -608,9 +611,11 @@ def split_at_intersections_distributed(ds, points_ds, config: Config):
     # cell cover is deduped per way and each point lives in one cell
     pairs = hash_join(wcells, pts, on=["cell"], num_parts=n_parts)
 
+    # pinned for the same reason: cands is a lazy hash_join output and
+    # the cogroup below would schema-probe-execute it, then run it again
     cands = pairs.map_batches(
         lambda t: t.select(["way_id", "p_lat", "p_lon"]), batch_format="pyarrow"
-    )
+    ).materialize()
     grouped, split = cogroup(cands, ds, ["way_id"], num_parts=n_parts)
 
     def split_bucket(g: pa.Table) -> pa.Table:
