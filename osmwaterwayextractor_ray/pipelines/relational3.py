@@ -82,11 +82,13 @@ def orders_rollup(sf_dir: str):
             }
         )
 
+    # pinned: three consumers (direct level + two lifts) — unpinned, the
+    # fact scan + shuffle would execute once per consumer
     fine = grouped_agg(
         ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
         keys=["o_year", "o_orderpriority"],
         agg_spec={"n_orders": ("cents", "count"), "total_cents": ("cents", "sum")},
-    )
+    ).materialize()
 
     def lift_year(batch: pa.Table) -> pa.Table:
         # re-key the finest rows for the (year) subtotal level
