@@ -228,8 +228,15 @@ def embed_neardup(sf_dir: str, threshold: float = 0.995, skew_threshold: int | N
             paired, _emb_side("vec_b", "emb_b"), on=["vec_b"], skew_threshold=skew_threshold
         )
     else:
-        paired = lookup_join(cand, _emb_side("vec_id", "emb"), "vec_a", "vec_id", {"emb": "emb_a"})
-        paired = lookup_join(paired, _emb_side("vec_id", "emb"), "vec_b", "vec_id", {"emb": "emb_b"})
+        from osmwaterwayextractor_ray.stages.fastagg import joined_schema
+
+        side_a = _emb_side("vec_id", "emb")
+        paired = lookup_join(cand, side_a, "vec_a", "vec_id", {"emb": "emb_a"})
+        # chained joins: computed schema, no probe re-execution (CLAUDE.md)
+        paired = lookup_join(
+            paired, _emb_side("vec_id", "emb"), "vec_b", "vec_id", {"emb": "emb_b"},
+            left_schema=joined_schema(cand, side_a, {"emb": "emb_a"}),
+        )
 
     def _list_matrix(col) -> np.ndarray:
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

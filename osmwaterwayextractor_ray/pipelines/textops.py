@@ -376,7 +376,14 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
         # extra pin needed (re-projection per consumer is just pc.take)
         side = _sh_side("doc_id", "sh")
         paired = lookup_join(cand, side, "doc_a", "doc_id", {"sh": "sh_a"})
-        paired = lookup_join(paired, side, "doc_b", "doc_id", {"sh": "sh_b"})
+        # chained joins: pass the first join's (computed) schema so the
+        # second join's probe never re-executes it (CLAUDE.md rule)
+        from osmwaterwayextractor_ray.stages.fastagg import joined_schema
+
+        paired = lookup_join(
+            paired, side, "doc_b", "doc_id", {"sh": "sh_b"},
+            left_schema=joined_schema(cand, side, {"sh": "sh_a"}),
+        )
 
     def _list_parts(col):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -458,7 +465,12 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
     if max_hamming >= 4:
         raise ValueError("4-block pigeonhole cover requires max_hamming <= 3")
 
-    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs, lookup_join, pair_counts
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pairs,
+        joined_schema,
+        lookup_join,
+        pair_counts,
+    )
 
     corpus = _corpus_with_planted_dups(sf_dir).materialize()
 
@@ -505,7 +517,11 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
 
     side = prints
     paired = lookup_join(cand, side, "doc_a", "doc_id", {"simhash": "sim_a"})
-    paired = lookup_join(paired, side, "doc_b", "doc_id", {"simhash": "sim_b"})
+    # chained joins: computed schema, no probe re-execution (CLAUDE.md)
+    paired = lookup_join(
+        paired, side, "doc_b", "doc_id", {"simhash": "sim_b"},
+        left_schema=joined_schema(cand, side, {"simhash": "sim_a"}),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)

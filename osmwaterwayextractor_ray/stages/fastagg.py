@@ -435,6 +435,8 @@ def anti_join(
     right_key: str,
     num_parts: int = 32,
     batch_size: int = 65536,
+    left_schema=None,
+    right_schema=None,
 ):
     """Left rows whose key does NOT appear in right (NOT IN with non-null
     keys). Same one-shuffle cogroup as hash_join; each bucket filters
@@ -442,6 +444,7 @@ def anti_join(
     grouped, split = cogroup(
         left, right, [left_key], right_on=[right_key],
         num_parts=num_parts, batch_size=batch_size,
+        left_schema=left_schema, right_schema=right_schema,
     )
 
     def merge(g: pa.Table) -> pa.Table:
@@ -462,6 +465,8 @@ def lookup_join(
     take_cols: dict[str, str],
     num_parts: int = 32,
     batch_size: int = 65536,
+    left_schema=None,
+    right_schema=None,
 ):
     """Arrow-native inner equi-join against a UNIQUE-keyed right side:
     per bucket, right rows are located with one searchsorted and the
@@ -473,12 +478,19 @@ def lookup_join(
     ``take_cols`` maps right-side column -> output name. Both sides
     shuffle once (the same cogroup as ``hash_join``); use this instead of
     ``hash_join`` whenever the right side is an entity table keyed by a
-    unique id and the left just needs payload attached."""
+    unique id and the left just needs payload attached.
+
+    ``left_schema``/``right_schema``: pass explicitly when a side is a
+    LAZY shuffle output (e.g. a previous lookup_join in a chain) — the
+    schema probe would otherwise execute that whole upstream shuffle for
+    limit=1 and the real run would execute it again (CLAUDE.md rule).
+    ``joined_schema`` builds the chained schema."""
     import pyarrow.compute as pc
 
     grouped, split = cogroup(
         left, right, [left_key], right_on=[right_key],
         num_parts=num_parts, batch_size=batch_size,
+        left_schema=left_schema, right_schema=right_schema,
     )
 
     def merge(g: pa.Table) -> pa.Table:
@@ -503,3 +515,17 @@ def lookup_join(
         return pa.table(cols)
 
     return grouped.map_groups(merge, batch_format="pyarrow")
+
+
+def joined_schema(left_ds, right_ds, take_cols: dict[str, str]) -> pa.Schema:
+    """The output schema of ``lookup_join(left, right, ..., take_cols)``,
+    computed WITHOUT executing either side (both must already have cheap
+    schemas — materialized or map-only). Pass the result as the next
+    chained join's ``left_schema`` so its probe never re-executes the
+    previous join."""
+    lsch = pa.schema(left_ds.schema().base_schema)
+    rsch = pa.schema(right_ds.schema().base_schema)
+    fields = list(lsch)
+    for rc, out in take_cols.items():
+        fields.append(pa.field(out, rsch.field(rc).type))
+    return pa.schema(fields)
