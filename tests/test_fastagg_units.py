@@ -90,3 +90,29 @@ def test_entry_module_integrity():
     missing_bench = set(bench.QUERY_SET) - set(qs)
     assert not missing_oracle, missing_oracle
     assert not missing_bench, missing_bench
+
+
+def test_joined_schema_matches_actual_join(ray_session):
+    """joined_schema must predict lookup_join's output schema exactly
+    (it is passed as the next chained join's left_schema, so a drift
+    would null-pad with wrong types)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import joined_schema, lookup_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                  "x": pa.array([1.0, 2.0, 3.0])})
+    )
+    right = rd.from_arrow(
+        pa.table({"rid": pa.array([1, 2, 3], type=pa.int64()),
+                  "payload": pa.array([[1, 2], [3], []], type=pa.list_(pa.int64()))})
+    )
+    predicted = joined_schema(left, right, {"payload": "p"})
+    actual = pa.schema(
+        lookup_join(left, right, "k", "rid", {"payload": "p"}).schema().base_schema
+    )
+    assert predicted.names == actual.names
+    for f in predicted:
+        assert actual.field(f.name).type == f.type, f.name
