@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
         "dedup_clusters": textops.dedup_clusters,
+        "neardup_triangles": textops.neardup_triangles,
         "curate_corpus": textops.curate_corpus,
         "stratified_sample": textops.stratified_sample,
         "quality_percentiles": textops.quality_percentiles,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
         "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
+        "neardup_triangles": textops.NEARDUP_TRIANGLES_SQL,
         "curate_corpus": textops.CURATE_CORPUS_SQL,
         "stratified_sample": textops.STRATIFIED_SAMPLE_SQL,
         "quality_percentiles": textops.QUALITY_PERCENTILES_SQL,

@@ -135,6 +135,7 @@ QUERY_SET = [
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "dedup_clusters",
+    "neardup_triangles",
     "curate_corpus",
     "stratified_sample",
     "quality_percentiles",

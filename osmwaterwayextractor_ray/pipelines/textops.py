@@ -1085,3 +1085,72 @@ FROM documents GROUP BY source
 
 
 BPE_TOKEN_STATS_SQL = _bpe_sql()
+
+
+def neardup_triangles(sf_dir: str, threshold: float = 0.5):
+    """Distributed triangle counting over the exact near-dup graph
+    (graph-motif counting — the clustering-coefficient / community-
+    density building block). Canonical a<b<c orientation: wedges come
+    from one partitioned self-join of the edge list on the lower vertex
+    (e1=(a,b) ⨝ e2=(a,c), c>b), and each wedge closes iff (b,c) is an
+    edge — one more cogroup against the edge set, counted per bucket
+    with a packed-key np.isin. Every triangle is counted exactly once.
+    Full SQL oracle composes the exact ngram-pair CTE with two joins."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup, grouped_agg, hash_join
+
+    pairs = ngram_jaccard_neardup(sf_dir, threshold)
+    edges = pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()  # feeds the self-join twice and the closing cogroup
+
+    def rename_c(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch["id_a"], "id_c": batch["id_b"]})
+
+    e2 = edges.map_batches(rename_c, batch_format="pyarrow")
+    wedges = hash_join(edges, e2, on=["id_a"], num_parts=16).map_batches(
+        lambda t: t.filter(pc.greater(t["id_c"], t["id_b"])).select(["id_b", "id_c"]),
+        batch_format="pyarrow",
+    )
+
+    # wedges is a lazy join output -> pass its (static) schema so the
+    # closing cogroup's probe doesn't re-execute the self-join
+    wedge_schema = pa.schema([("id_b", pa.int64()), ("id_c", pa.int64())])
+    grouped, split = cogroup(
+        wedges, edges, ["id_b", "id_c"], right_on=["id_a", "id_b"],
+        num_parts=16, left_schema=wedge_schema,
+    )
+
+    def close_count(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        wb = lg.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        wc = lg.column("id_c").to_numpy(zero_copy_only=False).astype(np.uint64)
+        eb = rg.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ec = rg.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        closed = np.isin(wb << np.uint64(32) | wc, eb << np.uint64(32) | ec)
+        return pa.table(
+            {
+                "k": pa.array([0], type=pa.int64()),
+                "n": pa.array([int(closed.sum())], type=pa.int64()),
+            }
+        )
+
+    total = grouped_agg(
+        grouped.map_groups(close_count, batch_format="pyarrow"),
+        keys=["k"],
+        agg_spec={"n_triangles": ("n", "sum")},
+        num_parts=1,
+    )
+    return total.map_batches(
+        lambda t: t.select(["n_triangles"]), batch_format="pyarrow"
+    )
+
+
+NEARDUP_TRIANGLES_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+"""
