@@ -1136,15 +1136,11 @@ def neardup_triangles(sf_dir: str, threshold: float = 0.5):
             }
         )
 
-    total = grouped_agg(
-        grouped.map_groups(close_count, batch_format="pyarrow"),
-        keys=["k"],
-        agg_spec={"n_triangles": ("n", "sum")},
-        num_parts=1,
-    )
-    return total.map_batches(
-        lambda t: t.select(["n_triangles"]), batch_format="pyarrow"
-    )
+    per_bucket = grouped.map_groups(close_count, batch_format="pyarrow")
+    # O(buckets) rows -> one driver scalar; an empty graph still yields
+    # the single zero row the SQL oracle produces
+    n = per_bucket.sum("n") or 0
+    return pa.table({"n_triangles": pa.array([int(n)], type=pa.int64())})
 
 
 NEARDUP_TRIANGLES_SQL = f"""
