@@ -129,3 +129,61 @@ def read_mobile_csv(base: str):
     nodes = rd.read_csv(f"{base}.mobile.nodes.csv.gz", arrow_open_stream_args=open_args)
     edges = rd.read_csv(f"{base}.mobile.edges.csv.gz", arrow_open_stream_args=open_args)
     return nodes, edges
+
+
+def _features_table(features: list[dict]) -> pa.Table:
+    ids = [f["properties"]["id"] for f in features]
+    lengths = np.array(
+        [f["properties"]["length_m"] for f in features], dtype=np.float64
+    )
+    names = [f["properties"]["name"] for f in features]
+    types = [f["properties"]["type"] for f in features]
+    widths = [f["properties"]["width_m"] for f in features]
+    coords = [f["geometry"]["coordinates"] for f in features]
+    n = np.fromiter((len(c) for c in coords), dtype=np.int64, count=len(coords))
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(n))).astype(np.int32), type=pa.int32()
+    )
+    # GeoJSON is (lon, lat) — flip back to the engine's (lat, lon)
+    flat_lat = np.fromiter((p[1] for c in coords for p in c), dtype=np.float64)
+    flat_lon = np.fromiter((p[0] for c in coords for p in c), dtype=np.float64)
+    return pa.table(
+        {
+            "id": pa.array(ids, type=pa.string()),
+            "length_m": pa.array(lengths),
+            "name": pa.array(names, type=pa.string()),
+            "type": pa.array(types, type=pa.string()),
+            "width_m": pa.array(widths, type=pa.float64()),
+            "lats": pa.ListArray.from_arrays(offsets, pa.array(flat_lat)),
+            "lons": pa.ListArray.from_arrays(offsets, pa.array(flat_lon)),
+        }
+    )
+
+
+def read_geojson(path: str):
+    """FeatureCollection file OR sharded directory -> edges Dataset
+    (id, length_m, name, type, width_m, lats, lons) with the
+    (lon,lat)->(lat,lon) flip undone. Sharded parts parse in parallel."""
+    import ray.data as rd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, p) for p in os.listdir(path) if p.endswith(".geojson")
+        )
+        ds = rd.read_binary_files(files)
+
+        def parse(batch: pa.Table) -> pa.Table:
+            out = []
+            for blob in batch.column("bytes").to_pylist():
+                fc = json.loads(blob.decode("utf-8"))
+                if fc["features"]:
+                    out.append(_features_table(fc["features"]))
+            if not out:
+                return _features_table([])
+            return pa.concat_tables(out)
+
+        return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+    with open(path) as f:
+        fc = json.load(f)
+    return rd.from_arrow(_features_table(fc["features"]))

@@ -90,3 +90,19 @@ def test_mobile_csv_roundtrip(graph, tmp_path):
     me = me.sort_values("id").reset_index(drop=True)
     assert np.array_equal(edf["from_node_id"].to_numpy(), me["from_node_id"].to_numpy())
     assert np.array_equal(edf["to_node_id"].to_numpy(), me["to_node_id"].to_numpy())
+
+
+@pytest.mark.parametrize("shards", [None, 3])
+def test_geojson_roundtrip(graph, tmp_path, shards):
+    from osmwaterwayextractor_ray.sources.legacy import read_geojson
+    from osmwaterwayextractor_ray.stages.sinks import save_geojson
+
+    _, edges_ds = graph
+    path = str(tmp_path / ("parts" if shards else "g.geojson"))
+    save_geojson(edges_ds, path, shards=shards)
+    got = read_geojson(path).to_pandas().sort_values("id").reset_index(drop=True)
+    want = edges_ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert np.array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+    assert np.allclose(got["length_m"].to_numpy(), want["length_m"].to_numpy())
+    for a, b in zip(got["lats"], want["lats"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
