@@ -69,7 +69,7 @@ def embed_topk(sf_dir: str):
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_ref = ray.put((q_ids, qn))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     class PartialTopK:
         def __init__(self):
@@ -128,7 +128,7 @@ def _corpus_with_planted_neighbors(sf_dir: str):
     mean(|v|) in every coordinate — cosine(v, v') ≈ 0.99+, deterministic."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def plant(batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
@@ -298,7 +298,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
 
     import pyarrow.parquet as pq
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # deterministic init: the first k vectors by vec_id (predicate
     # pushdown — only row groups containing them leave storage)
     it = pq.read_table(
@@ -470,7 +470,7 @@ def embed_topk_ivf(sf_dir: str):
     q_probe = np.argsort(-q_aff, axis=1)[:, :N_PROBE]
     shared = ray.put((coarse_n, q_ids, qn, q_probe))
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     class AssignBucket:
         def __init__(self):
@@ -647,7 +647,7 @@ def embed_topk_pq(sf_dir: str):
                 }
             )
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         EncodeAndScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
     )
@@ -676,7 +676,7 @@ def label_centroid_sums(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
     )
 
@@ -713,3 +713,9 @@ SELECT CAST(label AS BIGINT) AS label, g AS dim,
 FROM embeddings, generate_series(0, {DIM - 1}) AS t(g)
 GROUP BY label, g
 """
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

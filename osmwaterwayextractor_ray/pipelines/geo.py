@@ -58,7 +58,7 @@ def _points_batch(batch: pa.Table) -> pa.Table:
 def points_from_events(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id"])
     return ds.map_batches(_points_batch, batch_format="pyarrow", batch_size=65536)
 
 
@@ -773,3 +773,9 @@ def pip_join_s2(sf_dir: str):
     return pts.map_batches(
         PIPS2, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max())
     )
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

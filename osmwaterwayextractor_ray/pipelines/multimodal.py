@@ -24,7 +24,7 @@ def media_from_documents(sf_dir: str):
     (utf-8 bytes stand in for an encoded image/audio blob)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
@@ -278,3 +278,9 @@ SELECT doc_id, CAST(g AS BIGINT) AS frame_idx,
        CAST(LEAST({FRAME_BYTES}, nb - g * {FRAME_BYTES}) AS BIGINT) AS n_frame_bytes
 FROM f WHERE g % {FRAME_STRIDE} = 0
 """
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

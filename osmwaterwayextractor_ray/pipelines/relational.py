@@ -31,7 +31,7 @@ def q1_pricing_summary(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -99,7 +99,7 @@ def filter_revenue(sf_dir: str):
     (same IEEE ops per row), no rounding needed."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -142,7 +142,7 @@ def customer_order_stats(sf_dir: str, mode: str = "distributed"):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def _cents(t: pa.Table) -> pa.Table:
         return t.set_column(
@@ -161,7 +161,7 @@ def customer_order_stats(sf_dir: str, mode: str = "distributed"):
             ["o_custkey"],
             {"n_orders": ("o_totalprice", "count"), "total_price": ("o_totalprice", "sum")},
         ).materialize()
-        cust = rd.read_parquet(
+        cust = _read_pq(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
         )
         joined = hash_join(per_cust, cust, left_on=["o_custkey"], right_on=["c_custkey"])
@@ -209,7 +209,7 @@ GROUP BY c.c_mktsegment
 def top_orders(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
@@ -222,7 +222,7 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 def distinct_segments(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    ds = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
     return ds.groupby("c_mktsegment").count().select_columns(["c_mktsegment"])
 
 
@@ -234,7 +234,7 @@ def events_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64())
@@ -276,7 +276,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
     import pyarrow as pa
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
@@ -320,3 +320,8 @@ WITH d AS (
 )
 SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
 """
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

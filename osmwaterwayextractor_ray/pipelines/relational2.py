@@ -30,7 +30,7 @@ def q3_top_revenue(sf_dir: str):
     sel = orders[(orders["o_custkey"].isin(building)) & (orders["o_orderdate"].values < cut)]
     okeys_ref = ray.put(set(sel["o_orderkey"]))
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
@@ -77,7 +77,7 @@ def q6_revenue(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
     )
@@ -117,7 +117,7 @@ def events_props_sum(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
         types = batch.column("event_type").to_pylist()
@@ -154,7 +154,7 @@ def top_tokens(sf_dir: str, k: int = 20):
 
     from osmwaterwayextractor_ray.functions.text import tokenize
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
@@ -189,7 +189,7 @@ def orders_monthly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    ds = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -235,7 +235,7 @@ def supplier_region_rollup(sf_dir: str):
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
     lookup_ref = ray.put((n2r, r2name))
 
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    supp = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
 
     def roll(batch: pa.Table) -> pa.Table:
         import ray as _ray
@@ -316,13 +316,13 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
 
         return f
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(_in_region("c_nationkey"), batch_format="pyarrow", batch_size=65536)
 
     lo = np.datetime64("1996-01-01", "us")
     hi = np.datetime64("1997-01-01", "us")
-    orders = rd.read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -359,7 +359,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
         bf.bits |= np.frombuffer(r["bits"], dtype=bf.bits.dtype)
     bf_ref = ray.put(bf)
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -398,7 +398,7 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
         lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")}
     ).materialize()
 
-    supp = rd.read_parquet(
+    supp = _read_pq(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_in_region("s_nationkey"), batch_format="pyarrow", batch_size=65536)
     js = lookup_join(per_supp, supp, "l_suppkey", "s_suppkey", {"s_nationkey": "s_nationkey"})
@@ -445,10 +445,10 @@ def customers_no_orders(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import anti_join
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    orders = rd.read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
     lo = np.datetime64("1996-01-01", "us")
@@ -479,7 +479,7 @@ def events_top3_per_user(sf_dir: str, k: int = 3):
     single lexsort per bucket — no per-user map_groups calls."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
     )
     N_PARTS = 32
@@ -521,7 +521,7 @@ def part_type_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Mean
 
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
+    ds = _read_pq(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
     return (
         ds.groupby("p_type")
         .aggregate(Count(alias_name="n_parts"), Mean("p_retailprice", alias_name="avg_price"))
@@ -545,7 +545,7 @@ def embed_norms(sf_dir: str):
 
     from osmwaterwayextractor_ray.pipelines.embeddings import _emb_matrix
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def norms(batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
@@ -578,7 +578,7 @@ def purchase_attribution(sf_dir: str):
     Output: purchase event_id, user_id, attributed click event_id (or -1)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
     )
 
@@ -642,7 +642,7 @@ def events_sliding_window(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def emit(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -710,7 +710,7 @@ def urgent_lineitems(sf_dir: str):
     exact = set(urgent.tolist())
     side_ref = ray.put((bf, exact))
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
     )
 
@@ -734,3 +734,9 @@ URGENT_LINEITEMS_SQL = """
 SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
 """
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

@@ -64,7 +64,7 @@ def orders_rollup(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
     )
@@ -157,7 +157,7 @@ def events_pivot(sf_dir: str):
 
     N_PARTS = 8
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
     )
 
@@ -217,7 +217,7 @@ def events_lag_gaps(sf_dir: str):
 
     N_PARTS = 32
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -278,7 +278,7 @@ def orders_running_total(sf_dir: str):
 
     N_PARTS = 32
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
@@ -358,7 +358,7 @@ def signup_error_window_join(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import cogroup, grouped_agg
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
     )
 
@@ -487,7 +487,7 @@ def nation_trade_fulljoin(sf_dir: str):
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
 
     def side(table: str, keycol: str, balcol: str, thr: float, n_out: str, c_out: str):
-        ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[keycol, balcol])
+        ds = _read_pq(f"{sf_dir}/{table}.parquet", columns=[keycol, balcol])
 
         def prep(batch: pa.Table) -> pa.Table:
             bal = batch.column(balcol).to_numpy(zero_copy_only=False)
@@ -566,8 +566,8 @@ def distinct_counts_hll(sf_dir: str):
 
     from osmwaterwayextractor_ray.state.hll import approx_distinct
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def texthash(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -627,7 +627,7 @@ def orders_cube(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
     )
@@ -710,7 +710,7 @@ def events_value_ntile(sf_dir: str, n: int = 4):
 
     N_PARTS = 32
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
     )
 
@@ -778,7 +778,7 @@ def value_percentiles_sketch(sf_dir: str):
 
     from osmwaterwayextractor_ray.state.tdigest import digest_dataset, quantile
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["value"])
     means, weights = digest_dataset(ds, "value")
     qs = [0.5, 0.9, 0.99]
     return pa.table(
@@ -807,7 +807,7 @@ def user_set_ops(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import cogroup
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
     def side(kind: str):
         def f(batch: pa.Table) -> pa.Table:
@@ -869,7 +869,7 @@ def orders_above_cust_avg(sf_dir: str):
 
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
 
@@ -947,7 +947,7 @@ def heavy_users_mg(sf_dir: str, top: int = 20):
 
     from osmwaterwayextractor_ray.state.heavyhitters import approx_top_k
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
     keys, counts = approx_top_k(ds, "user_id", k=256, top=top)
     return pa.table(
         {
@@ -1008,3 +1008,9 @@ LEFT JOIN (
   SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type
 ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
 """
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

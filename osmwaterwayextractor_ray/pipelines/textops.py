@@ -37,7 +37,7 @@ from osmwaterwayextractor_ray.functions.text import (
 def _read_documents(sf_dir: str, columns):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def dedup_exact(sf_dir: str):
@@ -1150,3 +1150,9 @@ FROM pairs e1
 JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
 JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
 """
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

@@ -82,3 +82,23 @@ def read_waterways(path: str, config: Config | None = None):
         )
 
     return ds.map_batches(convert, batch_format="pyarrow")
+
+
+def read_pq(path: str, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the file's pandas metadata stripped
+    from the schema. Pandas-written parquet carries an unhashable
+    metadata dict that makes every downstream sort/groupby block
+    concatenation log "Failed to hash the schemas (for deduplication)"
+    (hundreds of lines per bench run, flagged by review twice) AND
+    disables Ray's schema dedup. Passing an explicit metadata-free
+    schema fixes it at the read operator itself — a downstream
+    replace_schema_metadata map cannot (the read's own SplitBlocks
+    already warns). All engine parquet reads go through here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        sch = pa.schema([sch.field(c) for c in columns])
+    return rd.read_parquet(path, columns=columns, schema=sch, **kwargs)

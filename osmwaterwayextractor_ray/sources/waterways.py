@@ -92,7 +92,7 @@ def waterways_from_events(sf_dir: str, batch_size: int | None = None, repeat: in
 
     from osmwaterwayextractor_ray.stages._pool import pool_max
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id"])
     # spread the tiny id column across the cluster BEFORE the (heavier)
     # synthesis map: a single-file read arrives in a handful of blocks and
     # would cap to_ways' parallelism at that block count. batch_size is
@@ -134,3 +134,9 @@ def waterways_from_events(sf_dir: str, batch_size: int | None = None, repeat: in
         )
 
     return ds.map_batches(to_ways, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _read_pq(path, columns=None, **kw):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(path, columns=columns, **kw)

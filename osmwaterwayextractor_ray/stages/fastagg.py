@@ -86,7 +86,9 @@ def distinct(ds, keys: list[str], num_parts: int = 32, batch_size: int = 65536):
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
     def combine(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(g[keys].drop_duplicates(), preserve_index=False)
+        return pa.Table.from_pandas(
+            g[keys].drop_duplicates(), preserve_index=False
+        ).replace_schema_metadata(None)
 
     return partials.groupby("__part").map_groups(combine, batch_format="pandas")
 
