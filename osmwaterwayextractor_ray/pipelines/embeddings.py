@@ -537,7 +537,7 @@ PQ_M = 16  # subspaces of DIM // PQ_M dims -> 16-byte codes (16x vs fp32)
 PQ_K = 32  # centroids per subspace (fits uint8 codes with headroom)
 PQ_TRAIN = 1024  # deterministic training sample: vec_id < PQ_TRAIN
 PQ_ITERS = 10
-PQ_RERANK = 64  # ADC shortlist size per (query, batch) for exact rerank
+PQ_RERANK = 64  # global ADC shortlist size per query for exact rerank
 # (M=16, K=32, R=64 measured recall@5 = 1.0 vs brute force at sf0.001;
 # M=8/R=40 was 0.78 — the tuning sweep lives in NOTES_r3.md)
 
@@ -573,8 +573,10 @@ def embed_topk_pq(sf_dir: str):
     the fp32 payload, the memory-bound regime for 10^9+ vector ANN), and
     each query scores candidates with one table lookup per subspace
     (asymmetric distance: query stays exact, candidate is its nearest
-    per-subspace centroid), then the ADC top-PQ_RERANK shortlist per
-    (query, batch) is reranked with exact cosine — the standard
+    per-subspace centroid), then the GLOBAL ADC top-PQ_RERANK shortlist
+    per query (assembled exactly from per-batch top-R partials, since ADC
+    scores are batch-independent) is reranked with exact cosine — the
+    standard
     PQ-scan + rerank plan: exact math touches ~1% of the vectors, the
     other 99% are scored from 8-byte codes. Same
     partial-top-k-per-batch + tiny groupby(qid) merge as embed_topk;
@@ -627,20 +629,21 @@ def embed_topk_pq(sf_dir: str):
             for m in range(PQ_M):
                 codes = (self.c2[m][None, :] - 2.0 * xs[:, m, :] @ self.books[m].T).argmin(1)
                 sims += self.tabs[:, m, codes]
-            out_q, out_v, out_s = [], [], []
+            out_q, out_v, out_a, out_s = [], [], [], []
             for qi, qid in enumerate(self.q_ids.tolist()):
                 row = sims[qi]
                 cand = np.nonzero(ids != qid)[0]
                 short = cand[np.lexsort((ids[cand], -row[cand]))][:PQ_RERANK]
                 exact = matn[short] @ self.qn[qi]
-                sel = np.lexsort((ids[short], -exact))[:K]
-                out_q.append(np.full(len(sel), qid, dtype=np.int64))
-                out_v.append(ids[short[sel]])
-                out_s.append(exact[sel])
+                out_q.append(np.full(len(short), qid, dtype=np.int64))
+                out_v.append(ids[short])
+                out_a.append(row[short])
+                out_s.append(exact)
             return pa.table(
                 {
                     "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
                     "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                    "adc": pa.array(np.concatenate(out_a), type=pa.float64()),
                     "cosine": pa.array(
                         np.round(np.concatenate(out_s), 6), type=pa.float64()
                     ),
@@ -652,8 +655,17 @@ def embed_topk_pq(sf_dir: str):
         EncodeAndScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
     )
 
+    # Batching-invariant merge: the ADC score of a candidate depends only
+    # on (candidate vector, codebooks, query) — never on which block it
+    # arrived in — so per-batch top-R by (adc desc, vec_id asc) merges
+    # EXACTLY to the global top-R ADC shortlist (any global top-R element
+    # is a top-R element of its own batch). Reranking that canonical
+    # shortlist with the exact cosines makes the result independent of
+    # block structure / num_cpus, per the repo invariance rule.
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
+        short = g.sort_values(["adc", "vec_id"], ascending=[False, True]).head(PQ_RERANK)
+        top = short.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
+        return top[["qid", "vec_id", "cosine"]]
 
     return partials.groupby("qid").map_groups(merge, batch_format="pandas")
 

@@ -948,7 +948,17 @@ def heavy_users_mg(sf_dir: str, top: int = 20):
     from osmwaterwayextractor_ray.state.heavyhitters import approx_top_k
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
-    keys, counts = approx_top_k(ds, "user_id", k=256, top=top)
+    keys, counts, trimmed = approx_top_k(
+        ds, "user_id", k=256, top=top, return_trimmed=True
+    )
+    if trimmed:
+        # the exact SQL oracle is only valid in the no-trim regime; fail
+        # loudly rather than silently mismatching at a larger data scale
+        raise RuntimeError(
+            "heavy_users_mg: Misra-Gries summary trimmed (distinct user_id > "
+            "k=256) — counts are approximate and the exact oracle no longer "
+            "applies; raise k or drop the oracle entry for this scale"
+        )
     return pa.table(
         {
             "user_id": pa.array(keys, type=pa.int64()),

@@ -64,33 +64,64 @@ def mg_merge(keys_list, counts_list, k: int = DEFAULT_K):
     return mg_partial(allk, allc, k)
 
 
-def approx_top_k(ds, key_col: str, k: int = DEFAULT_K, top: int = 20):
+def approx_top_k(
+    ds, key_col: str, k: int = DEFAULT_K, top: int = 20, return_trimmed: bool = False
+):
     """Approximate top-`top` most frequent values of an int64 column.
     One map_batches pass emits a <= k-row summary per batch; an
     intermediate combine shrinks summary rows; the driver merges the
     survivors and returns candidates ORDERED by residual count (every
-    item with true frequency > n/k is guaranteed present)."""
+    item with true frequency > n/k is guaranteed present).
+
+    With ``return_trimmed=True`` also returns whether ANY stage trimmed
+    (distinct keys at that stage exceeded k): trimmed=False certifies the
+    residual counts are EXACT, which callers whose oracle assumes exact
+    counts (heavy_users_mg) must assert instead of silently drifting."""
     import pyarrow as pa
+
+    def _flagged(pk, pc_, trimmed: bool) -> pa.Table:
+        # when every residual trims to zero (all counts tie above capacity)
+        # the summary is empty — carry the flag on a zero-count sentinel
+        # row so "trimmed" survives to the driver (cnt=0 rows are inert in
+        # mg merges and filtered before the final ordering)
+        if trimmed and len(pk) == 0:
+            pk = np.zeros(1, dtype=np.int64)
+            pc_ = np.zeros(1, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(pk),
+                "cnt": pa.array(pc_),
+                "trimmed": pa.array(np.full(len(pk), trimmed)),
+            }
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         pk, pc_ = mg_partial(v, None, k)
-        return pa.table({"key": pa.array(pk), "cnt": pa.array(pc_)})
+        return _flagged(pk, pc_, len(np.unique(v)) > k)
 
     def combine(batch: pa.Table) -> pa.Table:
-        mk, mc = mg_partial(
-            batch.column("key").to_numpy(zero_copy_only=False),
-            batch.column("cnt").to_numpy(zero_copy_only=False),
-            k,
+        bk = batch.column("key").to_numpy(zero_copy_only=False)
+        bc = batch.column("cnt").to_numpy(zero_copy_only=False)
+        mk, mc = mg_partial(bk, bc, k)
+        trimmed = bool(
+            pa.compute.any(batch.column("trimmed")).as_py() or len(np.unique(bk)) > k
         )
-        return pa.table({"key": pa.array(mk), "cnt": pa.array(mc)})
+        return _flagged(mk, mc, trimmed)
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).map_batches(
         combine, batch_format="pyarrow", batch_size=65536
     )
     pdf = parts.to_pandas()
-    mk, mc = mg_partial(
-        pdf["key"].to_numpy(dtype=np.int64), pdf["cnt"].to_numpy(dtype=np.int64), k
-    )
+    if len(pdf) == 0:  # empty input: no summaries, no trim
+        empty = np.zeros(0, dtype=np.int64)
+        return (empty, empty, False) if return_trimmed else (empty, empty)
+    keys_in = pdf["key"].to_numpy(dtype=np.int64)
+    mk, mc = mg_partial(keys_in, pdf["cnt"].to_numpy(dtype=np.int64), k)
+    any_trim = bool(pdf["trimmed"].any()) or len(np.unique(keys_in)) > k
+    live = mc > 0  # drop inert sentinel rows
+    mk, mc = mk[live], mc[live]
     order = np.lexsort((mk, -mc))[:top]
+    if return_trimmed:
+        return mk[order], mc[order], any_trim
     return mk[order], mc[order]

@@ -86,7 +86,11 @@ def approx_distinct(ds, col: str, p: int = DEFAULT_P) -> int:
     def combine(batch: pa.Table) -> pa.Table:
         rows = batch.column("reg")
         arr = rows.combine_chunks() if isinstance(rows, pa.ChunkedArray) else rows
-        flat = arr.values.to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        # .values ignores a slice's offset window — honor arr.offsets so a
+        # sliced block (Ray splitting a larger block) reads the right rows.
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[offs[0] : offs[-1]].reshape(len(batch), -1)
         return pa.table({"reg": pa.array([hll_merge(flat)], type=pa.list_(pa.uint8()))})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)

@@ -27,8 +27,9 @@ GOLDEN = {
     "embed_neardup": ("db859c7036e2a96b", 500),
     "embed_topk_ivf": ("53e74fa2f1bc24fe", 50),
     # PQ ADC scan + exact rerank (recall-vs-exact pinned in
-    # test_pipelines_rowsonly.py; the ADC shortlist is per-batch, so the
-    # pin holds for the fixed sf0.001 read layout — verified cpus=4/8)
+    # test_pipelines_rowsonly.py). Batching-INVARIANT by construction:
+    # ADC scores are per-candidate, so per-batch top-R partials merge
+    # exactly to the global ADC shortlist before the exact rerank.
     "embed_topk_pq": ("1c838a777d11fa68", 50),
     "media_features": ("63787851c00cfca0", 500),
     # resize stage metadata (stub thumbnails; payload determinism pinned

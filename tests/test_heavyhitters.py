@@ -51,6 +51,24 @@ def test_merge_preserves_guarantee():
             assert key in surv
 
 
+def test_trim_flag_regimes(ray_session):
+    """return_trimmed certifies exactness: False when distinct <= k (and
+    counts exact), True once any stage exceeds capacity."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    small = np.arange(100, dtype=np.int64).repeat(9)
+    ds = rd.from_arrow(pa.table({"k": pa.array(small)})).repartition(5)
+    keys, counts, trimmed = approx_top_k(ds, "k", k=256, top=5, return_trimmed=True)
+    assert not trimmed
+    assert (counts == 9).all()  # no-trim => exact
+
+    wide = np.arange(5000, dtype=np.int64)  # 5000 distinct > k=256
+    ds2 = rd.from_arrow(pa.table({"k": pa.array(wide)})).repartition(4)
+    _, _, trimmed2 = approx_top_k(ds2, "k", k=256, top=5, return_trimmed=True)
+    assert trimmed2
+
+
 def test_approx_top_k_dataset(ray_session):
     import pyarrow as pa
     import ray.data as rd

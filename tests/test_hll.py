@@ -52,6 +52,30 @@ def test_approx_distinct_dataset_matches_direct(ray_session):
     assert abs(got / 12_345 - 1.0) < 0.025
 
 
+def test_combine_honors_list_slice_offsets(ray_session):
+    # A sliced list-array block (.values spans the WHOLE parent buffer)
+    # must merge only its own window — regression for the offsets bug.
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.state.hll import approx_distinct
+
+    v = np.arange(40_000, dtype=np.int64) * 2654435761
+    # many partial rows so the combine stage sees multi-row list blocks
+    ds = rd.from_arrow(pa.table({"k": pa.array(v)})).repartition(40)
+    got = approx_distinct(ds, "k")
+    want = int(round(hll_estimate(hll_partial(v))))
+    assert got == want
+
+    # direct unit check: combine over a SLICED list array
+    regs = [hll_partial(c) for c in np.array_split(v, 6)]
+    la = pa.array(regs, type=pa.list_(pa.uint8()))
+    sliced = la.slice(2, 3)
+    offs = sliced.offsets.to_numpy(zero_copy_only=False)
+    flat = sliced.values.to_numpy(zero_copy_only=False)
+    window = flat[offs[0] : offs[-1]].reshape(len(sliced), -1)
+    assert np.array_equal(hll_merge(window), hll_merge(np.stack(regs[2:5])))
+
+
 def test_estimate_monotone_regimes():
     # crossing the linear-counting switch must not produce absurd jumps
     prev = 0.0
