@@ -33,7 +33,8 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -78,11 +79,23 @@ def main(argv=None) -> int:
     outputs: dict = {}
     nodes = result.nodes.materialize()
     edges = result.edges.materialize()
-    outputs["parquet"] = sinks.save_parquet(nodes, edges, os.path.join(args.output, "parquet"))
-    outputs["csv"] = sinks.save_csv(nodes, edges, os.path.join(args.output, "csv"))
-    outputs["geojson"] = sinks.save_geojson(edges, os.path.join(args.output, "edges.geojson"))
-    outputs["jsongz"] = sinks.save_jsongz(nodes, edges, os.path.join(args.output, "graph"))
-    outputs["mobile"] = sinks.save_mobile_csv(nodes, edges, os.path.join(args.output, "graph"))
+    # format selection mirrors OutputManager.save_outputs (ref :2747-2782):
+    # server_formats picks the sinks; mobile/id-mapping are opt-in booleans
+    fmts = config.server_formats
+    if "parquet" in fmts:
+        outputs["parquet"] = sinks.save_parquet(nodes, edges, os.path.join(args.output, "parquet"))
+    if "csv" in fmts:
+        outputs["csv"] = sinks.save_csv(nodes, edges, os.path.join(args.output, "csv"))
+    if "geojson" in fmts:
+        outputs["geojson"] = sinks.save_geojson(edges, os.path.join(args.output, "edges.geojson"))
+    if "jsongz" in fmts:
+        outputs["jsongz"] = sinks.save_jsongz(nodes, edges, os.path.join(args.output, "graph"))
+    if config.generate_mobile_csv:
+        outputs["mobile"] = sinks.save_mobile_csv(nodes, edges, os.path.join(args.output, "graph"))
+    if config.generate_id_mapping:
+        outputs["id_mapping"] = sinks.save_id_mapping(
+            nodes, edges, os.path.join(args.output, "id_mapping.json")
+        )
     sinks.save_qa(result.qa, os.path.join(args.output, "qa_summary.json"))
     manifest = sinks.generate_manifest(args.input, config, result.qa, outputs)
     with open(os.path.join(args.output, "manifest.json"), "w") as f:
@@ -92,7 +105,8 @@ def main(argv=None) -> int:
         f"Graph built: {result.qa.get('final_nodes')} nodes, "
         f"{result.qa.get('final_edges')} edges in {time.time() - t0:.2f}s -> {args.output}"
     )
-    ray.shutdown()
+    if owns_ray:  # don't tear down a session owned by the caller (tests)
+        ray.shutdown()
     return 0
 
 

@@ -34,6 +34,14 @@ class Config:
 
     hash_length: int = 8  # chars of base62(xxh64) kept in ids (ref :1106)
 
+    # --- output-format selection (ref Config :129-133, consumed by
+    # OutputManager.save_outputs :2747-2782) ---
+    server_formats: list[str] = field(
+        default_factory=lambda: ["parquet", "csv", "geojson", "jsongz"]
+    )
+    generate_mobile_csv: bool = False
+    generate_id_mapping: bool = False
+
     # --- Ray execution knobs (new engine only; do not affect results) ---
     # Equal-angle grid cell edge (degrees) used for the spatial shuffles.
     # Pure grouping knobs: results are identical for any size (parity
@@ -76,9 +84,10 @@ class Config:
         """Load a flat engine config OR the reference's nested config.yaml
         layout (sections processing:/clustering:/ids:/output:/qa:/caching:,
         flattened exactly as the reference's Config.from_yaml does,
-        osm_waterway_extractor.py:163-237). Unknown keys (e.g. the
-        reference's parallel_workers, server_formats) are ignored — Ray's
-        executor replaces that machinery."""
+        osm_waterway_extractor.py:163-237). Output-selection keys
+        (server_formats, generate_mobile_csv, generate_id_mapping) are
+        honored; unknown keys (e.g. the reference's parallel_workers) are
+        ignored — Ray's executor replaces that machinery."""
         import yaml
 
         with open(path) as f:

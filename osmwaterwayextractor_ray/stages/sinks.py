@@ -170,19 +170,18 @@ _B62 = sorted("0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
 _B62_POS = {c: i for i, c in enumerate(_B62)}
 
 
-def node_ranks(nodes_ds):
-    """Dataset(id, rank, lat, lon): rank = position of the node's id in
-    global sorted order, assigned DISTRIBUTEDLY — no O(nodes) driver
-    state. Node ids are 'n' + a fixed-length base62 hash (uniformly
-    distributed past the constant prefix), so the 62 SECOND-character
-    buckets are contiguous ranges of the global sort order: one
-    partial-count pass gives each range's base offset (62 ints), then
-    each range sorts its own ids and adds the offset. (Bucketing on the
-    first character would land every node in the single 'n' bucket —
-    ADVICE r2.) Used by the sharded jsongz path; the single-file legacy
-    formats keep the broadcast dict (the mapping the reference ships to
-    its pool workers)."""
-    import pandas as pd
+def id_ranks(ds, keep: list[str]):
+    """Dataset(id, rank, *keep): rank = position of the row's id in
+    global sorted order, assigned DISTRIBUTEDLY — no O(rows) driver
+    state. Engine ids are a one-char prefix ('n'/'e') + a fixed-length
+    base62 hash (uniformly distributed past the constant prefix), so the
+    62 SECOND-character buckets are contiguous ranges of the global sort
+    order: one partial-count pass gives each range's base offset (62
+    ints), then each range sorts its own ids and adds the offset.
+    (Bucketing on the first character would land every row in the single
+    prefix bucket — ADVICE r2.) Used by the sharded jsongz path and the
+    mobile sink; the single-file jsongz keeps the broadcast dict (the
+    mapping the reference ships to its pool workers)."""
 
     def range_counts(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_pylist()
@@ -192,7 +191,7 @@ def node_ranks(nodes_ds):
             {"r": pa.array(uniq, type=pa.int64()), "n": pa.array(n, type=pa.int64())}
         )
 
-    pdf = nodes_ds.map_batches(range_counts, batch_format="pyarrow").to_pandas()
+    pdf = ds.map_batches(range_counts, batch_format="pyarrow").to_pandas()
     base = np.zeros(63, dtype=np.int64)
     if len(pdf):
         totals = pdf.groupby("r")["n"].sum()
@@ -207,15 +206,20 @@ def node_ranks(nodes_ds):
 
     def rank_range(g: pa.Table) -> pa.Table:
         rr = int(g.column("__range")[0].as_py())
-        df = g.select(["id", "lat", "lon"]).to_pandas().sort_values("id", kind="stable")
+        df = g.select(["id", *keep]).to_pandas().sort_values("id", kind="stable")
         df["rank"] = base[rr] + np.arange(len(df), dtype=np.int64)
         return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
-        nodes_ds.map_batches(tag_range, batch_format="pyarrow")
+        ds.map_batches(tag_range, batch_format="pyarrow")
         .groupby("__range")
         .map_groups(rank_range, batch_format="pyarrow")
     )
+
+
+def node_ranks(nodes_ds):
+    """Dataset(id, lat, lon, rank) — see id_ranks."""
+    return id_ranks(nodes_ds, keep=["lat", "lon"])
 
 
 def _node_index_stream(nodes_ds):
@@ -393,14 +397,50 @@ def save_jsongz(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dic
     return {"nodes": nodes_file, "edges": parts_dir}
 
 
-def _renumber_batch(batch: pa.Table, base: int, idx: dict[str, int]) -> pa.Table:
-    froms = batch.column("from_node_id").to_pylist()
-    tos = batch.column("to_node_id").to_pylist()
+_MOBILE_EDGE_COLS = ["id", "from_node_id", "to_node_id", "length_m", "name", "type", "width_m"]
+
+
+def mobile_edges_renumbered(nodes_ds, edges_ds, node_ranks_ds=None):
+    """Edges with mobile start/end node ids (= 1 + rank of the node's
+    deterministic id in global sorted order) attached DISTRIBUTEDLY via
+    two Arrow-native lookup_joins — no O(nodes) driver dict (the
+    reference keeps this mapping in a process-wide IDGenerator dict,
+    ref :1152-1164, :2912-2941). Returns a Dataset with columns
+    (id, __from, __to, length_m, name, type, width_m); the mobile edge
+    id (position in edge-id sorted order) is assigned by the caller —
+    streamed (single file) or via id_ranks (sharded)."""
+    from osmwaterwayextractor_ray.stages.fastagg import joined_schema, lookup_join
+
+    ranks = node_ranks_ds if node_ranks_ds is not None else node_ranks(nodes_ds).materialize()
+
+    def side(id_col: str, out_col: str):
+        return ranks.map_batches(
+            lambda t, ic=id_col, oc=out_col: pa.table({ic: t["id"], oc: t["rank"]}),
+            batch_format="pyarrow",
+        )
+
+    left = edges_ds.map_batches(
+        lambda t: t.select(_MOBILE_EDGE_COLS), batch_format="pyarrow"
+    )
+    j1 = lookup_join(left, side("from_node_id", "__from"), "from_node_id",
+                     "from_node_id", {"__from": "__from"})
+    j1_schema = joined_schema(left, side("from_node_id", "__from"), {"__from": "__from"})
+    return lookup_join(
+        j1, side("to_node_id", "__to"), "to_node_id", "to_node_id",
+        {"__to": "__to"}, left_schema=j1_schema,
+    )
+
+
+def _mobile_edge_table(batch: pa.Table, ids: np.ndarray) -> pa.Table:
+    """Mobile edge rows (ref :2912-2941 column layout) from a renumbered
+    batch: sequential edge ids + 1-based node indices, all vectorized."""
+    f = batch.column("__from").to_numpy(zero_copy_only=False) + 1
+    t = batch.column("__to").to_numpy(zero_copy_only=False) + 1
     return pa.table(
         {
-            "id": pa.array(range(base + 1, base + 1 + len(froms)), type=pa.int64()),
-            "from_node_id": pa.array([idx[x] + 1 for x in froms], type=pa.int64()),
-            "to_node_id": pa.array([idx[x] + 1 for x in tos], type=pa.int64()),
+            "id": pa.array(ids, type=pa.int64()),
+            "from_node_id": pa.array(f, type=pa.int64()),
+            "to_node_id": pa.array(t, type=pa.int64()),
             "length_m": batch["length_m"],
             "name": batch["name"],
             "type": batch["type"],
@@ -416,36 +456,42 @@ def to_mobile(nodes_ds, edges_ds):
     node's deterministic id in sorted order; mobile edge id likewise."""
     import pandas as pd
 
-    sorted_nodes, idx = _node_index_stream(nodes_ds)
-    ndf = sorted_nodes.to_pandas()
+    ndf = node_ranks(nodes_ds).materialize().sort("rank").to_pandas()
     mobile_nodes = pd.DataFrame(
         {"id": np.arange(1, len(ndf) + 1), "lat": ndf["lat"], "lon": ndf["lon"]}
     )
-    blocks = []
-    base = 0
-    for batch in edges_ds.sort("id").iter_batches(batch_size=8192, batch_format="pyarrow"):
-        blocks.append(_renumber_batch(batch, base, idx).to_pandas())
-        base += batch.num_rows
-    mobile_edges = (
-        pd.concat(blocks, ignore_index=True) if blocks else pd.DataFrame(
-            columns=["id", "from_node_id", "to_node_id", "length_m", "name", "type", "width_m"]
-        )
+    edf = mobile_edges_renumbered(nodes_ds, edges_ds).sort("id").to_pandas()
+    mobile_edges = pd.DataFrame(
+        {
+            "id": np.arange(1, len(edf) + 1, dtype=np.int64),
+            "from_node_id": edf["__from"].to_numpy(dtype=np.int64) + 1,
+            "to_node_id": edf["__to"].to_numpy(dtype=np.int64) + 1,
+            "length_m": edf["length_m"],
+            "name": edf["name"],
+            "type": edf["type"],
+            "width_m": edf["width_m"],
+        }
     )
     return mobile_nodes, mobile_edges
 
 
-def save_mobile_csv(nodes_ds, edges_ds, base: str) -> dict:
-    """Mobile CSVs with each renumbered block streamed straight into the
-    gzip writer — driver memory is bounded by one batch regardless of
-    graph size (no pd.concat of the full edge set)."""
+def save_mobile_csv(nodes_ds, edges_ds, base: str, shards: int | None = None) -> dict:
+    """Mobile CSVs, renumbered DISTRIBUTEDLY (mobile_edges_renumbered —
+    no O(nodes) driver dict, no per-row Python loops). Default: one gzip
+    CSV per table, each renumbered block streamed straight into the
+    writer (driver memory bounded by one batch). ``shards=N``: the edges
+    become a directory of N part files written in parallel, each holding
+    the edges whose id-hash maps to that shard with their GLOBAL mobile
+    ids (id_ranks over edge ids) — per-part contents deterministic and
+    partitioning-independent, resumable per part."""
     import pandas as pd
 
-    sorted_nodes, idx = _node_index_stream(nodes_ds)
-    nf, ef = f"{base}.mobile.nodes.csv.gz", f"{base}.mobile.edges.csv.gz"
+    ranks = node_ranks(nodes_ds).materialize()
+    nf = f"{base}.mobile.nodes.csv.gz"
     with gzip.open(nf, "wt", encoding="utf-8", newline="") as f:
         first = True
         base_i = 0
-        for b in sorted_nodes.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for b in ranks.sort("rank").iter_batches(batch_size=65536, batch_format="pyarrow"):
             pd.DataFrame(
                 {
                     "id": np.arange(base_i + 1, base_i + 1 + b.num_rows),
@@ -455,14 +501,82 @@ def save_mobile_csv(nodes_ds, edges_ds, base: str) -> dict:
             ).to_csv(f, index=False, header=first)
             first = False
             base_i += b.num_rows
-    with gzip.open(ef, "wt", encoding="utf-8", newline="") as f:
+
+    renumbered = mobile_edges_renumbered(nodes_ds, edges_ds, node_ranks_ds=ranks)
+
+    if shards is None:
+        ef = f"{base}.mobile.edges.csv.gz"
+        with gzip.open(ef, "wt", encoding="utf-8", newline="") as f:
+            first = True
+            base_i = 0
+            for b in renumbered.sort("id").iter_batches(batch_size=8192, batch_format="pyarrow"):
+                ids = np.arange(base_i + 1, base_i + 1 + b.num_rows, dtype=np.int64)
+                _mobile_edge_table(b, ids).to_pandas().to_csv(f, index=False, header=first)
+                first = False
+                base_i += b.num_rows
+        return {"nodes": nf, "edges": ef}
+
+    # sharded path: global mobile edge ids from id_ranks (edge ids are
+    # 'e'+base62, same contiguous-range trick), parts written in parallel.
+    # Pin the renumber chain first: id_ranks runs a counting pass AND the
+    # ranking pass over its input (CLAUDE.md lazy-shuffle rule).
+    renumbered = renumbered.materialize()
+    with_rank = id_ranks(
+        renumbered, keep=["__from", "__to", "length_m", "name", "type", "width_m"]
+    )
+    parts_dir = f"{base}.mobile.edges.parts"
+    os.makedirs(parts_dir, exist_ok=True)
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        sh = int(g.column("__shard")[0].as_py())
+        g = g.sort_by("rank")
+        ids = g.column("rank").to_numpy(zero_copy_only=False) + 1
+        part = os.path.join(parts_dir, f"part-{sh:05d}.csv.gz")
+        with gzip.open(part, "wt", encoding="utf-8", newline="") as f:
+            _mobile_edge_table(g, ids).to_pandas().to_csv(f, index=False, header=True)
+        return pa.table(
+            {"path": pa.array([part]), "rows": pa.array([g.num_rows], type=pa.int64())}
+        )
+
+    written = (
+        with_rank.map_batches(lambda t: _shard_column(t, shards), batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()  # O(shards) rows
+    )
+    have = {os.path.basename(p) for p in written["path"]} if len(written) else set()
+    for sh in range(shards):
+        name = f"part-{sh:05d}.csv.gz"
+        if name not in have:
+            with gzip.open(os.path.join(parts_dir, name), "wt", encoding="utf-8", newline="") as f:
+                pd.DataFrame(columns=_MOBILE_EDGE_COLS).to_csv(f, index=False, header=True)
+    return {"nodes": nf, "edges": parts_dir}
+
+
+def save_id_mapping(nodes_ds, edges_ds, path: str) -> str:
+    """Deterministic-id -> mobile sequential id mapping JSON (ref
+    IDGenerator.mobile_id_mapping :1088,:1152-1164, saved at :2777-2780:
+    {'nodes': {det_id: seq}, 'edges': {det_id: seq}}). Ranks come from
+    the distributed id_ranks pass and are streamed into the JSON writer
+    batch-by-batch in rank order — the file is O(rows) like the
+    reference's, but driver MEMORY stays bounded by one batch."""
+
+    def write_section(f, ranked):
         first = True
-        base_i = 0
-        for b in edges_ds.sort("id").iter_batches(batch_size=8192, batch_format="pyarrow"):
-            _renumber_batch(b, base_i, idx).to_pandas().to_csv(f, index=False, header=first)
-            first = False
-            base_i += b.num_rows
-    return {"nodes": nf, "edges": ef}
+        for b in ranked.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            ids = b.column("id").to_pylist()
+            rks = b.column("rank").to_numpy(zero_copy_only=False)
+            for i, r in zip(ids, rks):
+                f.write(("" if first else ",") + json.dumps(i) + f":{int(r) + 1}")
+                first = False
+
+    with open(path, "w") as f:
+        f.write('{"nodes":{')
+        write_section(f, id_ranks(nodes_ds, keep=[]).materialize().sort("rank"))
+        f.write('},"edges":{')
+        write_section(f, id_ranks(edges_ds, keep=[]).materialize().sort("rank"))
+        f.write("}}")
+    return path
 
 
 def save_qa(qa_metrics: dict, path: str) -> str:
@@ -471,14 +585,47 @@ def save_qa(qa_metrics: dict, path: str) -> str:
     return path
 
 
+def _file_sha256(path: str) -> str:
+    """SHA-256 of a file's bytes (ref _calculate_file_hash :3024-3035:
+    '' for missing paths or directories). For a DIRECTORY of parquet
+    parts, hashes the sorted (name, per-file sha256) list so the
+    fingerprint still pins the input contents."""
+    if not os.path.exists(path):
+        return ""
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if not f.startswith(".")
+        )
+        if not parts:
+            return ""
+        for name in parts:
+            sub = _file_sha256(os.path.join(path, name))
+            h.update(f"{name}:{sub};".encode())
+        return h.hexdigest()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def generate_manifest(
     input_desc: str, config: Config, qa_metrics: dict, outputs: dict
 ) -> dict:
     """Reproducibility manifest mirroring ManifestGenerator (ref
-    :2966-3035): input fingerprint + result-parameter hash + outputs."""
+    :2966-3035): input CONTENT fingerprint (sha-256 of the input bytes,
+    ref :2974-2983 — two runs on different inputs can never produce
+    identical manifests) + result-parameter hash + outputs."""
     cfg_blob = json.dumps(config.result_params(), sort_keys=True)
+    is_path = os.path.exists(input_desc)
     return {
-        "input": input_desc,
+        "input": {
+            "file_path": input_desc,
+            "file_size_bytes": (
+                os.path.getsize(input_desc) if is_path and os.path.isfile(input_desc) else 0
+            ),
+            "sha256_hash": _file_sha256(input_desc) if is_path else "",
+        },
         "config_hash": hashlib.sha256(cfg_blob.encode()).hexdigest(),
         "config": config.result_params(),
         "qa_summary": qa_metrics,

@@ -106,6 +106,100 @@ def test_qa_and_manifest(graph, tmp_path):
     )["config_hash"]
 
 
+def test_manifest_input_content_hash(tmp_path):
+    """The manifest embeds a sha-256 of the INPUT BYTES (ref :2974-2983,
+    :3024-3035): two runs on different inputs can never produce
+    identical-looking manifests."""
+    cfg = Config()
+    a, b = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    a.write_bytes(b"payload-one")
+    b.write_bytes(b"payload-two")
+    ma = sinks.generate_manifest(str(a), cfg, {}, {})
+    mb = sinks.generate_manifest(str(b), cfg, {}, {})
+    assert ma["input"]["sha256_hash"] and mb["input"]["sha256_hash"]
+    assert ma["input"]["sha256_hash"] != mb["input"]["sha256_hash"]
+    assert ma["input"]["file_size_bytes"] == len(b"payload-one")
+    # same bytes -> same hash (path-independent fingerprint of contents)
+    c = tmp_path / "c.parquet"
+    c.write_bytes(b"payload-one")
+    assert sinks.generate_manifest(str(c), cfg, {}, {})["input"]["sha256_hash"] == (
+        ma["input"]["sha256_hash"]
+    )
+    # directory inputs fingerprint the per-part contents
+    d1, d2 = tmp_path / "d1", tmp_path / "d2"
+    for d, payload in ((d1, b"x"), (d2, b"y")):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(payload)
+    h1 = sinks.generate_manifest(str(d1), cfg, {}, {})["input"]["sha256_hash"]
+    h2 = sinks.generate_manifest(str(d2), cfg, {}, {})["input"]["sha256_hash"]
+    assert h1 and h2 and h1 != h2
+    # non-path input descriptor (e.g. 'test'): empty hash, no crash
+    assert sinks.generate_manifest("synth16", cfg, {}, {})["input"]["sha256_hash"] == ""
+
+
+def test_mobile_sharded_parts_match_single_file(graph, tmp_path):
+    """shards=N mobile edges: concatenated parts hold exactly the
+    single-file rows (same global mobile ids), deterministically."""
+    nodes, edges = graph
+    single = sinks.save_mobile_csv(nodes, edges, str(tmp_path / "s"))
+    sharded = sinks.save_mobile_csv(nodes, edges, str(tmp_path / "p"), shards=3)
+    edf1 = pd.read_csv(single["edges"]).sort_values("id").reset_index(drop=True)
+    parts = sorted(os.listdir(sharded["edges"]))
+    assert len(parts) == 3
+    edf2 = (
+        pd.concat([pd.read_csv(os.path.join(sharded["edges"], f)) for f in parts])
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for c in ("name", "type"):
+        edf1[c] = edf1[c].fillna("")
+        edf2[c] = edf2[c].fillna("")
+    pd.testing.assert_frame_equal(edf1, edf2, check_dtype=False)
+
+
+def test_id_mapping(graph, tmp_path):
+    """id_mapping.json: det-id -> mobile sequential id for nodes and
+    edges, matching the to_mobile ordering contract (sorted det ids)."""
+    nodes, edges = graph
+    p = sinks.save_id_mapping(nodes, edges, str(tmp_path / "idmap.json"))
+    m = json.load(open(p))
+    node_ids = sorted(nodes.to_pandas()["id"])
+    edge_ids = sorted(edges.to_pandas()["id"])
+    assert m["nodes"] == {i: r + 1 for r, i in enumerate(node_ids)}
+    assert m["edges"] == {i: r + 1 for r, i in enumerate(edge_ids)}
+
+
+def test_cli_server_formats(tmp_path):
+    """The CLI writes exactly the sinks configured via server_formats /
+    generate_mobile_csv / generate_id_mapping (ref OutputManager
+    :2747-2782)."""
+    import yaml
+
+    from osmwaterwayextractor_ray.__main__ import main
+
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text(
+        yaml.safe_dump(
+            {
+                "output": {
+                    "server_formats": ["geojson"],
+                    "generate_mobile_csv": True,
+                    "generate_id_mapping": True,
+                },
+                "processing": {"min_fragment_length_m": 0.0},
+            }
+        )
+    )
+    out = tmp_path / "out"
+    assert main(["test", "-c", str(cfgp), "-o", str(out)]) == 0
+    assert (out / "edges.geojson").exists()
+    assert (out / "graph.mobile.nodes.csv.gz").exists()
+    assert (out / "id_mapping.json").exists()
+    assert not (out / "parquet").exists()
+    assert not (out / "csv").exists()
+    assert not (out / "graph.nodes.json.gz").exists()
+
+
 def test_checkpoint_resume(ray_session, tmp_path):
     from osmwaterwayextractor_ray.stages.checkpoint import checkpoint_path, checkpointed
 
