@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from typing import Any
 
 from osmwaterwayextractor_ray.config import Config
-from osmwaterwayextractor_ray.stages.clean import clean_waterways, simplify_waterways
+from osmwaterwayextractor_ray.stages.clean import clean_and_simplify_waterways
 from osmwaterwayextractor_ray.stages.edges import create_edges
 from osmwaterwayextractor_ray.stages.intersect import detect_and_split
 from osmwaterwayextractor_ray.stages.nodes import build_nodes
@@ -66,9 +66,8 @@ def build_graph(
         waterways_ds = waterways_ds.repartition(4 * pool_max())
 
     def _intersections():
-        cleaned = clean_waterways(waterways_ds, config)
-        simplified = simplify_waterways(cleaned, config)
-        return detect_and_split(simplified, config)
+        prepared = clean_and_simplify_waterways(waterways_ds, config)
+        return detect_and_split(prepared, config)
 
     # the post-intersection waterways feed both the counting shuffle and the
     # edge assembly — checkpoint (param-hashed parquet) or materialize once

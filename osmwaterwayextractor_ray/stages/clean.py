@@ -77,18 +77,44 @@ def make_clean_fn(config: Config):
     return clean
 
 
+def _simplify_mask(lats, lons, offsets, tol_deg: float) -> np.ndarray:
+    """DP keep-mask over all vertices of a batch. The 3-vertex case — the
+    overwhelmingly common one for short ways — is fully vectorized across
+    rows (one DP level: keep the middle vertex iff its clamped distance to
+    the (first, last) segment exceeds tol; exactly what simplify_dp computes
+    for n=3). Longer rows fall back to the recursive per-row kernel."""
+    keep = np.ones(len(lats), dtype=bool)
+    n_verts = np.diff(offsets)
+    tol_sq = tol_deg * tol_deg
+
+    idx3 = np.flatnonzero(n_verts == 3)
+    if len(idx3):
+        s = offsets[idx3]
+        ax, ay = lons[s], lats[s]
+        mx, my = lons[s + 1], lats[s + 1]
+        bx, by = lons[s + 2], lats[s + 2]
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        safe = np.where(L2 == 0.0, 1.0, L2)
+        t = np.clip(((mx - ax) * dx + (my - ay) * dy) / safe, 0.0, 1.0)
+        t = np.where(L2 == 0.0, 0.0, t)
+        ex = mx - (ax + t * dx)
+        ey = my - (ay + t * dy)
+        keep[s + 1] = (ex * ex + ey * ey) > tol_sq
+
+    for i in np.flatnonzero(n_verts >= 4).tolist():
+        s, e = offsets[i], offsets[i + 1]
+        keep[s:e] = simplify_dp(lats[s:e], lons[s:e], tol_deg)
+    return keep
+
+
 def make_simplify_fn(config: Config):
     tol_deg = config.simplification_tolerance_m * 1e-5  # ref :1725-1727 verbatim
 
     def simplify(batch: pa.Table) -> pa.Table:
         lats, offsets = list_column(batch, "lats")
         lons, _ = list_column(batch, "lons")
-        keep = np.ones(len(lats), dtype=bool)
-        for i in range(len(offsets) - 1):
-            s, e = offsets[i], offsets[i + 1]
-            if e - s < 2:
-                continue
-            keep[s:e] = simplify_dp(lats[s:e], lons[s:e], tol_deg)
+        keep = _simplify_mask(lats, lons, offsets, tol_deg)
         return _rebuild(batch, keep, offsets, lats, lons)
 
     return simplify
@@ -102,3 +128,18 @@ def simplify_waterways(ds, config: Config):
     if not config.enable_geometry_simplification:
         return ds
     return ds.map_batches(make_simplify_fn(config), batch_format="pyarrow", batch_size=config.batch_size)
+
+
+def clean_and_simplify_waterways(ds, config: Config):
+    """Fused round+dedup+DP stage: one map_batches, one intermediate table
+    instead of two stage boundaries (same per-batch functions composed, so
+    outputs are identical to clean_waterways |> simplify_waterways)."""
+    if not config.enable_geometry_simplification:
+        return clean_waterways(ds, config)
+    cfn = make_clean_fn(config)
+    sfn = make_simplify_fn(config)
+
+    def both(batch: pa.Table) -> pa.Table:
+        return sfn(cfn(batch))
+
+    return ds.map_batches(both, batch_format="pyarrow", batch_size=config.batch_size)

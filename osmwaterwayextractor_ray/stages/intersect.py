@@ -29,7 +29,7 @@ Ray mapping — a two-phase cell-partitioned spatial self-join (PBSM):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import ray
 
@@ -111,110 +111,158 @@ def emit_segments(ds, config: Config):
     return ds.map_batches(emit, batch_format="pyarrow", batch_size=config.batch_size)
 
 
-def make_cell_intersect_fn(config: Config):
+def _task_intersect(
+    task: int,
+    cell: int,
+    sgrp: np.ndarray,
+    way: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    bx: np.ndarray,
+    by: np.ndarray,
+    cell_deg: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairwise intersection kernel for ONE spatial task (= one cell, or one
+    salted sub-task of a hot cell). Inputs must already be sorted by the
+    total within-task key (way, ax, ay, bx, by, sgrp) — the i<j pairing
+    assigns which segment is "p" vs "s" in the intersection formula and the
+    two role assignments round differently, so the sort pins the low bits
+    against block-arrival order. Returns (lat, lon) of the task's owned,
+    deduped intersection points."""
+    from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+
+    n = len(way)
+    out_lat: list[float] = []
+    out_lon: list[float] = []
+    if n >= 2:
+        # all pairs (i<j) of segments with different way ids whose bboxes
+        # overlap — row-blocked so a hot cell never materializes an n²
+        # matrix (memory bound: BLOCK x n booleans)
+        minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
+        miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
+        BLOCK = 2048
+        ii_parts, jj_parts = [], []
+        for s in range(0, n, BLOCK):
+            e = min(n, s + BLOCK)
+            ov = (
+                (minx[s:e, None] <= maxx[None, :])
+                & (maxx[s:e, None] >= minx[None, :])
+                & (miny[s:e, None] <= maxy[None, :])
+                & (maxy[s:e, None] >= miny[None, :])
+                & (way[s:e, None] != way[None, :])
+            )
+            bi, bj = np.nonzero(ov)
+            bi = bi + s
+            keep = bi < bj
+            bi, bj = bi[keep], bj[keep]
+            sm = pair_mask_for_task(task, sgrp[bi], sgrp[bj])
+            if sm is not None:  # salted cross task: different sub-groups only
+                bi, bj = bi[sm], bj[sm]
+            ii_parts.append(bi)
+            jj_parts.append(bj)
+        ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
+        jj = np.concatenate(jj_parts) if jj_parts else np.array([], dtype=np.int64)
+        if len(ii):
+            p0x, p0y = ax[ii], ay[ii]
+            r_x, r_y = bx[ii] - p0x, by[ii] - p0y
+            q0x, q0y = ax[jj], ay[jj]
+            s_x, s_y = bx[jj] - q0x, by[jj] - q0y
+            denom = r_x * s_y - r_y * s_x
+            qp_x, qp_y = q0x - p0x, q0y - p0y
+            nonpar = denom != 0.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = np.where(nonpar, (qp_x * s_y - qp_y * s_x) / denom, -1.0)
+                u = np.where(nonpar, (qp_x * r_y - qp_y * r_x) / denom, -1.0)
+            hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            px = (p0x[hit] + t[hit] * r_x[hit]).tolist()
+            py = (p0y[hit] + t[hit] * r_y[hit]).tolist()
+            # collinear touch points (see functions/geometry.py)
+            collin = (~nonpar) & (qp_x * r_y - qp_y * r_x == 0.0)
+            if collin.any():
+                ci = np.nonzero(collin)[0]
+                rl2 = r_x[ci] ** 2 + r_y[ci] ** 2
+                safe = np.where(rl2 == 0.0, 1.0, rl2)
+                t0 = (qp_x[ci] * r_x[ci] + qp_y[ci] * r_y[ci]) / safe
+                t1 = ((qp_x[ci] + s_x[ci]) * r_x[ci] + (qp_y[ci] + s_y[ci]) * r_y[ci]) / safe
+                lo_ = np.maximum(0.0, np.minimum(t0, t1))
+                hi_ = np.minimum(1.0, np.maximum(t0, t1))
+                touch = (lo_ == hi_) & (rl2 > 0.0)
+                ti = ci[touch]  # indices into the PAIR arrays (p0*, r_*)
+                px.extend((p0x[ti] + lo_[touch] * r_x[ti]).tolist())
+                py.extend((p0y[ti] + lo_[touch] * r_y[ti]).tolist())
+            out_lon, out_lat = px, py
+    empty = np.array([], dtype=np.float64)
+    if not out_lat:
+        return empty, empty
+    plat = np.asarray(out_lat)
+    plon = np.asarray(out_lon)
+    own = cell_id(plat, plon, cell_deg) == cell  # PBSM ownership dedupe
+    plat, plon = plat[own], plon[own]
+    # exact-dup dedupe within the cell (same point from touching segment pairs)
+    if len(plat):
+        uniq = {}
+        for la_, lo2 in zip(plat.tolist(), plon.tolist()):
+            uniq[(la_, lo2)] = None
+        plat = np.array([k[0] for k in uniq], dtype=np.float64)
+        plon = np.array([k[1] for k in uniq], dtype=np.float64)
+    return plat, plon
+
+
+def make_bucket_intersect_fn(config: Config):
+    """Kernel for ONE coarse hash bucket holding many spatial tasks: one
+    global lexsort (task primary, then the within-task total key), then the
+    per-task pairwise kernel over each contiguous run. Replaces the old
+    per-task ``groupby("task")`` — Ray's fine-grained groupby paid a sort
+    over every distinct cell plus a Python finalize per group (~130 µs x
+    tens of thousands of cells), the same bottleneck ``fastagg`` documents;
+    P coarse buckets keep the shuffle key cardinality tiny while the task
+    runs are resolved with numpy inside the bucket. Results are identical:
+    each task's computation is independent and its input order is pinned by
+    the same total key."""
     cell_deg = config.intersect_cell_deg
 
-    def cell_intersect(group: pd.DataFrame) -> pd.DataFrame:
-        from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+    def bucket_intersect(g: pa.Table) -> pa.Table:
+        task = g.column("task").to_numpy(zero_copy_only=False)
+        cell = g.column("cell").to_numpy(zero_copy_only=False)
+        sgrp = g.column("sgrp").to_numpy(zero_copy_only=False)
+        way = g.column("way_id").to_numpy(zero_copy_only=False)
+        ax = g.column("lon1").to_numpy(zero_copy_only=False)
+        ay = g.column("lat1").to_numpy(zero_copy_only=False)
+        bx = g.column("lon2").to_numpy(zero_copy_only=False)
+        by = g.column("lat2").to_numpy(zero_copy_only=False)
+        o = np.lexsort((sgrp, by, bx, ay, ax, way, task))
+        task, cell, sgrp = task[o], cell[o], sgrp[o]
+        way, ax, ay, bx, by = way[o], ax[o], ay[o], bx[o], by[o]
+        n = len(task)
+        starts = np.flatnonzero(np.concatenate(([True], task[1:] != task[:-1])))
+        ends = np.append(starts[1:], n)
+        lat_parts, lon_parts = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            plat, plon = _task_intersect(
+                int(task[s]), int(cell[s]),
+                sgrp[s:e], way[s:e], ax[s:e], ay[s:e], bx[s:e], by[s:e],
+                cell_deg,
+            )
+            if len(plat):
+                lat_parts.append(plat)
+                lon_parts.append(plon)
+        out_lat = np.concatenate(lat_parts) if lat_parts else np.array([], dtype=np.float64)
+        out_lon = np.concatenate(lon_parts) if lon_parts else np.array([], dtype=np.float64)
+        return pa.table(
+            {
+                "lat": pa.array(out_lat, type=pa.float64()),
+                "lon": pa.array(out_lon, type=pa.float64()),
+            }
+        )
 
-        task = int(group["task"].iloc[0])
-        cell = int(group["cell"].iloc[0])
-        sgrp = group["sgrp"].to_numpy()
-        way = group["way_id"].to_numpy()
-        ax = group["lon1"].to_numpy()
-        ay = group["lat1"].to_numpy()
-        bx = group["lon2"].to_numpy()
-        by = group["lat2"].to_numpy()
-        # Sort the group's segments by a total deterministic key: the i<j
-        # pairing below assigns which segment is "p" vs "s" in the
-        # intersection formula, and the two role assignments round
-        # differently — without this sort the low bits of a point's
-        # coordinates would depend on block arrival order (results varied
-        # with num_cpus, observed at sf0.01).
-        o = np.lexsort((sgrp, by, bx, ay, ax, way))
-        sgrp, way, ax, ay, bx, by = sgrp[o], way[o], ax[o], ay[o], bx[o], by[o]
-        n = len(way)
-        out_lat: list[float] = []
-        out_lon: list[float] = []
-        if n >= 2:
-            # all pairs (i<j) of segments with different way ids whose bboxes
-            # overlap — row-blocked so a hot cell never materializes an n²
-            # matrix (memory bound: BLOCK x n booleans)
-            minx, maxx = np.minimum(ax, bx), np.maximum(ax, bx)
-            miny, maxy = np.minimum(ay, by), np.maximum(ay, by)
-            BLOCK = 2048
-            ii_parts, jj_parts = [], []
-            for s in range(0, n, BLOCK):
-                e = min(n, s + BLOCK)
-                ov = (
-                    (minx[s:e, None] <= maxx[None, :])
-                    & (maxx[s:e, None] >= minx[None, :])
-                    & (miny[s:e, None] <= maxy[None, :])
-                    & (maxy[s:e, None] >= miny[None, :])
-                    & (way[s:e, None] != way[None, :])
-                )
-                bi, bj = np.nonzero(ov)
-                bi = bi + s
-                keep = bi < bj
-                bi, bj = bi[keep], bj[keep]
-                sm = pair_mask_for_task(task, sgrp[bi], sgrp[bj])
-                if sm is not None:  # salted cross task: different sub-groups only
-                    bi, bj = bi[sm], bj[sm]
-                ii_parts.append(bi)
-                jj_parts.append(bj)
-            ii = np.concatenate(ii_parts) if ii_parts else np.array([], dtype=np.int64)
-            jj = np.concatenate(jj_parts) if jj_parts else np.array([], dtype=np.int64)
-            if len(ii):
-                p0x, p0y = ax[ii], ay[ii]
-                r_x, r_y = bx[ii] - p0x, by[ii] - p0y
-                q0x, q0y = ax[jj], ay[jj]
-                s_x, s_y = bx[jj] - q0x, by[jj] - q0y
-                denom = r_x * s_y - r_y * s_x
-                qp_x, qp_y = q0x - p0x, q0y - p0y
-                nonpar = denom != 0.0
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    t = np.where(nonpar, (qp_x * s_y - qp_y * s_x) / denom, -1.0)
-                    u = np.where(nonpar, (qp_x * r_y - qp_y * r_x) / denom, -1.0)
-                hit = nonpar & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-                px = (p0x[hit] + t[hit] * r_x[hit]).tolist()
-                py = (p0y[hit] + t[hit] * r_y[hit]).tolist()
-                # collinear touch points (see functions/geometry.py)
-                collin = (~nonpar) & (qp_x * r_y - qp_y * r_x == 0.0)
-                if collin.any():
-                    ci = np.nonzero(collin)[0]
-                    rl2 = r_x[ci] ** 2 + r_y[ci] ** 2
-                    safe = np.where(rl2 == 0.0, 1.0, rl2)
-                    t0 = (qp_x[ci] * r_x[ci] + qp_y[ci] * r_y[ci]) / safe
-                    t1 = ((qp_x[ci] + s_x[ci]) * r_x[ci] + (qp_y[ci] + s_y[ci]) * r_y[ci]) / safe
-                    lo_ = np.maximum(0.0, np.minimum(t0, t1))
-                    hi_ = np.minimum(1.0, np.maximum(t0, t1))
-                    touch = (lo_ == hi_) & (rl2 > 0.0)
-                    ti = ci[touch]  # indices into the PAIR arrays (p0*, r_*)
-                    px.extend((p0x[ti] + lo_[touch] * r_x[ti]).tolist())
-                    py.extend((p0y[ti] + lo_[touch] * r_y[ti]).tolist())
-                out_lon, out_lat = px, py
-        if not out_lat:
-            return pd.DataFrame({"lat": np.array([], dtype=np.float64), "lon": np.array([], dtype=np.float64)})
-        plat = np.asarray(out_lat)
-        plon = np.asarray(out_lon)
-        own = cell_id(plat, plon, cell_deg) == cell  # PBSM ownership dedupe
-        plat, plon = plat[own], plon[own]
-        # exact-dup dedupe within the cell (same point from touching segment pairs)
-        if len(plat):
-            uniq = {}
-            for la_, lo2 in zip(plat.tolist(), plon.tolist()):
-                uniq[(la_, lo2)] = None
-            plat = np.array([k[0] for k in uniq], dtype=np.float64)
-            plon = np.array([k[1] for k in uniq], dtype=np.float64)
-        return pd.DataFrame({"lat": plat, "lon": plon})
-
-    return cell_intersect
+    return bucket_intersect
 
 
 def detect_intersections(ds, config: Config):
     """waterways -> Dataset(lat, lon) of distinct intersection points.
     Hot cells (> hot_cell_row_limit segments) are salted into triangle
-    sub-tasks (stages/salt.py) before the pairwise kernel."""
+    sub-tasks (stages/salt.py), tasks land in P coarse hash buckets, and
+    each bucket runs the vectorized per-task pairwise kernel."""
     from osmwaterwayextractor_ray.stages.salt import apply_salt, compute_hot_cells
 
     from osmwaterwayextractor_ray.stages._prof import prof_mark
@@ -227,8 +275,18 @@ def detect_intersections(ds, config: Config):
     )
     prof_mark("hot-cell count pass")
     salted = apply_salt(segs, "cell", "way_id", hot)
-    return salted.groupby("task").map_groups(
-        make_cell_intersect_fn(config), batch_format="pandas"
+    num_parts = 4 * pool_max()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # multiplicative hash: task = cell*1024 + salt-pair, so a plain
+        # modulo would bucket by the salt bits alone (spatially correlated)
+        t = batch.column("task").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((t * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(num_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    tagged = salted.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("__part").map_groups(
+        make_bucket_intersect_fn(config), batch_format="pyarrow"
     )
 
 

@@ -139,3 +139,29 @@ def test_points_in_polygon_with_hole():
     res = points_in_polygon(lats, lons, [outer, hole])
     # inside outer, inside hole (=outside polygon), inside outer, outside
     assert res.tolist() == [True, False, True, False]
+
+
+def test_simplify_mask_matches_per_row_dp():
+    """The batched keep-mask (vectorized n==3 fast path + recursive
+    fallback) must equal per-row simplify_dp for every row shape."""
+    from osmwaterwayextractor_ray.stages.clean import _simplify_mask
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for n in [1, 2, 3, 3, 3, 4, 5, 9, 17]:
+        rows.append((rng.uniform(-1, 1, n), rng.uniform(-1, 1, n)))
+    # degenerate 3-point rows: collinear, duplicate endpoints, zero-length
+    rows.append((np.array([0.0, 0.5, 1.0]), np.array([0.0, 0.5, 1.0])))
+    rows.append((np.array([0.0, 5.0, 0.0]), np.array([0.0, 5.0, 0.0])))
+    rows.append((np.array([1.0, 1.0, 1.0]), np.array([2.0, 2.0, 2.0])))
+    lats = np.concatenate([r[0] for r in rows])
+    lons = np.concatenate([r[1] for r in rows])
+    offsets = np.concatenate(([0], np.cumsum([len(r[0]) for r in rows])))
+    for tol in [1e-9, 1e-3, 0.3, 10.0]:
+        got = _simplify_mask(lats, lons, offsets, tol)
+        want = np.ones(len(lats), dtype=bool)
+        for i in range(len(offsets) - 1):
+            s, e = offsets[i], offsets[i + 1]
+            if e - s >= 2:
+                want[s:e] = simplify_dp(lats[s:e], lons[s:e], tol)
+        assert np.array_equal(got, want), f"tol={tol}"
