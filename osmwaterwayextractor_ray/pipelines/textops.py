@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from osmwaterwayextractor_ray.stages.pin import pin
 from osmwaterwayextractor_ray.functions.hashing import text_hash64
 from osmwaterwayextractor_ray.stages._pool import pool_max
 from osmwaterwayextractor_ray.functions.text import (
@@ -263,10 +264,10 @@ def minhash_neardup(sf_dir: str, threshold: float = 0.6, skew_threshold: int | N
 
     from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
 
-    prep = (
+    prep = pin(
         _corpus_with_planted_dups(sf_dir)
-        .map_batches(_minhash_prep, batch_format="pyarrow", batch_size=1024)
-        .materialize()
+        .map_batches(_minhash_prep, batch_format="pyarrow", batch_size=1024),
+        "minhash_prep",
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
@@ -472,7 +473,7 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
         pair_counts,
     )
 
-    corpus = _corpus_with_planted_dups(sf_dir).materialize()
+    corpus = pin(_corpus_with_planted_dups(sf_dir), "simhash_corpus")
 
     def fingerprint(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
@@ -484,9 +485,11 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
             }
         )
 
-    prints = corpus.map_batches(
-        fingerprint, batch_format="pyarrow", batch_size=1024
-    ).materialize()  # feeds the band stage AND both verify join sides
+    # feeds the band stage AND both verify join sides
+    prints = pin(
+        corpus.map_batches(fingerprint, batch_format="pyarrow", batch_size=1024),
+        "simhash_prints",
+    )
 
     def blocks(batch: pa.Table) -> pa.Table:
         h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
@@ -845,7 +848,9 @@ def curate_corpus(
         return out.filter(pa.array(keep))
 
     # pinned: feeds the dedup chain AND the final metadata join side
-    filtered = ds.map_batches(filt, batch_format="pyarrow", batch_size=4096).materialize()
+    filtered = pin(
+        ds.map_batches(filt, batch_format="pyarrow", batch_size=4096), "curate_filtered"
+    )
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
@@ -862,7 +867,8 @@ def curate_corpus(
         filtered.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
         ["h"],
         {"doc_id": ("doc_id", "min"), "text": ("text", "min")},
-    ).select_columns(["doc_id", "text"]).materialize()  # feeds pairs AND the survivor join
+    ).select_columns(["doc_id", "text"])
+    deduped = pin(deduped, "curate_deduped")  # feeds pairs AND the survivor join
 
     pairs = _ngram_jaccard_pairs(deduped, threshold)
 
@@ -1101,9 +1107,11 @@ def neardup_triangles(sf_dir: str, threshold: float = 0.5):
     from osmwaterwayextractor_ray.stages.fastagg import cogroup, grouped_agg, hash_join
 
     pairs = ngram_jaccard_neardup(sf_dir, threshold)
-    edges = pairs.map_batches(
-        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
-    ).materialize()  # feeds the self-join twice and the closing cogroup
+    # feeds the self-join twice and the closing cogroup
+    edges = pin(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"),
+        "triangle_edges",
+    )
 
     def rename_c(batch: pa.Table) -> pa.Table:
         return pa.table({"id_a": batch["id_a"], "id_c": batch["id_b"]})

@@ -45,6 +45,49 @@ def _bucket(df: pd.DataFrame, keys: list[str], num_parts: int) -> np.ndarray:
     return (h % np.uint64(num_parts)).astype(np.int64)
 
 
+def _bucket_tbl(tbl: pa.Table, keys: list[str], num_parts: int) -> np.ndarray:
+    """Arrow-native twin of ``_bucket``: same hash per value (uint64
+    identity for integer keys, pd.util.hash_array otherwise) without a
+    full-table pandas conversion — only key columns are touched."""
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = tbl.column(k)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:
+            v = pd.util.hash_array(col.to_numpy(zero_copy_only=False)).astype(np.uint64)
+        h = h * np.uint64(1099511628211) + v
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+_ARROW_AGG = {"sum": "sum", "min": "min", "max": "max", "size": "count_all", "count": "count_all"}
+
+
+def _arrow_grouped(tbl: pa.Table, keys: list[str], spec: dict[str, tuple[str, str]]) -> pa.Table:
+    """``tbl.group_by(keys).aggregate`` (C++ hash aggregate — no pandas
+    round-trip) with explicit output names/ordering: keys first, then the
+    spec's out columns. ``spec``: out -> (in_col, op) with op in
+    {sum,min,max,size}; size/count ignores in_col."""
+    import pyarrow.compute as pc
+
+    # pandas groupby (the previous kernel) drops null-keyed rows; keep that
+    # contract so outputs are bit-identical
+    for k in keys:
+        if tbl.column(k).null_count:
+            tbl = tbl.filter(pc.is_valid(tbl[k]))
+    aggs = []
+    for out, (col, op) in spec.items():
+        aggs.append(([] if op in ("size", "count") else col, _ARROW_AGG[op]))
+    g = tbl.group_by(keys, use_threads=False).aggregate(aggs)
+    # output layout: key columns first, then one column per aggs entry in
+    # order (names may collide for duplicate (col, op) pairs — positional
+    # access below is collision-proof)
+    cols = {k: g.column(j) for j, k in enumerate(keys)}
+    for i, out in enumerate(spec):
+        cols[out] = g.column(len(keys) + i)
+    return pa.table(cols)
+
+
 def grouped_agg(
     ds,
     keys: list[str],
@@ -54,43 +97,39 @@ def grouped_agg(
 ):
     """agg_spec: out_col -> (in_col, op), op in {sum,min,max,count}."""
     partial_cols = {out: (col, _PARTIAL_OPS[op]) for out, (col, op) in agg_spec.items()}
-    combine_ops = {out: _COMBINE_OPS[op] for out, (col, op) in agg_spec.items()}
+    combine_spec = {out: (out, _COMBINE_OPS[op]) for out, (col, op) in agg_spec.items()}
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(keys, as_index=False, sort=False).agg(
-            **{out: (col, op) for out, (col, op) in partial_cols.items()}
+        g = _arrow_grouped(batch, keys, partial_cols)
+        return g.append_column(
+            "__part", pa.array(_bucket_tbl(g, keys, num_parts), type=pa.int64())
         )
-        g["__part"] = _bucket(g, keys, num_parts)
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        out = g.groupby(keys, as_index=False, sort=False).agg(
-            **{out_c: (out_c, op) for out_c, op in combine_ops.items()}
-        )
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+    def combine(g: pa.Table) -> pa.Table:
+        return _arrow_grouped(g, keys, combine_spec)
 
-    return partials.groupby("__part").map_groups(combine, batch_format="pandas")
+    return partials.groupby("__part").map_groups(combine, batch_format="pyarrow")
 
 
 def distinct(ds, keys: list[str], num_parts: int = 32, batch_size: int = 65536):
     """Distinct rows over key columns (hash-partition + per-bucket drop_duplicates)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()[keys].drop_duplicates()
-        df["__part"] = _bucket(df, keys, num_parts)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        # Arrow group_by with no aggregates = distinct keys (C++ hash
+        # table; pandas drop_duplicates KEEPS null keys, and so does this)
+        g = batch.select(keys).group_by(keys, use_threads=False).aggregate([])
+        return g.append_column(
+            "__part", pa.array(_bucket_tbl(g, keys, num_parts), type=pa.int64())
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
 
-    def combine(g: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
-            g[keys].drop_duplicates(), preserve_index=False
-        ).replace_schema_metadata(None)
+    def combine(g: pa.Table) -> pa.Table:
+        return g.select(keys).group_by(keys, use_threads=False).aggregate([])
 
-    return partials.groupby("__part").map_groups(combine, batch_format="pandas")
+    return partials.groupby("__part").map_groups(combine, batch_format="pyarrow")
 
 
 def bucketed_pairs(
@@ -113,28 +152,32 @@ def bucketed_pairs(
     (stop-band guard, same semantics as the previous per-group code)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        part = _bucket(batch.select(group_keys).to_pandas(), group_keys, num_parts)
+        part = _bucket_tbl(batch, group_keys, num_parts)
         return batch.append_column("__part", pa.array(part, type=pa.int64()))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
 
-    def kernel(g: pd.DataFrame) -> pa.Table:
+    def kernel(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {out_a: pa.array([], type=pa.int64()), out_b: pa.array([], type=pa.int64())}
         )
-        df = g[group_keys + [id_col]].drop_duplicates()
-        if len(df) < 2:
+        cols = group_keys + [id_col]
+        # distinct rows via the C++ hash aggregate (row order is
+        # irrelevant — the lexsort below imposes a total order)
+        df = g.select(cols).group_by(cols, use_threads=False).aggregate([])
+        if df.num_rows < 2:
             return empty
+        arrs = {c: df.column(c).to_numpy(zero_copy_only=False) for c in cols}
         # np.lexsort: LAST key is primary -> sort by group_keys, then id
-        order = np.lexsort([df[c].to_numpy() for c in [id_col] + group_keys[::-1]])
-        vals = df[id_col].to_numpy()[order]
-        change = np.zeros(len(df), dtype=bool)
+        order = np.lexsort([arrs[c] for c in [id_col] + group_keys[::-1]])
+        vals = arrs[id_col][order]
+        change = np.zeros(df.num_rows, dtype=bool)
         change[0] = True
         for c in group_keys:
-            arr = df[c].to_numpy()[order]
+            arr = arrs[c][order]
             change[1:] |= arr[1:] != arr[:-1]
         starts = np.flatnonzero(change)
-        sizes = np.diff(np.append(starts, len(df)))
+        sizes = np.diff(np.append(starts, df.num_rows))
         keep = sizes >= 2
         if max_group is not None:
             keep &= sizes <= max_group
@@ -160,7 +203,7 @@ def bucketed_pairs(
             }
         )
 
-    return tagged.groupby("__part").map_groups(kernel, batch_format="pandas")
+    return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
 
 def cogroup(
@@ -219,7 +262,7 @@ def cogroup(
     def tag(side: int, have: list[str], on: list[str]):
         def f(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            part = _bucket(batch.select(on).to_pandas(), on, num_parts)
+            part = _bucket_tbl(batch, on, num_parts)
             cols = {}
             for c in all_cols:
                 if c in have:
@@ -363,10 +406,26 @@ def hash_join(
     )
     merge_keys_same = on is not None
 
+    def _no_nested(t: pa.Table) -> bool:
+        # Acero's hash join rejects nested (list/struct) payload columns
+        return all(not pa.types.is_nested(f.type) for f in t.schema)
+
     def merge(g: pa.Table) -> pa.Table:
         lg, rg = split(g)
-        ldf, rdf = lg.to_pandas(), rg.to_pandas()
         mk_l, mk_r = list(bucket_l), list(bucket_r)
+        if merge_keys_same and how == "inner" and _no_nested(lg) and _no_nested(rg):
+            # Acero hash join — no pandas round-trip; suffixes match the
+            # pandas naming so the output schema is unchanged
+            # use_threads=False: the merge already runs inside a Ray task
+            # per bucket; Acero's own thread pool would oversubscribe CPUs
+            out_t = lg.join(rg, keys=mk_l, join_type="inner",
+                            left_suffix="_x", right_suffix="_y",
+                            use_threads=False)
+            drop_t = [c for c in out_t.schema.names if c.startswith("__salt")]
+            if drop_t:
+                out_t = out_t.drop_columns(drop_t)
+            return out_t
+        ldf, rdf = lg.to_pandas(), rg.to_pandas()
         if merge_keys_same:
             out = ldf.merge(rdf, on=mk_l, how=how)
         else:
@@ -406,9 +465,9 @@ def pair_counts(
             }
         )
 
-    def count_runs(g: pd.DataFrame) -> pa.Table:
-        a = g[a_col].to_numpy()
-        b = g[b_col].to_numpy()
+    def count_runs(g: pa.Table) -> pa.Table:
+        a = g.column(a_col).to_numpy(zero_copy_only=False)
+        b = g.column(b_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         change = np.ones(len(a), dtype=bool)
@@ -426,7 +485,7 @@ def pair_counts(
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__part")
-        .map_groups(count_runs, batch_format="pandas")
+        .map_groups(count_runs, batch_format="pyarrow")
     )
 
 
