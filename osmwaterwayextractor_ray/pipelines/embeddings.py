@@ -97,9 +97,10 @@ def embed_topk(sf_dir: str):
                 }
             )
 
-    partials = ds.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
-    )
+    def topk_fn(batch):
+        return PartialTopK()(batch)
+
+    partials = ds.map_batches(topk_fn, batch_format="pyarrow", batch_size=4096)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K).copy()
@@ -493,8 +494,8 @@ def embed_topk_ivf(sf_dir: str):
                 }
             )
 
-    bucketed = ds.map_batches(AssignBucket, batch_format="pyarrow", batch_size=4096,
-                              concurrency=(1, pool_max()))
+    bucketed = ds.map_batches(lambda b: AssignBucket()(b), batch_format="pyarrow",
+                              batch_size=4096)
 
     def search_bucket(g: pd.DataFrame) -> pa.Table:
         coarse_n, q_ids, qn, q_probe = ray.get(shared)
@@ -652,9 +653,10 @@ def embed_topk_pq(sf_dir: str):
             )
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    partials = ds.map_batches(
-        EncodeAndScore, batch_format="pyarrow", batch_size=4096, concurrency=(1, pool_max())
-    )
+    def encode_fn(batch):
+        return EncodeAndScore()(batch)
+
+    partials = ds.map_batches(encode_fn, batch_format="pyarrow", batch_size=4096)
 
     # Batching-invariant merge: the ADC score of a candidate depends only
     # on (candidate vector, codebooks, query) — never on which block it

@@ -148,7 +148,13 @@ def pip_join(sf_dir: str):
                 }
             )
 
-    return pts.map_batches(PIP, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max()))
+    # plain tasks, not an actor pool: per-task setup is one zero-copy
+    # ray.get (sub-ms) and warm workers skip the pool spin-up lag
+    # (measured 2-6x on geo_extract_cells; same as the intersect splitter)
+    def pip_fn(batch):
+        return PIP()(batch)
+
+    return pts.map_batches(pip_fn, batch_format="pyarrow", batch_size=65536)
 
 
 def _triangle_sql(pid: int, verts) -> str:
@@ -224,9 +230,10 @@ def knn(sf_dir: str):
                 }
             )
 
-    partials = pts.map_batches(
-        PartialTopK, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max())
-    )
+    def topk_fn(batch):
+        return PartialTopK()(batch)
+
+    partials = pts.map_batches(topk_fn, batch_format="pyarrow", batch_size=65536)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["dist2", "event_id"]).head(K_NEIGHBORS)
@@ -770,9 +777,10 @@ def pip_join_s2(sf_dir: str):
                 }
             )
 
-    return pts.map_batches(
-        PIPS2, batch_format="pyarrow", batch_size=65536, concurrency=(1, pool_max())
-    )
+    def pips2_fn(batch):
+        return PIPS2()(batch)
+
+    return pts.map_batches(pips2_fn, batch_format="pyarrow", batch_size=65536)
 
 
 def _read_pq(path, columns=None, **kw):

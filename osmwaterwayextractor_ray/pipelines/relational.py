@@ -191,7 +191,7 @@ def customer_order_stats(sf_dir: str, mode: str = "distributed"):
             return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     out = (
-        orders.map_batches(JoinSegment, batch_format="pyarrow", batch_size=32768, concurrency=(1, pool_max()))
+        orders.map_batches(lambda b: JoinSegment()(b), batch_format="pyarrow", batch_size=32768)
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price"))
         .map_batches(_cents, batch_format="pyarrow")
