@@ -939,12 +939,20 @@ def heavy_users_mg(sf_dir: str, top: int = 20):
     """Top users by event count via the mergeable Misra-Gries summary
     (state/heavyhitters.py): O(k) rows per block move instead of a
     distinct-key shuffle. With k=256 counters and only 150 distinct
-    users the summary provably never trims, so the counts are EXACT and
-    the query carries a full SQL oracle; the trimming/error-bound regime
-    (distinct >> k) is pinned by tests/test_heavyhitters.py on zipf
-    data."""
-    import ray.data as rd
+    users (sf0.01, the correctness scale) the summary provably never
+    trims, so the MG residuals are EXACT and returned directly. If ANY
+    stage trims (distinct > k — e.g. sf0.1's 1500 users), the residuals
+    are approximate and the exact SQL oracle would silently drift; the
+    r3 guard raised here, which crashed the sf0.1 bench. Instead the
+    query now falls back to an exact, still scale-safe plan: per-user
+    counts via the partial-agg shuffle (O(distinct users) rows move,
+    users << events), per-block partial top-N, tiny driver merge — so
+    the result is exact at EVERY scale and the oracle always applies.
+    The trimming/error-bound regime of the sketch itself is pinned by
+    tests/test_heavyhitters.py on zipf data."""
+    import numpy as np
 
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
     from osmwaterwayextractor_ray.state.heavyhitters import approx_top_k
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -952,13 +960,24 @@ def heavy_users_mg(sf_dir: str, top: int = 20):
         ds, "user_id", k=256, top=top, return_trimmed=True
     )
     if trimmed:
-        # the exact SQL oracle is only valid in the no-trim regime; fail
-        # loudly rather than silently mismatching at a larger data scale
-        raise RuntimeError(
-            "heavy_users_mg: Misra-Gries summary trimmed (distinct user_id > "
-            "k=256) — counts are approximate and the exact oracle no longer "
-            "applies; raise k or drop the oracle entry for this scale"
-        )
+        per_user = grouped_agg(ds, ["user_id"], {"n_events": ("user_id", "count")})
+
+        def partial_topn(batch: pa.Table) -> pa.Table:
+            u = batch.column("user_id").to_numpy(zero_copy_only=False)
+            n = batch.column("n_events").to_numpy(zero_copy_only=False)
+            o = np.lexsort((u, -n))[:top]  # count desc, user_id asc (oracle order)
+            return pa.table(
+                {
+                    "user_id": pa.array(u[o], type=pa.int64()),
+                    "n_events": pa.array(n[o], type=pa.int64()),
+                }
+            )
+
+        pdf = per_user.map_batches(partial_topn, batch_format="pyarrow").to_pandas()
+        u = pdf["user_id"].to_numpy(dtype=np.int64)
+        n = pdf["n_events"].to_numpy(dtype=np.int64)
+        o = np.lexsort((u, -n))[:top]
+        keys, counts = u[o], n[o]
     return pa.table(
         {
             "user_id": pa.array(keys, type=pa.int64()),

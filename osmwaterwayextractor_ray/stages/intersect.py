@@ -458,79 +458,139 @@ def _split_ways_with_candidates(
     pos = pos_pair[first]
     on = dist < tol_deg  # ref :2097 strict <
 
-    # per-way on-candidate counts; empty reduceat ranges alias the next
-    # way's first element, so mask by n_c == 0
-    ins_per_way = np.add.reduceat(
-        np.concatenate([on, [False]]).astype(np.int64), cand_start[:-1]
-    )
-    ins_per_way[n_c == 0] = 0
-    touched = np.flatnonzero((ins_per_way > 0) & (n_verts >= 2))
-    if len(touched) == 0:
+    ok = np.flatnonzero(on)
+    if len(ok) == 0:
         return passthrough()
 
-    # --- per-way insertion ONLY for the touched ways (Python loop bounded
-    # by ways that actually receive a point); untouched ways are copied
-    # span-wise with numpy below ---
-    new_parts: dict[int, tuple[list, list]] = {}
-    for r in touched.tolist():
-        s, e = int(offsets[r]), int(offsets[r + 1])
-        c0, c1 = int(cand_start[r]), int(cand_start[r + 1])
-        sel = on[c0:c1]
-        p_pos = pos[c0:c1][sel]
-        p_lat = cand_lat[c0:c1][sel]
-        p_lon = cand_lon[c0:c1][sel]
-        order = np.lexsort((p_lon, p_lat, p_pos))  # position, total tie-break
-        p_pos, p_lat, p_lon = p_pos[order], p_lat[order], p_lon[order]
-        vpos = cs[s:e] - cs[s]
-        new_lat: list[float] = []
-        new_lon: list[float] = []
-        seen: set[tuple[float, float]] = set()
-        wlat_l = lats[s:e].tolist()
-        wlon_l = lons[s:e].tolist()
-        n = e - s
-        for i in range(n):
-            new_lat.append(wlat_l[i])
-            new_lon.append(wlon_l[i])
-            seen.add((wlat_l[i], wlon_l[i]))
-            if i < n - 1:
-                in_seg = (p_pos > vpos[i]) & (p_pos < vpos[i + 1])  # strict, ref :2126
-                for la_, lo_ in zip(p_lat[in_seg].tolist(), p_lon[in_seg].tolist()):
-                    rla = round(la_, precision)
-                    rlo = round(lo_, precision)
-                    if (rla, rlo) not in seen:
-                        new_lat.append(rla)
-                        new_lon.append(rlo)
-                        seen.add((rla, rlo))
-        ded_lat = [new_lat[0]]
-        ded_lon = [new_lon[0]]
-        for la_, lo_ in zip(new_lat[1:], new_lon[1:]):
-            if la_ != ded_lat[-1] or lo_ != ded_lon[-1]:
-                ded_lat.append(la_)
-                ded_lon.append(lo_)
-        new_parts[r] = (ded_lat, ded_lon)
+    # --- fully vectorized insertion (r4; replaces the per-touched-way
+    # Python loop — the dominant split-kernel cost when most ways receive
+    # a point). Exactness argument, mirroring the loop's contract:
+    #   * processing order within a way is (pos, lat, lon) — reproduced by
+    #     one global merge lexsort of vertices+candidates keyed
+    #     (way, pos, kind[vertex first on ties], lat, lon);
+    #   * a candidate's bracketing segment = vertices seen before it in
+    #     that merge minus 1; "strictly inside" fails exactly when its pos
+    #     equals the previous vertex's pos (right-boundary ties sort AFTER
+    #     the vertex and become left-boundary ties of the next segment);
+    #   * the seen-set rules decompose into (a) skip if some vertex j <=
+    #     seg has an equal coordinate pair — j monotone in seg, so only
+    #     the MIN j per (way, key) matters; (b) skip if an earlier
+    #     same-key candidate inserted — since rule (a) failing is
+    #     monotone in seg, that earlier inserter is exactly the FIRST
+    #     rule-passing candidate of the (way, key) group;
+    #   * the final consecutive-dedup compares equal floats, and float
+    #     equality is transitive, so compare-with-previous-element equals
+    #     the loop's compare-with-last-kept.
+    # Candidate coords are rounded with np.round (the loop used Python
+    # round(); np.round is the rounding already applied to every vertex in
+    # stages/clean.py — refimpl parity pins the equivalence on this data).
+    c_way = way_of_cand[ok]
+    c_pos = pos[ok]
+    c_lat_u = cand_lat[ok]
+    c_lon_u = cand_lon[ok]
+    c_rlat = np.round(c_lat_u, precision) + 0.0
+    c_rlon = np.round(c_lon_u, precision) + 0.0
 
-    # --- assemble: numpy span copy for untouched ways, parts for touched ---
-    counts_out = n_verts.copy()
-    for r, (dl, _) in new_parts.items():
-        counts_out[r] = len(dl)
-    out_off = np.concatenate(([0], np.cumsum(counts_out)))
-    out_lat = np.empty(int(out_off[-1]), dtype=np.float64)
-    out_lon = np.empty(int(out_off[-1]), dtype=np.float64)
+    V = len(lats)
+    K = len(ok)
+    M = V + K
     vert_way = np.repeat(np.arange(n_ways), n_verts)
-    untouched_v = np.flatnonzero(~np.isin(vert_way, touched))
-    if len(untouched_v):
-        local = np.arange(len(lats)) - np.repeat(offsets[:-1], n_verts)
-        dest = out_off[vert_way[untouched_v]] + local[untouched_v]
-        out_lat[dest] = lats[untouched_v]
-        out_lon[dest] = lons[untouched_v]
-    for r, (dl, dn) in new_parts.items():
-        o = int(out_off[r])
-        out_lat[o : o + len(dl)] = dl
-        out_lon[o : o + len(dn)] = dn
+    vpos_all = cs[:V] - np.repeat(cs[offsets[:-1]], n_verts)
+
+    m_way = np.concatenate([vert_way, c_way])
+    m_pos = np.concatenate([vpos_all, c_pos])
+    m_kind = np.concatenate([np.zeros(V, dtype=np.int8), np.ones(K, dtype=np.int8)])
+    m_lat = np.concatenate([lats, c_lat_u])
+    m_lon = np.concatenate([lons, c_lon_u])
+    m_ord = np.lexsort((m_lon, m_lat, m_kind, m_pos, m_way))
+    way_s = m_way[m_ord]
+    pos_s = m_pos[m_ord]
+    v_ind = m_kind[m_ord] == 0
+
+    # bracketing segment per entry: vertices of this way seen so far - 1
+    cum_v = np.cumsum(v_ind.astype(np.int64))
+    way_start = np.ones(M, dtype=bool)
+    way_start[1:] = way_s[1:] != way_s[:-1]
+    start_idx = np.maximum.accumulate(np.where(way_start, np.arange(M), 0))
+    # the first entry of every way is a vertex (pos 0 is minimal and
+    # vertex sorts first on ties; ways with candidates have >= 2 vertices)
+    before_way = (cum_v - v_ind.astype(np.int64))[start_idx]
+    seg = (cum_v - before_way) - 1
+    prev_v_idx = np.maximum.accumulate(np.where(v_ind, np.arange(M), -1))
+    last_vpos = pos_s[prev_v_idx]
+    nv_here = n_verts[way_s]
+    pos_ok_s = (~v_ind) & (seg >= 0) & (seg <= nv_here - 2) & (pos_s != last_vpos)
+
+    # scatter merge-order facts back to candidate id space
+    ce = np.flatnonzero(~v_ind)
+    cid_s = m_ord[ce] - V
+    seg_of_cand = np.empty(K, dtype=np.int64)
+    seg_of_cand[cid_s] = seg[ce]
+    posok = np.zeros(K, dtype=bool)
+    posok[cid_s] = pos_ok_s[ce]
+    rank_of_cand = np.empty(K, dtype=np.int64)
+    rank_of_cand[cid_s] = ce
+
+    # rule (a): min vertex index per (way, key); vertices carry their
+    # EXACT coords (already rounded upstream), candidates their rounded
+    g_lat = np.concatenate([lats, c_rlat])
+    g_lon = np.concatenate([lons, c_rlon])
+    j_local = np.arange(V) - np.repeat(offsets[:-1], n_verts)
+    g_rank = np.concatenate([j_local, np.zeros(K, dtype=np.int64)])
+    g_ord = np.lexsort((g_rank, m_kind, g_lon, g_lat, m_way))
+    gw = m_way[g_ord]
+    gla = g_lat[g_ord]
+    glo = g_lon[g_ord]
+    new_grp = np.ones(M, dtype=bool)
+    new_grp[1:] = (gw[1:] != gw[:-1]) | (gla[1:] != gla[:-1]) | (glo[1:] != glo[:-1])
+    leader = np.maximum.accumulate(np.where(new_grp, np.arange(M), 0))
+    lead_entry = g_ord[leader]
+    lead_is_vert = lead_entry < V
+    is_cand_g = g_ord >= V
+    cg = g_ord[is_cand_g] - V
+    min_vidx = np.full(K, np.iinfo(np.int64).max)
+    hv = lead_is_vert[is_cand_g]
+    min_vidx[cg[hv]] = g_rank[lead_entry[is_cand_g][hv]]
+
+    eligible = posok & (min_vidx > seg_of_cand)
+
+    # rule (b): first ELIGIBLE candidate per (way, rounded key) in
+    # processing order inserts; later same-key candidates hit the seen set
+    o2 = np.lexsort((rank_of_cand, c_rlon, c_rlat, c_way))
+    w2, a2, b2 = c_way[o2], c_rlat[o2], c_rlon[o2]
+    e2 = eligible[o2]
+    ng2 = np.ones(K, dtype=bool)
+    ng2[1:] = (w2[1:] != w2[:-1]) | (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+    elig_before = np.cumsum(e2.astype(np.int64)) - e2.astype(np.int64)
+    grp_base = np.maximum.accumulate(np.where(ng2, elig_before, -1))
+    first_elig = e2 & (elig_before == grp_base)
+    insert = np.zeros(K, dtype=bool)
+    insert[o2] = first_elig
+
+    # assemble in merge order: vertices + inserting candidates (rounded)
+    keep_entry = v_ind.copy()
+    keep_entry[ce] = insert[cid_s]
+    out_lat_m = m_lat[m_ord]
+    out_lon_m = m_lon[m_ord]
+    out_lat_m[ce] = c_rlat[cid_s]
+    out_lon_m[ce] = c_rlon[cid_s]
+    lat_k = out_lat_m[keep_entry]
+    lon_k = out_lon_m[keep_entry]
+    way_k = way_s[keep_entry]
+    dd = np.ones(len(lat_k), dtype=bool)
+    dd[1:] = (
+        (lat_k[1:] != lat_k[:-1])
+        | (lon_k[1:] != lon_k[:-1])
+        | (way_k[1:] != way_k[:-1])
+    )
+    lat_f = lat_k[dd]
+    lon_f = lon_k[dd]
+    counts_out = np.bincount(way_k[dd], minlength=n_ways)
+    out_off = np.concatenate(([0], np.cumsum(counts_out)))
     return waterways_table(
         way_ids,
-        out_lat,
-        out_lon,
+        lat_f,
+        lon_f,
         out_off.astype(np.int64),
         names,
         wtypes,

@@ -165,3 +165,109 @@ def test_simplify_mask_matches_per_row_dp():
             if e - s >= 2:
                 want[s:e] = simplify_dp(lats[s:e], lons[s:e], tol)
         assert np.array_equal(got, want), f"tol={tol}"
+
+
+def test_split_insertion_vectorized_matches_loop_reference():
+    """The r4 vectorized splitter insertion must reproduce the reference
+    insertion contract (osm_waterway_extractor.py:2094-2152) exactly; the
+    reference loop is re-implemented independently here (sets + per-way
+    python), including the order-dependent seen-set semantics."""
+    from osmwaterwayextractor_ray.stages.intersect import _split_ways_with_candidates
+    from osmwaterwayextractor_ray.stages._arrow import list_column
+
+    rng = np.random.default_rng(42)
+    precision, tol = 6, 5e-3
+
+    for trial in range(30):
+        n_ways = int(rng.integers(1, 8))
+        way_ids, flat_la, flat_lo, offs = [], [], [], [0]
+        cand_la, cand_lo, n_c = [], [], []
+        for w in range(n_ways):
+            nv = int(rng.integers(2, 7))
+            la = np.round(rng.uniform(0, 0.01, nv), precision)
+            lo = np.round(rng.uniform(0, 0.01, nv), precision)
+            # force some consecutive-distinct structure (clean contract)
+            for i in range(1, nv):
+                if la[i] == la[i - 1] and lo[i] == lo[i - 1]:
+                    lo[i] = round(lo[i] + 1e-6, precision)
+            flat_la += la.tolist(); flat_lo += lo.tolist()
+            offs.append(len(flat_la))
+            way_ids.append(w + 1)
+            k = int(rng.integers(0, 6))
+            for _ in range(k):
+                if rng.random() < 0.5 and nv >= 2:
+                    # on-line candidate: a point near a segment interior
+                    j = int(rng.integers(0, nv - 1))
+                    t = float(rng.uniform(0.1, 0.9))
+                    cla = la[j] + t * (la[j + 1] - la[j]) + rng.uniform(-tol / 3, tol / 3)
+                    clo = lo[j] + t * (lo[j + 1] - lo[j]) + rng.uniform(-tol / 3, tol / 3)
+                elif rng.random() < 0.3:
+                    # duplicate of an existing vertex (seen-set path)
+                    j = int(rng.integers(0, nv))
+                    cla, clo = float(la[j]), float(lo[j])
+                else:
+                    cla, clo = float(rng.uniform(0, 0.01)), float(rng.uniform(0, 0.01))
+                cand_la.append(cla); cand_lo.append(clo)
+            n_c.append(k)
+
+        lats = np.asarray(flat_la); lons = np.asarray(flat_lo)
+        offsets = np.asarray(offs, dtype=np.int64)
+        got = _split_ways_with_candidates(
+            np.asarray(way_ids, dtype=np.int64), lats, lons, offsets,
+            [f"n{w}" for w in way_ids], ["river"] * n_ways, [""] * n_ways,
+            np.asarray(cand_la), np.asarray(cand_lo),
+            np.asarray(n_c, dtype=np.int64), tol, precision,
+        )
+        g_lats, g_offs = list_column(got, "lats")
+        g_lons, _ = list_column(got, "lons")
+
+        # reference loop (the pre-r4 per-way implementation): same float
+        # paths as the engine's projection — GLOBAL cumulative positions
+        # (cs over the whole flat array, bridges included), d2 compared
+        # without sqrt, first-argmin segment, pos relative to way start
+        seg_len_all = np.sqrt(np.diff(lons) ** 2 + np.diff(lats) ** 2)
+        cs = np.concatenate(([0.0], np.cumsum(seg_len_all)))
+        cstart = np.concatenate(([0], np.cumsum(n_c)))
+        exp_rows = []
+        for w in range(n_ways):
+            s, e = offsets[w], offsets[w + 1]
+            wla, wlo = lats[s:e], lons[s:e]
+            cands = []
+            for ci in range(cstart[w], cstart[w + 1]):
+                px, py = cand_lo[ci], cand_la[ci]
+                best_d2, best_pos = None, None
+                for j in range(len(wla) - 1):
+                    vg = s + j
+                    ax, ay, bx, by = lons[vg], lats[vg], lons[vg + 1], lats[vg + 1]
+                    dx, dy = bx - ax, by - ay
+                    L2 = dx * dx + dy * dy
+                    t = 0.0 if L2 == 0.0 else np.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+                    ex, ey = px - (ax + t * dx), py - (ay + t * dy)
+                    d2 = ex * ex + ey * ey
+                    if best_d2 is None or d2 < best_d2:
+                        best_d2 = d2
+                        best_pos = (cs[vg] - cs[s]) + t * seg_len_all[vg]
+                if best_d2 is not None and np.sqrt(best_d2) < tol:
+                    cands.append((best_pos, cand_la[ci], cand_lo[ci]))
+            cands.sort()
+            vpos = cs[s:e] - cs[s]
+            new, seen = [], set()
+            for i in range(len(wla)):
+                new.append((wla[i], wlo[i])); seen.add((wla[i], wlo[i]))
+                if i < len(wla) - 1:
+                    for p, cla, clo in cands:
+                        if vpos[i] < p < vpos[i + 1]:
+                            r = (np.round(cla, precision) + 0.0, np.round(clo, precision) + 0.0)
+                            if r not in seen:
+                                new.append(r); seen.add(r)
+            ded = [new[0]]
+            for pt in new[1:]:
+                if pt != ded[-1]:
+                    ded.append(pt)
+            exp_rows.append(ded)
+
+        assert len(g_offs) - 1 == n_ways, trial
+        for w in range(n_ways):
+            got_row = list(zip(g_lats[g_offs[w]:g_offs[w+1]].tolist(),
+                               g_lons[g_offs[w]:g_offs[w+1]].tolist()))
+            assert got_row == exp_rows[w], (trial, w, got_row, exp_rows[w])
