@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textops.doc_quality,
         "lang_doc_stats": textops.lang_doc_stats,
         "token_totals": textops.token_totals,
+        "doc_repetition": textops.doc_repetition,
+        "contamination_check": textops.contamination_check,
         "bpe_token_stats": textops.bpe_token_stats,
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
@@ -239,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": textops.DOC_QUALITY_SQL,
         "lang_doc_stats": textops.LANG_DOC_STATS_SQL,
         "token_totals": textops.TOKEN_TOTALS_SQL,
+        "doc_repetition": textops.DOC_REPETITION_SQL,
+        "contamination_check": textops.CONTAMINATION_SQL,
         "bpe_token_stats": textops.BPE_TOKEN_STATS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,

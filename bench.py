@@ -131,6 +131,8 @@ QUERY_SET = [
     "dedup_exact",
     "doc_quality",
     "token_totals",
+    "doc_repetition",
+    "contamination_check",
     "bpe_token_stats",
     "ngram_jaccard_neardup",
     "minhash_neardup",

@@ -1164,3 +1164,165 @@ def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(path, columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (word/bigram duplication per document)
+# ---------------------------------------------------------------------------
+
+
+def doc_repetition(sf_dir: str):
+    """Per-document repetition counters — the duplicate-word /
+    duplicate-bigram signals a Gopher-style quality filter thresholds on
+    (Rae et al. 2021, "Scaling Language Models", §A.1.1 repetition
+    filters). Integer counts only, so the SQL oracle is exact:
+    (doc_id, n_words, n_distinct_words, max_word_count,
+    n_bigrams, n_distinct_bigrams).
+
+    Tokenization contract: split on single spaces, exactly DuckDB's
+    string_split(text, ' ') (the corpus has no tabs/newlines/double
+    spaces; empties would count identically on both sides anyway).
+    Stateless map_batches, no shuffle — scale-safe by construction."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        n_w, n_dw, mx, n_b, n_db = [], [], [], [], []
+        for t in texts:
+            ws = t.split(" ")
+            arr = np.array(ws, dtype=object)
+            uniq, counts = np.unique(arr, return_counts=True)
+            n_w.append(len(ws))
+            n_dw.append(len(uniq))
+            mx.append(int(counts.max()) if len(counts) else 0)
+            if len(ws) >= 2:
+                big = np.array([f"{a} {b}" for a, b in zip(ws[:-1], ws[1:])], dtype=object)
+                n_b.append(len(big))
+                n_db.append(len(np.unique(big)))
+            else:
+                n_b.append(0)
+                n_db.append(0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_w, type=pa.int64()),
+                "n_distinct_words": pa.array(n_dw, type=pa.int64()),
+                "max_word_count": pa.array(mx, type=pa.int64()),
+                "n_bigrams": pa.array(n_b, type=pa.int64()),
+                "n_distinct_bigrams": pa.array(n_db, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=8192)
+
+
+DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ex AS (
+  SELECT doc_id, ws[i] AS word, i
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), wc AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+         count(*) AS n_distinct_words, max(cnt) AS max_word_count
+  FROM (SELECT doc_id, word, count(*) AS cnt FROM ex GROUP BY doc_id, word)
+  GROUP BY doc_id
+), bg AS (
+  SELECT a.doc_id,
+         count(*) AS n_bigrams,
+         count(DISTINCT a.word || ' ' || b.word) AS n_distinct_bigrams
+  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY a.doc_id
+)
+SELECT wc.doc_id, wc.n_words, wc.n_distinct_words, wc.max_word_count,
+       COALESCE(bg.n_bigrams, 0) AS n_bigrams,
+       COALESCE(bg.n_distinct_bigrams, 0) AS n_distinct_bigrams
+FROM wc LEFT JOIN bg ON wc.doc_id = bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination screen (broadcast small-side n-gram membership)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5        # words per shingle
+_CONTAM_MOD = 37     # doc_id % MOD == 0 -> benchmark member
+
+
+def _word_grams(text: str, n: int) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def contamination_check(sf_dir: str):
+    """Benchmark-contamination screen: docs whose text contains any word
+    5-gram that also occurs in the 'benchmark' slice (doc_id % 37 == 0 —
+    a deterministic stand-in for a held-out eval set). Returns
+    (doc_id, n_hits) for every NON-benchmark doc with >= 1 hit, where
+    n_hits counts 5-gram POSITIONS matching the benchmark gram set.
+
+    Shape: the benchmark gram set is extracted distributed, deduped with
+    the hash-partition distinct, and broadcast ONCE (ray.put) — the
+    canonical broadcast-small-side screen (the benchmark is small by
+    construction; the corpus side streams, one membership pass per
+    batch, no corpus-sized shuffle). At 100 TB the benchmark set builds
+    once and is reused across runs."""
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import distinct
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out: set[str] = set()
+        for did, t in zip(ids.tolist(), texts):
+            if did % _CONTAM_MOD == 0:
+                out.update(_word_grams(t, _CONTAM_N))
+        return pa.table({"gram": pa.array(sorted(out), type=pa.string())})
+
+    bench = distinct(
+        ds.map_batches(bench_grams, batch_format="pyarrow", batch_size=8192), ["gram"]
+    ).take_all()
+    gram_set = frozenset(r["gram"] for r in bench)
+    ref = ray.put(gram_set)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out_id, out_n = [], []
+        for did, t in zip(ids.tolist(), texts):
+            if did % _CONTAM_MOD == 0:
+                continue
+            n = sum(1 for g in _word_grams(t, _CONTAM_N) if g in s)
+            if n:
+                out_id.append(did)
+                out_n.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_hits": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow", batch_size=8192)
+
+
+CONTAMINATION_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - {_CONTAM_N - 2}, 1)),
+                               i -> array_to_string(ws[i:i+{_CONTAM_N - 1}], ' '))) AS gram
+  FROM w
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {_CONTAM_MOD} = 0
+)
+SELECT g.doc_id, count(*) AS n_hits
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % {_CONTAM_MOD} <> 0
+GROUP BY g.doc_id
+"""
