@@ -143,17 +143,19 @@ FROM documents GROUP BY source
 
 # ---- near-duplicate detection (MinHash + LSH) ----
 
-def _corpus_with_planted_dups(sf_dir: str):
+def _corpus_with_planted_dups(sf_dir: str, spread: int | None = 8):
     """documents ∪ deterministic near-dup copies (doc_id + 1_000_000, last
     40 chars dropped) — gives the LSH pipeline known positives at any sf.
 
-    NOTE (measured, kept): the corpus is ONE parquet file with ONE row
-    group, so the isolated prep stage runs near-serially — but adding a
-    ``.repartition(pool_max())`` here made the FULL near-dup pipelines
-    consistently SLOWER in interleaved A/B (minhash 9.7-10.5 s vs
-    7.2-7.7 s at sf0.1/32): the extra barrier plus 32x the downstream
-    task count outweigh the prep parallelism at this corpus size. Real
-    many-file inputs parallelize at the read with no barrier."""
+    NOTE (measured, r3+r4): the corpus is ONE parquet file with ONE row
+    group, so without a spread the shingling/fingerprint stages run
+    near-serially. r3 measured ``.repartition(pool_max())`` (= 32) as
+    consistently SLOWER (extra barrier + 32x downstream task count); r4
+    re-measured with a MODERATE spread=8 and it wins decisively
+    (minhash 10.5 -> 6.9 s, simhash 4.2 -> 3.5 s at sf0.1/32,
+    interleaved 3/3) — enough blocks to parallelize the per-doc text
+    kernels, few enough that downstream shuffles keep their task counts.
+    Real many-file inputs parallelize at the read with no barrier."""
     import ray.data as rd
 
     ds = _read_documents(sf_dir, ["doc_id", "text"])
@@ -171,7 +173,10 @@ def _corpus_with_planted_dups(sf_dir: str):
             }
         )
 
-    return ds.map_batches(plant, batch_format="pyarrow", batch_size=8192)
+    out = ds.map_batches(plant, batch_format="pyarrow", batch_size=8192)
+    if spread:
+        out = out.repartition(spread)
+    return out
 
 
 class _MinHashStage:
