@@ -131,62 +131,109 @@ def _pairs_within_tol(
     return order[ii], order[jj]
 
 
-def make_cell_cluster_fn(config: Config, combine_counts: bool = False):
-    """Per-cell-task kernel. With ``combine_counts=True`` the group rows are
-    per-batch partial endpoint/junction counts (key, lat, lon, ep, tot):
-    the kernel first sums counts per key (global totals — every batch's
-    partial row for a key lands in the same halo cell set) and applies the
-    cluster-input predicate (ep >= 1 or tot > 1) before the union-find,
-    fusing the reference's separate counting pass (ref :2286-2316) into
-    the single cell shuffle."""
+def _task_cluster(
+    task: int,
+    keys: np.ndarray,
+    lats: np.ndarray,
+    lons: np.ndarray,
+    ep: np.ndarray | None,
+    tot: np.ndarray | None,
+    sgrp: np.ndarray | None,
+    combine_counts: bool,
+    tol: float,
+    method: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find kernel for ONE cell task (or salted sub-task). With
+    ``combine_counts`` the rows are per-batch partial endpoint/junction
+    counts: sum per key (global totals — every batch's partial row for a
+    key lands in the same halo cell set), apply the cluster-input
+    predicate (ep >= 1 or tot > 1), then cluster — fusing the reference's
+    separate counting pass (ref :2286-2316) into the single cell shuffle.
+    lat/lon/sgrp are functions of the key, so taking any row's value per
+    key is order-independent. Returns (keys, min-root per key)."""
+    from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
+
+    if combine_counts:
+        o = np.argsort(keys, kind="stable")
+        ks = keys[o]
+        first = np.ones(len(ks), dtype=bool)
+        if len(ks):
+            first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        ep_s = np.add.reduceat(ep[o], starts) if len(ks) else np.zeros(0, dtype=np.int64)
+        tot_s = np.add.reduceat(tot[o], starts) if len(ks) else np.zeros(0, dtype=np.int64)
+        m = (ep_s >= 1) | (tot_s > 1)
+        keys = ks[starts][m]
+        lats = lats[o][starts][m]
+        lons = lons[o][starts][m]
+        sgrp = sgrp[o][starts][m] if sgrp is not None else None
+
+    ii, jj = _pairs_within_tol(lats, lons, tol, method)
+    if len(ii) and sgrp is not None:
+        sm = pair_mask_for_task(task, sgrp[ii], sgrp[jj])
+        if sm is not None:  # salted cross task: different sub-groups only
+            ii, jj = ii[sm], jj[sm]
+    if len(ii) == 0:
+        return keys, keys
+    uf = UnionFind()
+    for a, b in zip(keys[ii].tolist(), keys[jj].tolist()):
+        uf.add(a)
+        uf.add(b)
+        uf.union(a, b)
+    roots = uf.components_min_root()
+    roots_arr = np.fromiter(
+        (roots.get(k, k) for k in keys.tolist()), dtype=np.int64, count=len(keys)
+    )
+    return keys, roots_arr
+
+
+def make_bucket_cluster_fn(config: Config, combine_counts: bool = False):
+    """Kernel for ONE coarse hash bucket of cell tasks (the same
+    bucketing that replaced the fine per-task groupby in
+    stages/intersect.py): one sort by task, per-task runs resolved with
+    numpy, no per-group Python finalize and no pandas conversion."""
     tol = config.snap_tolerance_m
     method = config.distance_calculation_method
 
-    def cell_cluster(group: pd.DataFrame) -> pa.Table:
-        from osmwaterwayextractor_ray.stages.salt import pair_mask_for_task
-
-        if combine_counts:
-            agg = {"ep": ("ep", "sum"), "tot": ("tot", "sum"),
-                   "lat": ("lat", "first"), "lon": ("lon", "first")}
-            if "sgrp" in group.columns:
-                agg["sgrp"] = ("sgrp", "first")
-            g = group.groupby("key", sort=False, as_index=False).agg(**agg)
-            g = g[(g["ep"] >= 1) | (g["tot"] > 1)]
-            if "task" in group.columns and len(group):
-                g = g.assign(task=group["task"].iloc[0])
-            group = g
-
-        # NOTE: returns an Arrow table — groupby aggregates over pandas
-        # blocks are ~17x slower on this Ray version (measured)
-        keys = group["key"].to_numpy()
-        lats = group["lat"].to_numpy()
-        lons = group["lon"].to_numpy()
-        ii, jj = _pairs_within_tol(lats, lons, tol, method)
-        if len(ii) and "task" in group.columns:
-            sgrp = group["sgrp"].to_numpy()
-            sm = pair_mask_for_task(int(group["task"].iloc[0]), sgrp[ii], sgrp[jj])
-            if sm is not None:  # salted cross task: different sub-groups only
-                ii, jj = ii[sm], jj[sm]
-        if len(ii) == 0:
-            roots_arr = keys
-        else:
-            uf = UnionFind()
-            for a, b in zip(keys[ii].tolist(), keys[jj].tolist()):
-                uf.add(a)
-                uf.add(b)
-                uf.union(a, b)
-            roots = uf.components_min_root()
-            roots_arr = np.fromiter(
-                (roots.get(k, k) for k in keys.tolist()), dtype=np.int64, count=len(keys)
+    def bucket_cluster(g: pa.Table) -> pa.Table:
+        names = set(g.schema.names)
+        task = g.column("task").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lats = g.column("lat").to_numpy(zero_copy_only=False)
+        lons = g.column("lon").to_numpy(zero_copy_only=False)
+        ep = g.column("ep").to_numpy(zero_copy_only=False) if "ep" in names else None
+        tot = g.column("tot").to_numpy(zero_copy_only=False) if "tot" in names else None
+        sgrp = g.column("sgrp").to_numpy(zero_copy_only=False) if "sgrp" in names else None
+        o = np.lexsort((keys, task))
+        task, keys, lats, lons = task[o], keys[o], lats[o], lons[o]
+        ep = ep[o] if ep is not None else None
+        tot = tot[o] if tot is not None else None
+        sgrp = sgrp[o] if sgrp is not None else None
+        n = len(task)
+        starts = np.flatnonzero(np.concatenate(([True], task[1:] != task[:-1])))
+        ends = np.append(starts[1:], n)
+        k_parts, r_parts = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            k_out, r_out = _task_cluster(
+                int(task[s]), keys[s:e], lats[s:e], lons[s:e],
+                ep[s:e] if ep is not None else None,
+                tot[s:e] if tot is not None else None,
+                sgrp[s:e] if sgrp is not None else None,
+                combine_counts, tol, method,
             )
+            if len(k_out):
+                k_parts.append(k_out)
+                r_parts.append(r_out)
+        k_all = np.concatenate(k_parts) if k_parts else np.zeros(0, dtype=np.int64)
+        r_all = np.concatenate(r_parts) if r_parts else np.zeros(0, dtype=np.int64)
         return pa.table(
             {
-                "key": pa.array(keys, type=pa.int64()),
-                "root": pa.array(roots_arr, type=pa.int64()),
+                "key": pa.array(k_all, type=pa.int64()),
+                "root": pa.array(r_all, type=pa.int64()),
             }
         )
 
-    return cell_cluster
+    return bucket_cluster
 
 
 def emit_halo_partials(ways_ds, config: Config):
@@ -239,8 +286,21 @@ def _cluster_assignments(emitted, config: Config, combine_counts: bool):
     # A point of a salted hot cell appears in S tasks and can come back
     # with S different local roots — exactly what the boundary-merge
     # fixpoint below reconciles (same mechanism as cross-cell halo merges).
-    return salted.groupby("task").map_groups(
-        make_cell_cluster_fn(config, combine_counts=combine_counts), batch_format="pandas"
+    from osmwaterwayextractor_ray.stages._pool import pool_max
+
+    num_parts = 4 * pool_max()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # multiplicative hash: task = cell*1024 + salt-pair, a plain
+        # modulo would bucket by the salt bits (stages/intersect.py)
+        t = batch.column("task").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((t * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)) % np.uint64(num_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    tagged = salted.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("__part").map_groups(
+        make_bucket_cluster_fn(config, combine_counts=combine_counts),
+        batch_format="pyarrow",
     )
 
 
@@ -273,36 +333,45 @@ def _finish_clustering(assignments, config: Config):
     # driver union-find closure complete in a single round (the min/max
     # fixpoint alternative needs a round per extra root). ----
     def merge_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
 
-        from osmwaterwayextractor_ray.stages.fastagg import _bucket
+        d = batch.select(["key", "root"]).group_by(
+            ["key", "root"], use_threads=False
+        ).aggregate([])
+        return d.append_column(
+            "__part",
+            pa.array(_bucket_tbl(d, ["key"], config.join_partitions), type=pa.int64()),
+        )
 
-        df = batch.to_pandas().drop_duplicates(["key", "root"])
-        df["__part"] = _bucket(df, ["key"], config.join_partitions)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
-
-    def merge_combine(g) -> pa.Table:
-        import pandas as pd
-
-        g = g.drop_duplicates(["key", "root"])
-        mins = g.groupby("key", sort=False)["root"].transform("min")
-        primary = g["root"] == mins
-        n_roots = g.groupby("key", sort=False)["root"].transform("size")
-        out = pd.DataFrame(
+    def merge_combine(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        r = g.column("root").to_numpy(zero_copy_only=False)
+        o = np.lexsort((r, k))
+        k, r = k[o], r[o]
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        # drop duplicate (key, root) rows surviving across partial blocks
+        dd = np.ones(len(k), dtype=bool)
+        dd[1:] = new_key[1:] | (r[1:] != r[:-1])
+        k, r, new_key = k[dd], r[dd], new_key[dd]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, len(k)))
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        mins = r[starts][run_id]  # r sorted within key -> first = min
+        return pa.table(
             {
-                "key": g["key"],
-                "root": g["root"],
-                "min_root": mins,
-                "primary": primary,
-                "conflicted": n_roots > 1,
+                "key": pa.array(k, type=pa.int64()),
+                "root": pa.array(r, type=pa.int64()),
+                "min_root": pa.array(mins, type=pa.int64()),
+                "primary": pa.array(r == mins),
+                "conflicted": pa.array(sizes[run_id] > 1),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         assignments.map_batches(merge_partial, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(merge_combine, batch_format="pandas")
+        .map_groups(merge_combine, batch_format="pyarrow")
         .materialize()
     )
     conflicts = merged.map_batches(
