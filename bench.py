@@ -72,7 +72,7 @@ def headline() -> dict:
     # min over BENCH_HEADLINE_REPS timed runs: ambient host load on this
     # box swings identical runs 2x (see NOTES_r2.md), and min-of-k is the
     # least-noise estimator of steady-state throughput
-    reps = int(os.environ.get("BENCH_HEADLINE_REPS", "2"))
+    reps = int(os.environ.get("BENCH_HEADLINE_REPS", "3"))
     dt = float("inf")
     for _ in range(max(1, reps)):
         t0 = time.time()
@@ -155,18 +155,26 @@ QUERY_SET = [
 
 
 def run_queries() -> dict[str, float]:
+    """Min-of-k per query (BENCH_QUERY_REPS, default 2): host ambient load
+    swings identical runs 2-3x (NOTES_r2/r4), and single-shot per-query
+    numbers produced spurious 'regressions' in past rounds. Reps run as
+    full passes over the suite (A/B-style interleaving), not back-to-back
+    per query, so a noise burst hits one PASS, not one query."""
     import __ray_entry__ as entrymod
 
     import ray.data
 
     qs = entrymod.queries()
+    reps = max(1, int(os.environ.get("BENCH_QUERY_REPS", "2")))
     out: dict[str, float] = {}
-    for name in QUERY_SET:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        if isinstance(res, ray.data.Dataset):
-            res.count()  # consume the stream; results stay distributed
-        out[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in QUERY_SET:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            if isinstance(res, ray.data.Dataset):
+                res.count()  # consume the stream; results stay distributed
+            dt = round(time.time() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     return out
 
 
