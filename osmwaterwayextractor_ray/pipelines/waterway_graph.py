@@ -63,7 +63,14 @@ def build_graph(
     # match — NOTES_r2.md). spread_input=False exists for callers that feed
     # an already-materialized, balanced waterways Dataset.
     if spread_input:
-        waterways_ds = waterways_ds.repartition(4 * pool_max())
+        import os
+
+        # 2 blocks/CPU (r4 re-measurement): r2 chose 4/CPU when the per-row
+        # kernels were heavier; after this round's vectorizations the
+        # per-task overhead dominates and 2/CPU wins 4/4 interleaved at 32
+        # cpus (min 12.9 vs 14.8 s) and ties at 8. Env-overridable.
+        factor = int(os.environ.get("WWX_SPREAD_FACTOR", "2"))
+        waterways_ds = waterways_ds.repartition(factor * pool_max())
 
     def _intersections():
         prepared = clean_and_simplify_waterways(waterways_ds, config)

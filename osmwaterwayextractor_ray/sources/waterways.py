@@ -102,7 +102,9 @@ def waterways_from_events(sf_dir: str, batch_size: int | None = None, repeat: in
     # block structure would be lost again (measured: 12 tasks of 131-206k
     # ways each at sf0.1x24, forcing the downstream repartition to move
     # 230 MB of geometry — ds.stats(), NOTES_r3.md).
-    n_blocks = 4 * pool_max()
+    import os
+
+    n_blocks = int(os.environ.get("WWX_SPREAD_FACTOR", "2")) * pool_max()
     if batch_size is None:
         batch_size = max(1, -(-ds.count() // n_blocks))
     ds = ds.repartition(n_blocks)
