@@ -288,7 +288,9 @@ def _cluster_assignments(emitted, config: Config, combine_counts: bool):
     # fixpoint below reconciles (same mechanism as cross-cell halo merges).
     from osmwaterwayextractor_ray.stages._pool import pool_max
 
-    num_parts = 4 * pool_max()
+    import os
+
+    num_parts = int(os.environ.get("WWX_BUCKET_FACTOR", "4")) * pool_max()
 
     def tag(batch: pa.Table) -> pa.Table:
         # multiplicative hash: task = cell*1024 + salt-pair, a plain

@@ -275,7 +275,9 @@ def detect_intersections(ds, config: Config):
     )
     prof_mark("hot-cell count pass")
     salted = apply_salt(segs, "cell", "way_id", hot)
-    num_parts = 4 * pool_max()
+    import os
+
+    num_parts = int(os.environ.get("WWX_BUCKET_FACTOR", "4")) * pool_max()
 
     def tag(batch: pa.Table) -> pa.Table:
         # multiplicative hash: task = cell*1024 + salt-pair, so a plain
