@@ -389,19 +389,29 @@ def q5_local_supplier_volume(sf_dir: str, region_name: str = "ASIA"):
     lioc = lookup_join(li, oc, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"})
 
     # shrink to O(suppliers x nations-in-region) before the supplier join.
-    # PINNED: the downstream lookup_join probes its left side's schema,
-    # and a schema probe on a lazy shuffle output executes the whole
-    # upstream sort for limit=1 — then the real run executes it AGAIN
-    # (seen in ds.stats: the mid-plan ran twice). Materializing the tiny
-    # aggregate makes the probe free and the chain run once.
-    per_supp = grouped_agg(
-        lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")}
-    ).materialize()
+    # per_supp has ONE consumer, so instead of a defensive materialize
+    # (r3's fix for the schema-probe double execution) the next join gets
+    # an EXPLICIT left_schema — the probe never fires and the whole tail
+    # (lineitem join -> pre-agg -> supplier join -> rollup) streams in a
+    # single executor launch (r4: one barrier fewer, measured faster).
+    import pyarrow.parquet as pq
+
+    per_supp = grouped_agg(lioc, ["l_suppkey", "c_nationkey"], {"rev": ("rev", "sum")})
+    li_sch = pq.read_schema(f"{sf_dir}/lineitem.parquet")
+    cu_sch = pq.read_schema(f"{sf_dir}/customer.parquet")
+    per_supp_schema = pa.schema(
+        [
+            pa.field("l_suppkey", li_sch.field("l_suppkey").type),
+            pa.field("c_nationkey", cu_sch.field("c_nationkey").type),
+            pa.field("rev", pa.float64()),
+        ]
+    )
 
     supp = _read_pq(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).map_batches(_in_region("s_nationkey"), batch_format="pyarrow", batch_size=65536)
-    js = lookup_join(per_supp, supp, "l_suppkey", "s_suppkey", {"s_nationkey": "s_nationkey"})
+    js = lookup_join(per_supp, supp, "l_suppkey", "s_suppkey", {"s_nationkey": "s_nationkey"},
+                     left_schema=per_supp_schema)
 
     def same_nation(batch: pa.Table) -> pa.Table:
         keep = pc.equal(batch["c_nationkey"], batch["s_nationkey"])
