@@ -230,36 +230,51 @@ DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
 
 
 def events_window(sf_dir: str):
-    """Tumbling 1-hour event-time windows (integer epoch bucketing)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    """Tumbling 1-hour event-time windows (integer epoch bucketing).
+
+    Pre-aggregates per batch in EXACT integer cents (`value` carries two
+    decimals by construction; round(v*100) is bit-exact, verified) so the
+    shuffle moves one row per (window, type) per batch instead of every
+    event, and the sums are identical under any block structure — the
+    repo's float-accumulation-order rule. The native groupby().aggregate
+    previously shuffled the full fact table for ~3.6k groups."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         ts_us = batch["ts"].cast(pa.int64())
         win = pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), 3600e6))
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
         return pa.table(
             {
                 "window_start": pc.cast(win, pa.int64()),
                 "event_type": batch["event_type"],
-                "value": batch["value"],
+                "cents": pa.array(cents, type=pa.int64()),
                 "one": pa.array(np.ones(len(batch), dtype=np.int64)),
             }
         )
 
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("one", alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
-            ),
-            batch_format="pyarrow",
-        )
+    agg = grouped_agg(
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536),
+        ["window_start", "event_type"],
+        {"n_events": ("one", "sum"), "cents": ("cents", "sum")},
     )
-    return out
+
+    def finish(t: pa.Table) -> pa.Table:
+        sv = pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 4)
+        return pa.table(
+            {
+                "window_start": t["window_start"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": sv,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_WINDOW_SQL = """

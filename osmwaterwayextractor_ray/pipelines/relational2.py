@@ -655,34 +655,45 @@ def events_sliding_window(sf_dir: str):
     ds = _read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def emit(batch: pa.Table) -> pa.Table:
+        # exact integer cents (value carries two decimals by construction):
+        # partial sums are bit-identical under any block structure, and the
+        # hash-bucket combine (fastagg) replaces the native per-group
+        # finalize (~130 us x 3.6k groups)
         ts_us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hour = np.floor(ts_us.astype(np.float64) / 3600e6).astype(np.int64)
-        types = batch.column("event_type").to_pylist()
-        vals = batch.column("value").to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        et = batch.column("event_type")
+        et2 = pa.concat_arrays([et.combine_chunks(), et.combine_chunks()])
+        return pa.table(
             {
-                "window_start": np.concatenate([hour, hour - 1]),
-                "event_type": types + types,
-                "value": np.concatenate([vals, vals]),
-                "one": 1,
+                "window_start": pa.array(np.concatenate([hour, hour - 1]), type=pa.int64()),
+                "event_type": et2,
+                "cents": pa.array(np.concatenate([cents, cents]), type=pa.int64()),
+                "one": pa.array(np.ones(2 * len(hour), dtype=np.int64)),
             }
         )
-        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
-            n_events=("one", "sum"), sum_value=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
-    return (
-        ds.map_batches(emit, batch_format="pyarrow", batch_size=65536)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
-        .map_batches(
-            lambda t: t.set_column(
-                t.schema.get_field_index("sum_value"), "sum_value", pc.round(t["sum_value"], 4)
-            ),
-            batch_format="pyarrow",
-        )
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    agg = grouped_agg(
+        ds.map_batches(emit, batch_format="pyarrow", batch_size=65536),
+        ["window_start", "event_type"],
+        {"n_events": ("one", "sum"), "cents": ("cents", "sum")},
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t["window_start"],
+                "event_type": t["event_type"],
+                "n_events": t["n_events"],
+                "sum_value": pc.round(pc.divide(pc.cast(t["cents"], pa.float64()), 100.0), 4),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 EVENTS_SLIDING_WINDOW_SQL = """
