@@ -601,34 +601,41 @@ def purchase_attribution(sf_dir: str):
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         return t.append_column("__part", pa.array((uid % 16).astype(np.int64), type=pa.int64()))
 
-    def asof(g: pd.DataFrame) -> pa.Table:
-        out_pid, out_uid, out_cid = [], [], []
-        for uid, u in g.groupby("user_id", sort=False):
-            u = u.sort_values(["ts", "event_id"])
-            clicks = u[u["event_type"] == "click"]
-            purchases = u[u["event_type"] == "purchase"]
-            if len(purchases) == 0:
-                continue
-            cts = clicks["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            cid = clicks["event_id"].to_numpy()
-            pts = purchases["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-            idx = np.searchsorted(cts, pts, side="right") - 1
-            attributed = np.where(idx >= 0, cid[np.clip(idx, 0, None)], -1)
-            out_pid.extend(purchases["event_id"].tolist())
-            out_uid.extend([int(uid)] * len(purchases))
-            out_cid.extend(attributed.tolist())
+    def asof(g: pa.Table) -> pa.Table:
+        # one packed-key searchsorted over the whole bucket (no per-user
+        # loop): key = user_id << 51 | ts_us (ts_us < 2^51, user ids are
+        # small), clicks sorted by (key, event_id) — searchsorted 'right'
+        # minus one lands on the LAST click with key <= (user, ts), which
+        # is the max event_id among the latest ts, the documented
+        # tie-break; a uid mismatch at the landing index means the user
+        # has no prior click -> -1.
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_click = pc.equal(g["event_type"], "click").to_numpy(zero_copy_only=False)
+        is_purch = pc.equal(g["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        key = (uid << np.int64(51)) | ts
+        ck, ce, cu = key[is_click], eid[is_click], uid[is_click]
+        o = np.lexsort((ce, ck))
+        ck, ce, cu = ck[o], ce[o], cu[o]
+        pk, pe, pu = key[is_purch], eid[is_purch], uid[is_purch]
+        idx = np.searchsorted(ck, pk, side="right") - 1
+        ok = idx >= 0
+        safe = np.clip(idx, 0, None)
+        ok &= (cu[safe] == pu) if len(cu) else False
+        attributed = np.where(ok, ce[safe] if len(ce) else -1, -1)
         return pa.table(
             {
-                "purchase_id": pa.array(out_pid, type=pa.int64()),
-                "user_id": pa.array(out_uid, type=pa.int64()),
-                "click_id": pa.array(out_cid, type=pa.int64()),
+                "purchase_id": pa.array(pe, type=pa.int64()),
+                "user_id": pa.array(pu, type=pa.int64()),
+                "click_id": pa.array(attributed, type=pa.int64()),
             }
         )
 
     return (
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(asof, batch_format="pandas")
+        .map_groups(asof, batch_format="pyarrow")
     )
 
 
