@@ -299,9 +299,9 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
             "__part", pa.array((uid % 32).astype(np.int64), type=pa.int64())
         )
 
-    def sessions(g: pd.DataFrame) -> pa.Table:
-        uid = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    def sessions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
         order = np.lexsort((ts, uid))
         uid, ts = uid[order], ts[order]
         same_user = uid[1:] == uid[:-1]
@@ -322,7 +322,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800):
     return (
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 

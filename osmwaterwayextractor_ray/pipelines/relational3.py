@@ -227,11 +227,10 @@ def events_lag_gaps(sf_dir: str):
             "__part", pa.array((u * _FNV % np.uint64(N_PARTS)).astype(np.int64))
         )
 
-    def gaps(g: pd.DataFrame) -> pa.Table:
-        u = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]")
-        tsi = ts.astype(np.int64)
-        eid = g["event_id"].to_numpy()
+    def gaps(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        tsi = g.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, tsi, u))
         u, tsi, eid = u[order], tsi[order], eid[order]
         gap = np.empty(len(u), dtype=np.int64)
@@ -251,7 +250,7 @@ def events_lag_gaps(sf_dir: str):
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(gaps, batch_format="pandas")
+        .map_groups(gaps, batch_format="pyarrow")
     )
 
 
@@ -298,11 +297,11 @@ def orders_running_total(sf_dir: str):
         )
         return t
 
-    def running(g: pd.DataFrame) -> pa.Table:
-        c = g["o_custkey"].to_numpy()
-        k = g["o_orderkey"].to_numpy()
-        d = g["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        v = g["cents"].to_numpy()
+    def running(g: pa.Table) -> pa.Table:
+        c = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        k = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        d = g.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = g.column("cents").to_numpy(zero_copy_only=False)
         order = np.lexsort((k, d, c))
         c, k, d, v = c[order], k[order], d[order], v[order]
         cs = np.cumsum(v)
@@ -323,7 +322,7 @@ def orders_running_total(sf_dir: str):
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(running, batch_format="pandas")
+        .map_groups(running, batch_format="pyarrow")
     )
 
 
@@ -720,10 +719,10 @@ def events_value_ntile(sf_dir: str, n: int = 4):
             "__part", pa.array((u * _FNV % np.uint64(N_PARTS)).astype(np.int64))
         )
 
-    def ntile(g: pd.DataFrame) -> pa.Table:
-        u = g["user_id"].to_numpy()
-        e = g["event_id"].to_numpy()
-        v = g["value"].to_numpy()
+    def ntile(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        e = g.column("event_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
         order = np.lexsort((e, v, u))
         u, e, v = u[order], e[order], v[order]
         first = np.ones(len(u), dtype=bool)
@@ -750,7 +749,7 @@ def events_value_ntile(sf_dir: str, n: int = 4):
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
         .groupby("__part")
-        .map_groups(ntile, batch_format="pandas")
+        .map_groups(ntile, batch_format="pyarrow")
     )
 
 
