@@ -428,27 +428,37 @@ def _finish_clustering(assignments, config: Config):
     # (a separate aggregate + hash join would cost two more sort barriers;
     # hot-root salting is not needed because a cluster's size is bounded by
     # the snap-tolerance ball, not by data volume) ----
-    from osmwaterwayextractor_ray.stages.fastagg import _bucket
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
 
     n_parts = max(8, config.join_partitions)
 
     def bucket_by_root(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.to_pandas()
-        part = _bucket(df, ["root"], n_parts)
+        part = _bucket_tbl(batch, ["root"], n_parts)
         return batch.append_column("__part", pa.array(part, type=pa.int64()))
 
     bucketed = scaled.map_batches(bucket_by_root, batch_format="pyarrow")
 
-    def centroid_bucket(g) -> pa.Table:
-        grp = g.groupby("root", sort=False)
-        sum_lat_i = grp["lat_i"].transform("sum").to_numpy()
-        sum_lon_i = grp["lon_i"].transform("sum").to_numpy()
-        n = grp["lat_i"].transform("size").to_numpy()
-        return _finalize_arrays(
-            g["key"].to_numpy(), n, sum_lat_i, sum_lon_i
-        )
+    def centroid_bucket(g: pa.Table) -> pa.Table:
+        # per-root integer sums + member counts via one sort + reduceat
+        # (exact int64 sums — same totals in any order), broadcast back to
+        # member rows so centroid rows and member rows leave in one pass
+        root = g.column("root").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        lat_i = g.column("lat_i").to_numpy(zero_copy_only=False)
+        lon_i = g.column("lon_i").to_numpy(zero_copy_only=False)
+        o = np.argsort(root, kind="stable")
+        r_s, k_s = root[o], keys[o]
+        la_s, lo_s = lat_i[o], lon_i[o]
+        first = np.ones(len(r_s), dtype=bool)
+        if len(r_s):
+            first[1:] = r_s[1:] != r_s[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(r_s)))
+        run = np.repeat(np.arange(len(starts)), sizes)
+        sum_lat_i = np.add.reduceat(la_s, starts)[run] if len(r_s) else la_s
+        sum_lon_i = np.add.reduceat(lo_s, starts)[run] if len(r_s) else lo_s
+        n = sizes[run] if len(r_s) else np.zeros(0, dtype=np.int64)
+        return _finalize_arrays(k_s, n, sum_lat_i, sum_lon_i)
 
     precision = config.coordinate_precision
     tol = config.snap_tolerance_m
@@ -484,4 +494,4 @@ def _finish_clustering(assignments, config: Config):
             }
         )
 
-    return bucketed.groupby("__part").map_groups(centroid_bucket, batch_format="pandas")
+    return bucketed.groupby("__part").map_groups(centroid_bucket, batch_format="pyarrow")

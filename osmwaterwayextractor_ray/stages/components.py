@@ -66,9 +66,10 @@ def connected_components(
             }
         )
 
-    def local_uf(g: pd.DataFrame) -> pa.Table:
+    def local_uf(g: pa.Table) -> pa.Table:
         roots = connected_components_from_pairs(
-            g[a_col].to_numpy(), g[b_col].to_numpy()
+            g.column(a_col).to_numpy(zero_copy_only=False),
+            g.column(b_col).to_numpy(zero_copy_only=False),
         )
         nodes = np.fromiter(roots.keys(), dtype=np.int64, count=len(roots))
         rr = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
@@ -82,7 +83,7 @@ def connected_components(
     assigns = (
         edges.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__part")
-        .map_groups(local_uf, batch_format="pandas")
+        .map_groups(local_uf, batch_format="pyarrow")
     )
 
     def tag_node(batch: pa.Table) -> pa.Table:
@@ -90,9 +91,9 @@ def connected_components(
         part = (n.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_parts)
         return batch.append_column("__npart", pa.array(part.astype(np.int64), type=pa.int64()))
 
-    def equivalences(g: pd.DataFrame) -> pa.Table:
-        n = g[out_node].to_numpy()
-        r = g[out_comp].to_numpy()
+    def equivalences(g: pa.Table) -> pa.Table:
+        n = g.column(out_node).to_numpy(zero_copy_only=False)
+        r = g.column(out_comp).to_numpy(zero_copy_only=False)
         order = np.lexsort((r, n))
         n, r = n[order], r[order]
         # within each node run, link every root to the node's first
@@ -117,7 +118,7 @@ def connected_components(
     eq = (
         assigns.map_batches(tag_node, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__npart")
-        .map_groups(equivalences, batch_format="pandas")
+        .map_groups(equivalences, batch_format="pyarrow")
         .take_all()
     )
     # O(boundary) driver closure, same budget class as cluster.py's
