@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational2,
         relational3,
         textops,
+        webtext,
     )
 
     return {
@@ -156,6 +157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": textops.simhash_neardup,
         "langid_pred": textops.langid_pred,
         "winnow_counts": textops.winnow_counts,
+        # --- web-scale curation ops (pipelines/webtext.py) ---
+        "pii_scrub": webtext.pii_scrub,
+        "dup_span_stats": webtext.dup_span_stats,
+        "bm25_search": webtext.bm25_search,
+        "weighted_sample": webtext.weighted_sample,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -180,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         relational2,
         relational3,
         textops,
+        webtext,
         embeddings,
     )
 
@@ -244,6 +251,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": textops.DOC_REPETITION_SQL,
         "contamination_check": textops.CONTAMINATION_SQL,
         "bpe_token_stats": textops.BPE_TOKEN_STATS_SQL,
+        "pii_scrub": webtext.PII_SCRUB_SQL,
+        "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
+        "bm25_search": webtext.BM25_SEARCH_SQL,
+        "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,

@@ -1,0 +1,520 @@
+"""Web-scale text-curation operators (wave 5) over the ``documents`` table.
+
+All four operators are oracle-checked (exact DuckDB SQL in __ray_entry__):
+
+  * pii_scrub       — PII detection + redaction (emails / phones / IPv4)
+                      over a deterministically PII-planted corpus; counts
+                      and post-redaction length are exact integers.
+  * dup_span_stats  — cross-document duplicated n-gram span coverage (the
+                      distributed primitive behind substring-level dedup à
+                      la Lee et al. 2022 "Deduplicating Training Data
+                      Makes Language Models Better": find n-grams shared
+                      by >= 2 docs, measure how much of each doc they
+                      cover).
+  * bm25_search     — ranked retrieval: BM25 top-k docs per query term
+                      (Robertson/Spärck Jones; k1=1.2, b=0.75). Output is
+                      integer ranks, so the oracle is exact — within a
+                      term the idf factor is a positive constant and
+                      cannot change the ordering, so both sides rank by
+                      the tf/length component only, computed with the
+                      IDENTICAL float64 expression.
+  * weighted_sample — deterministic weighted Bernoulli sampling
+                      (p ∝ n_chars) via an integer hash-threshold
+                      comparison — no floats anywhere, exactly
+                      reproducible in SQL and independent of block
+                      structure.
+
+Scale notes (100 TB bar): pii_scrub and weighted_sample are stateless
+single-pass map_batches (no shuffle). dup_span_stats shuffles postings by
+gram hash (the same posting-list plan as ngram_jaccard_neardup) and
+returns to per-doc grouping with one more bucketed shuffle — no all-pairs
+stage, no driver materialization. bm25_search reduces the corpus to a
+skinny (docs-with-hits × 6 ints) stats table, collects only O(num_blocks)
+partial aggregate rows and O(k × num_blocks) top-k candidate rows on the
+driver.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible by construction (no lookarounds/backrefs) so the DuckDB
+# oracle runs the IDENTICAL patterns; parity spot-checked for overlap and
+# boundary cases in tests/test_webtext.py.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{3}-\d{4}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_RE_EMAIL = re.compile(PII_EMAIL)
+_RE_PHONE = re.compile(PII_PHONE)
+_RE_IP = re.compile(PII_IP)
+
+# Deterministic planting: the synthetic corpus has no PII, so the operator
+# (and its oracle) run over a derived corpus where docs get appended
+# synthetic PII as a pure function of doc_id — the same device as the
+# planted near-dup corpus (textops._corpus_with_planted_dups).
+_PII_EMAIL_MOD = 5
+_PII_PHONE_MOD = 7
+_PII_IP_MOD = 11
+
+
+def _plant_pii(doc_id: int, text: str) -> str:
+    if doc_id % _PII_EMAIL_MOD == 0:
+        text += f" contact bob{doc_id}@example.com"
+    if doc_id % _PII_PHONE_MOD == 0:
+        text += f" call +1-555-{100 + doc_id % 900}-0199"
+    if doc_id % _PII_IP_MOD == 0:
+        text += f" node 10.{doc_id % 256}.0.{doc_id % 250}"
+    return text
+
+
+def pii_scrub(sf_dir: str):
+    """Detect and redact PII over the planted corpus. Returns one row per
+    doc: (doc_id, n_emails, n_phones, n_ips, clean_len) where clean_len is
+    the length after replacing matches with <EMAIL>/<PHONE>/<IP> in that
+    fixed order. Stateless vectorized-per-batch map_batches — no shuffle,
+    scale-safe by construction; the regexes are module-level compiled
+    (warm-task idiom, no actor pool needed for constant state)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        n_e, n_p, n_i, clen = [], [], [], []
+        for did, t in zip(ids.tolist(), texts):
+            t = _plant_pii(did, t)
+            n_e.append(len(_RE_EMAIL.findall(t)))
+            n_p.append(len(_RE_PHONE.findall(t)))
+            n_i.append(len(_RE_IP.findall(t)))
+            clean = _RE_IP.sub(
+                "<IP>", _RE_PHONE.sub("<PHONE>", _RE_EMAIL.sub("<EMAIL>", t))
+            )
+            clen.append(len(clean))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(n_e, type=pa.int64()),
+                "n_phones": pa.array(n_p, type=pa.int64()),
+                "n_ips": pa.array(n_i, type=pa.int64()),
+                "clean_len": pa.array(clen, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=8192)
+
+
+def _pii_sql() -> str:
+    # identical patterns; single quotes need no escaping (none present)
+    planted = (
+        "text"
+        f" || CASE WHEN doc_id % {_PII_EMAIL_MOD} = 0 THEN ' contact bob' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        f" || CASE WHEN doc_id % {_PII_PHONE_MOD} = 0 THEN ' call +1-555-' || CAST(100 + doc_id % 900 AS VARCHAR) || '-0199' ELSE '' END"
+        f" || CASE WHEN doc_id % {_PII_IP_MOD} = 0 THEN ' node 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    )
+    return f"""
+WITH planted AS (SELECT doc_id, {planted} AS t FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{PII_IP}')) AS n_ips,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+            '{PII_EMAIL}', '<EMAIL>', 'g'),
+            '{PII_PHONE}', '<PHONE>', 'g'),
+            '{PII_IP}', '<IP>', 'g')) AS BIGINT) AS clean_len
+FROM planted
+"""
+
+
+PII_SCRUB_SQL = _pii_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram span coverage
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 3  # words per gram (word trigrams, same granularity as ngram_jaccard)
+
+
+def dup_span_stats(sf_dir: str):
+    """Per-doc duplicated-span accounting: positions whose word
+    {_SPAN_N}-gram also occurs in at least one OTHER document, and the
+    number of word positions covered by the union of those gram spans —
+    the signal substring-level dedup thresholds on.
+
+    Plan (all bounded, no all-pairs):
+      1. postings scan: (doc_id, pos, gram) string trigrams
+      2. gram document-frequency: distinct (gram, doc) -> grouped count
+         -> grams with df >= 2 (the shared-gram set)
+      3. semi-join postings against shared grams (bucketed lookup_join —
+         one gram-hash shuffle, Arrow-native per bucket)
+      4. per-doc coverage: one doc-hash bucket shuffle, per-bucket numpy
+         segment reduction (sorted starts; union of fixed-width intervals
+         via clipped consecutive gaps)
+      5. left-attach onto the per-doc base stats with zero-fill
+
+    Output: (doc_id, n_words, n_gram_positions, n_dup_positions,
+    n_covered_words) — all exact integers, full SQL oracle."""
+    num_parts = 16
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out_id, out_pos, out_gram = [], [], []
+        for did, t in zip(ids.tolist(), texts):
+            ws = t.split(" ")
+            for i in range(len(ws) - _SPAN_N + 1):
+                out_id.append(did)
+                out_pos.append(i)
+                out_gram.append(" ".join(ws[i : i + _SPAN_N]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "pos": pa.array(out_pos, type=pa.int64()),
+                "gram": pa.array(out_gram, type=pa.string()),
+            }
+        )
+
+    post = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        postings, batch_format="pyarrow", batch_size=8192
+    )
+
+    # document frequency per gram; positions within one doc never repeat a
+    # (gram,pos) pair but a gram CAN repeat within a doc — distinct first
+    from osmwaterwayextractor_ray.stages.fastagg import distinct
+
+    gram_doc = distinct(
+        post.map_batches(lambda t: t.select(["gram", "doc_id"]), batch_format="pyarrow"),
+        ["gram", "doc_id"],
+        num_parts=num_parts,
+    )
+    df = grouped_agg(gram_doc, ["gram"], {"df": ("doc_id", "count")}, num_parts=num_parts)
+
+    import pyarrow.compute as pc
+
+    shared = df.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["gram"]),
+        batch_format="pyarrow",
+    )
+
+    # semi-join: keep postings whose gram is shared (right side unique)
+    shared_schema = pa.schema([("gram", pa.string())])
+    post_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("gram", pa.string())]
+    )
+    dup_post = lookup_join(
+        post, shared, "gram", "gram", take_cols={},
+        num_parts=num_parts, left_schema=post_schema, right_schema=shared_schema,
+    ).map_batches(lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow")
+
+    # per-doc coverage: bucket by doc hash, numpy segment reduction
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64), type=pa.int64()))
+
+    def coverage(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids))
+        ids, pos = ids[order], pos[order]
+        seg = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        n_dup = np.diff(np.r_[seg, len(ids)])
+        # union of [pos, pos+N-1] intervals per doc: clipped consecutive
+        # gaps + N for each doc's last interval
+        gap = np.minimum(pos[1:] - pos[:-1], _SPAN_N)
+        same = ids[1:] == ids[:-1]
+        contrib = np.where(same, gap, 0).astype(np.int64)
+        covered = np.add.reduceat(np.r_[contrib, 0], seg) + _SPAN_N
+        if len(seg) > 1:
+            # reduceat over contrib includes the boundary entry between
+            # docs only when same==False contributes 0 — already handled
+            pass
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[seg], type=pa.int64()),
+                "n_dup_positions": pa.array(n_dup, type=pa.int64()),
+                "n_covered_words": pa.array(covered, type=pa.int64()),
+            }
+        )
+
+    dup_stats = (
+        dup_post.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(coverage, batch_format="pyarrow")
+    )
+
+    # base stats (second streaming scan — cheaper than pinning the corpus)
+    def base(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        n_w = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_w, type=pa.int64()),
+                "n_gram_positions": pa.array(
+                    np.maximum(n_w - (_SPAN_N - 1), 0), type=pa.int64()
+                ),
+            }
+        )
+
+    base_ds = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        base, batch_format="pyarrow", batch_size=8192
+    )
+
+    # left-attach dup stats with zero-fill (dup_stats unique per doc_id)
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup
+
+    base_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_gram_positions", pa.int64())]
+    )
+    dup_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_dup_positions", pa.int64()), ("n_covered_words", pa.int64())]
+    )
+    grouped, split = cogroup(
+        base_ds, dup_stats, ["doc_id"], num_parts=num_parts,
+        left_schema=base_schema, right_schema=dup_schema,
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        lk = lg.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = rg.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(rk)
+        rk = rk[order]
+        idx = np.searchsorted(rk, lk)
+        idx_c = np.clip(idx, 0, max(len(rk) - 1, 0))
+        hit = (len(rk) > 0) & (rk[idx_c] == lk) if len(rk) else np.zeros(len(lk), bool)
+        nd = np.zeros(len(lk), dtype=np.int64)
+        nc = np.zeros(len(lk), dtype=np.int64)
+        if len(rk):
+            rdn = rg.column("n_dup_positions").to_numpy(zero_copy_only=False)[order]
+            rcv = rg.column("n_covered_words").to_numpy(zero_copy_only=False)[order]
+            nd[hit] = rdn[idx_c[hit]]
+            nc[hit] = rcv[idx_c[hit]]
+        return pa.table(
+            {
+                "doc_id": lg["doc_id"],
+                "n_words": lg["n_words"],
+                "n_gram_positions": lg["n_gram_positions"],
+                "n_dup_positions": pa.array(nd, type=pa.int64()),
+                "n_covered_words": pa.array(nc, type=pa.int64()),
+            }
+        )
+
+    return grouped.map_groups(attach, batch_format="pyarrow")
+
+
+DUP_SPAN_STATS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ex AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(ws) - {_SPAN_N - 2}, 1))) AS t(i)
+), df AS (
+  SELECT gram FROM ex GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT ex.doc_id, ex.i FROM ex JOIN df USING (gram)
+), cov AS (
+  SELECT DISTINCT d.doc_id, d.i + o.o AS j
+  FROM dup d, UNNEST([{", ".join(str(i) for i in range(_SPAN_N))}]) AS o(o)
+), dupstats AS (
+  SELECT doc_id, count(*) AS n_dup_positions FROM dup GROUP BY doc_id
+), covstats AS (
+  SELECT doc_id, count(*) AS n_covered_words FROM cov GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(ws) AS n_words,
+       greatest(len(ws) - {_SPAN_N - 1}, 0) AS n_gram_positions,
+       COALESCE(d.n_dup_positions, 0) AS n_dup_positions,
+       COALESCE(c.n_covered_words, 0) AS n_covered_words
+FROM w LEFT JOIN dupstats d ON w.doc_id = d.doc_id
+       LEFT JOIN covstats c ON w.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (top-k per query term)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("scan", "merge", "window", "dup")
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = BM25_TERMS, k: int = _BM25_K):
+    """BM25 top-k docs per query term. Two streaming passes:
+
+    pass 1 — corpus scalars: per-batch partial (sum_dl, n_docs) rows,
+    O(num_blocks) rows reduced on the driver (avgdl).
+    pass 2 — per-batch tf/dl, score, and a per-term partial top-k; the
+    O(k × num_blocks) candidate rows take one tiny per-term final merge.
+
+    Output (term, rank, doc_id, tf, dl) is all-integer: within a term the
+    BM25 idf factor is a positive per-term constant, so ranking by the
+    length-normalized tf component tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    gives exactly the BM25 order; the oracle computes the bit-identical
+    float64 expression. Ties break by doc_id ascending."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    term_list = list(terms)
+
+    def tf_dl(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        dl = np.empty(len(texts), dtype=np.int64)
+        tf = np.zeros((len(texts), len(term_list)), dtype=np.int64)
+        tset = {t: j for j, t in enumerate(term_list)}
+        for r, t in enumerate(texts):
+            ws = t.split(" ")
+            dl[r] = len(ws)
+            for w in ws:
+                j = tset.get(w)
+                if j is not None:
+                    tf[r, j] += 1
+        cols = {"doc_id": pa.array(ids, type=pa.int64()), "dl": pa.array(dl, type=pa.int64())}
+        for j, t in enumerate(term_list):
+            cols[f"tf_{j}"] = pa.array(tf[:, j], type=pa.int64())
+        return pa.table(cols)
+
+    # pass 1: avgdl (partial rows -> driver; O(num_blocks) tiny rows)
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        n = len(texts)
+        s = sum(len(t.split(" ")) for t in texts)
+        return pa.table(
+            {"sum_dl": pa.array([s], type=pa.int64()), "n": pa.array([n], type=pa.int64())}
+        )
+
+    parts = ds.map_batches(dl_partial, batch_format="pyarrow", batch_size=8192).take_all()
+    sum_dl = sum(r["sum_dl"] for r in parts)
+    n_docs = sum(r["n"] for r in parts)
+    avgdl = np.float64(sum_dl) / np.float64(n_docs)
+
+    # pass 2: score + per-batch per-term partial top-k
+    def score_topk(batch: pa.Table) -> pa.Table:
+        t = tf_dl(batch)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        dli = t.column("dl").to_numpy(zero_copy_only=False)
+        denom_tail = _BM25_K1 * ((1.0 - _BM25_B) + _BM25_B * (dl / avgdl))
+        out_term, out_id, out_tf, out_dl, out_s = [], [], [], [], []
+        for j, term in enumerate(term_list):
+            tf = t.column(f"tf_{j}").to_numpy(zero_copy_only=False)
+            hit = tf > 0
+            if not hit.any():
+                continue
+            tff = tf[hit].astype(np.float64)
+            s = tff * (_BM25_K1 + 1.0) / (tff + denom_tail[hit])
+            hid = ids[hit]
+            order = np.lexsort((hid, -s))[:k]
+            out_term.extend([term] * len(order))
+            out_id.extend(hid[order].tolist())
+            out_tf.extend(tf[hit][order].tolist())
+            out_dl.extend(dli[hit][order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "term": pa.array(out_term, type=pa.string()),
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+                "dl": pa.array(out_dl, type=pa.int64()),
+                "s": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score_topk, batch_format="pyarrow", batch_size=8192)
+
+    def final(g: pa.Table) -> pa.Table:
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "term": g.column("term").take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1), type=pa.int64()),
+                "doc_id": g.column("doc_id").take(pa.array(order)),
+                "tf": g.column("tf").take(pa.array(order)),
+                "dl": g.column("dl").take(pa.array(order)),
+            }
+        )
+
+    return cand.groupby("term").map_groups(final, batch_format="pyarrow")
+
+
+def _bm25_sql(terms: tuple[str, ...] = BM25_TERMS, k: int = _BM25_K) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH st AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS dl
+  FROM documents
+), g AS (
+  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM st
+), terms(term) AS (VALUES {vals}),
+tf AS (
+  SELECT t.term, s.doc_id, len(list_filter(s.ws, x -> x = t.term)) AS tf, s.dl
+  FROM st s CROSS JOIN terms t
+), sc AS (
+  SELECT term, doc_id, tf, dl,
+         CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0)
+           / (CAST(tf AS DOUBLE) + {_BM25_K1} * ((1.0 - {_BM25_B}) + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))) AS s
+  FROM tf, g WHERE tf > 0
+)
+SELECT term, rank, doc_id, tf, dl FROM (
+  SELECT term, doc_id, tf, dl,
+         row_number() OVER (PARTITION BY term ORDER BY s DESC, doc_id) AS rank
+  FROM sc
+) WHERE rank <= {k}
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted Bernoulli sampling
+# ---------------------------------------------------------------------------
+
+_WS_HASH_MULT = 2654435761  # Knuth multiplicative (same as stratified_sample)
+_WS_SCALE = 6_000_000       # P(include) = min(1, n_chars * SCALE / 2^32)
+
+
+def weighted_sample(sf_dir: str):
+    """Weighted Bernoulli sample, p ∝ n_chars: include a doc iff
+    (doc_id · 2654435761) mod 2³² < n_chars · SCALE — pure int64
+    comparisons, so the sample is bit-reproducible in SQL, independent of
+    block structure, and needs no RNG state. The standard deterministic
+    source-reweighting primitive (down/up-weighting corpus slices by a
+    per-row weight). Single streaming filter pass, no shuffle."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * _WS_HASH_MULT) % 4294967296
+        keep = h < w * _WS_SCALE
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE (doc_id * {_WS_HASH_MULT}) % 4294967296 < n_chars * {_WS_SCALE}
+"""
+
+
+def _read_documents(sf_dir: str, columns):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(f"{sf_dir}/documents.parquet", columns=columns)

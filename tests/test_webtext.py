@@ -1,0 +1,259 @@
+"""Web-scale curation operators (pipelines/webtext.py) — the parts the SQL
+oracle can't see.
+
+tests/test_oracle.py already pins all four operators against DuckDB at
+sf0.001 (and the driver replica at sf0.01). This suite pins:
+
+  * Python-re <-> DuckDB-RE2 parity of the PII patterns on adversarial
+    boundary/overlap strings (the oracle only exercises the planted corpus).
+  * dup_span_stats against a brute-force set-based reference on a corpus
+    built to stress the interval-union kernel (adjacent / overlapping /
+    disjoint spans, within-doc repeated grams, empty and short docs).
+  * bm25_search against a full-corpus numpy reference (the pipeline's
+    per-batch partial top-k must lose nothing).
+  * block-structure invariance: every operator returns identical rows when
+    the input arrives in 7 shuffled-size blocks instead of one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmwaterwayextractor_ray.pipelines import webtext
+
+WORDS = ["scan", "merge", "window", "dup", "aa", "bb", "cc", "dd", "ee"]
+
+
+def _make_corpus(n=80, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        L = int(rng.integers(0, 40))
+        toks = [WORDS[int(v)] for v in rng.integers(0, len(WORDS), L)]
+        rows.append((i, " ".join(toks)))
+    # planted span cases: identical long run shared by 3 docs (adjacent +
+    # overlapping grams), a shared trigram islanded inside unique text,
+    # a within-doc repeated trigram that is NOT shared, short/empty docs
+    shared = "scan merge window dup scan merge window"
+    rows.append((n, shared + " aa bb cc"))
+    rows.append((n + 1, "dd ee " + shared))
+    rows.append((n + 2, shared))
+    rows.append((n + 3, "aa aa aa aa aa aa"))  # self-repeat only
+    rows.append((n + 4, "scan merge"))  # < 3 words -> no grams
+    rows.append((n + 5, ""))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["source"] = [f"s{i % 3}" for i in range(len(df))]
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df["lang"] = "en"
+    return df
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webtext_docs")
+    _make_corpus().to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# PII regex parity (python re vs DuckDB RE2) on adversarial strings
+# ---------------------------------------------------------------------------
+
+PII_EDGE_CASES = [
+    "a@b.co",  # minimal email
+    "x a.b@c.d.ee y",  # dotted local + dotted domain
+    "no-pii here 1.2 3.4",  # dotted numbers too short for IP
+    "ip 1.2.3.4 end",  # plain IP
+    "v 999.999.999.999 w",  # syntactic IP, out-of-range octets (still matches)
+    "1.2.3.4.5",  # 5 octets: \b boundaries allow the leading 4
+    "call +1-555-123-4567 now",  # phone
+    "+12-345-678-9012",  # 2-digit country code
+    "mail bob@ex.com +1-555-123-4567 10.0.0.1",  # all three
+    "bob@10.2.3.4",  # email whose domain looks like an IP
+    "a@b.c",  # TLD too short -> not an email
+    "edge@case.com.",  # trailing dot after TLD
+    "nested bob@example.com10.0.0.1",  # adjacency, no space
+]
+
+
+def test_pii_regex_parity_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for s in PII_EDGE_CASES:
+        for pat, rx in [
+            (webtext.PII_EMAIL, webtext._RE_EMAIL),
+            (webtext.PII_PHONE, webtext._RE_PHONE),
+            (webtext.PII_IP, webtext._RE_IP),
+        ]:
+            want = con.execute(
+                "SELECT regexp_extract_all(?, ?)", [s, pat]
+            ).fetchone()[0]
+            got = rx.findall(s)
+            assert got == want, (s, pat, got, want)
+        # redaction parity (the fixed EMAIL->PHONE->IP order)
+        red_py = webtext._RE_IP.sub(
+            "<IP>",
+            webtext._RE_PHONE.sub("<PHONE>", webtext._RE_EMAIL.sub("<EMAIL>", s)),
+        )
+        red_sql = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace(?,"
+            " ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'), ?, '<IP>', 'g')",
+            [s, webtext.PII_EMAIL, webtext.PII_PHONE, webtext.PII_IP],
+        ).fetchone()[0]
+        assert red_py == red_sql, (s, red_py, red_sql)
+
+
+# ---------------------------------------------------------------------------
+# dup_span_stats vs brute force
+# ---------------------------------------------------------------------------
+
+def _brute_span_stats(df: pd.DataFrame, n: int = webtext._SPAN_N) -> pd.DataFrame:
+    grams: dict[str, set[int]] = {}
+    per_doc: dict[int, list[tuple[int, str]]] = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        ws = text.split(" ")
+        lst = []
+        for i in range(len(ws) - n + 1):
+            g = " ".join(ws[i : i + n])
+            lst.append((i, g))
+            grams.setdefault(g, set()).add(did)
+        per_doc[did] = lst
+    rows = []
+    for did, text in zip(df["doc_id"], df["text"]):
+        ws = text.split(" ")
+        dup_pos = [i for i, g in per_doc[did] if len(grams[g]) >= 2]
+        covered: set[int] = set()
+        for i in dup_pos:
+            covered.update(range(i, i + n))
+        rows.append(
+            (did, len(ws), max(len(ws) - n + 1, 0), len(dup_pos), len(covered))
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "n_words", "n_gram_positions",
+            "n_dup_positions", "n_covered_words",
+        ],
+    )
+
+
+def test_dup_span_stats_bruteforce(ray_session, corpus_dir):
+    got = (
+        webtext.dup_span_stats(corpus_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_span_stats(_make_corpus())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# bm25_search vs full-corpus numpy reference
+# ---------------------------------------------------------------------------
+
+def _brute_bm25(df: pd.DataFrame, terms, k) -> pd.DataFrame:
+    toks = [t.split(" ") for t in df["text"]]
+    dl = np.array([len(w) for w in toks], dtype=np.int64)
+    avgdl = np.float64(dl.sum()) / np.float64(len(dl))
+    rows = []
+    for term in terms:
+        tf = np.array([w.count(term) for w in toks], dtype=np.int64)
+        hit = tf > 0
+        if not hit.any():
+            continue
+        tff = tf[hit].astype(np.float64)
+        s = tff * (webtext._BM25_K1 + 1.0) / (
+            tff
+            + webtext._BM25_K1
+            * ((1.0 - webtext._BM25_B) + webtext._BM25_B * (dl[hit] / avgdl))
+        )
+        ids = df["doc_id"].to_numpy()[hit]
+        order = np.lexsort((ids, -s))[:k]
+        for r, j in enumerate(order, start=1):
+            rows.append((term, r, int(ids[j]), int(tf[hit][j]), int(dl[hit][j])))
+    return pd.DataFrame(rows, columns=["term", "rank", "doc_id", "tf", "dl"])
+
+
+def test_bm25_bruteforce(ray_session, corpus_dir):
+    got = (
+        webtext.bm25_search(corpus_dir)
+        .to_pandas()
+        .sort_values(["term", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_bm25(_make_corpus(), webtext.BM25_TERMS, webtext._BM25_K)
+        .sort_values(["term", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample determinism + threshold rule
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_rule(ray_session, corpus_dir):
+    got = (
+        webtext.weighted_sample(corpus_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = _make_corpus()
+    h = (df["doc_id"].to_numpy().astype(np.int64) * webtext._WS_HASH_MULT) % 2**32
+    keep = h < df["n_chars"].to_numpy().astype(np.int64) * webtext._WS_SCALE
+    want = (
+        df.loc[keep, ["doc_id", "source", "n_chars"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert 0 < len(got) < len(df)  # the corpus exercises both branches
+
+
+# ---------------------------------------------------------------------------
+# block-structure invariance: 7 shuffled blocks == 1 block
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "op", ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample"]
+)
+def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
+    fn = getattr(webtext, op)
+    base = fn(corpus_dir).to_pandas()
+
+    real = webtext._read_documents
+
+    def spread(sf_dir, columns):
+        # deterministic shuffle into 7 uneven blocks
+        ds = real(sf_dir, columns)
+        import pyarrow as pa
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column(columns[0]).to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__blk", pa.array((ids * 2654435761) % 7, type=pa.int64())
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .sort("__blk")
+            .map_batches(lambda t: t.drop_columns(["__blk"]), batch_format="pyarrow")
+        )
+
+    monkeypatch.setattr(webtext, "_read_documents", spread)
+    alt = fn(corpus_dir).to_pandas()
+    cols = list(base.columns)
+    assert list(alt.columns) == cols
+    b = base.sort_values(cols).reset_index(drop=True)
+    a = alt.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
