@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational2,
         relational3,
         textops,
+        webgraph,
         webtext,
     )
 
@@ -162,6 +163,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": webtext.dup_span_stats,
         "bm25_search": webtext.bm25_search,
         "weighted_sample": webtext.weighted_sample,
+        # --- web-graph ops (pipelines/webgraph.py) ---
+        "page_links": webgraph.page_links,
+        "link_stats": webgraph.link_stats,
+        "pagerank": webgraph.pagerank,
+        "latest_snapshot": webgraph.latest_snapshot,
+        "domain_stats": webgraph.domain_stats,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -186,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         relational2,
         relational3,
         textops,
+        webgraph,
         webtext,
         embeddings,
     )
@@ -255,6 +263,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
+        "page_links": webgraph.PAGE_LINKS_SQL,
+        "link_stats": webgraph.LINK_STATS_SQL,
+        "pagerank": webgraph.PAGERANK_SQL,
+        "latest_snapshot": webgraph.LATEST_SNAPSHOT_SQL,
+        "domain_stats": webgraph.DOMAIN_STATS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,

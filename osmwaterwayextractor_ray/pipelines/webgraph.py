@@ -1,0 +1,582 @@
+"""Web-graph operators over the Common-Crawl-style pages surface (wave 6).
+
+The link graph is embedded in synthesized page HTML (same device as
+``pipelines/pages.synth_pages``: derived deterministically from the driver
+``documents`` table, no RNG, no external data) and then ACTUALLY extracted
+from the HTML bytes by a compiled-regex map_batches stage — the oracle
+reproduces the targets arithmetically, so the whole extract → edge-list →
+graph-analysis chain is exactness-checked end to end.
+
+Operators (all with exact DuckDB SQL oracles in __ray_entry__):
+
+  * page_links      — href extraction from html -> distinct non-self edge
+                      list (src_page, dst_page).
+  * link_stats      — per-page out/in degree with zero-fill over the full
+                      page set (the link-analysis base table).
+  * pagerank        — T=5 damped PageRank iterations in FIXED-POINT INT64
+                      arithmetic: contributions are pr//out_deg, damping is
+                      (85·sum)//100. Integer sums commute, so the result is
+                      bit-identical under ANY block structure / num_cpus —
+                      the repo's invariance rule — and the oracle is an
+                      unrolled-CTE SQL program (the kmeans_embeddings
+                      device). Dangling-node mass is dropped (documented
+                      standard simplification; total mass therefore decays,
+                      which is fine for ranking).
+  * latest_snapshot — multi-capture synth (1 + doc_id % 3 captures per
+                      url at hourly warc_ts offsets); keep the latest
+                      capture per url: the cross-snapshot dedup every
+                      Common-Crawl pipeline starts with.
+  * domain_stats    — per-host rollup: pages, text bytes, out-links and
+                      cross-domain links (hosts partition the page set
+                      doc_id % 20).
+
+Scale notes (100 TB bar): extraction and synthesis are stateless
+map_batches over pruned reads; the edge list is built by hash-partitioned
+``fastagg.distinct`` (one shuffle, no all-pairs); degrees/rollups are
+partial-aggregated int sums; PageRank keeps everything distributed — the
+per-iteration pr table is re-pinned via ``stages.pin`` (object-store at
+bench scale, parquet spill at 100 TB via WWX_PIN_MODE) and each iteration
+is one lookup_join (edges ⋈ pr on src) plus one grouped sum by dst; the
+driver only ever sees O(1) scalars (the page count).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from osmwaterwayextractor_ray.stages.fastagg import (
+    cogroup,
+    distinct,
+    grouped_agg,
+    lookup_join,
+)
+from osmwaterwayextractor_ray.stages.pin import pin
+
+# --------------------------------------------------------------------------
+# deterministic link-graph synthesis (doc_id arithmetic, like pages.synth)
+# --------------------------------------------------------------------------
+
+_N_HOSTS = 20
+# three outgoing hrefs per page: target_k = (doc_id * m_k + a_k) % n_docs
+_LINK_RULES = ((7, 1), (13, 2), (31, 5))
+
+_HREF_RE = re.compile(rb'<a href="https://site(\d+)\.test/p/(\d{8})">')
+
+
+def _n_docs(sf_dir: str) -> int:
+    # O(1) scalar on the driver: row count of the pruned doc_id column
+    return _read_documents(sf_dir, ["doc_id"]).count()
+
+
+def synth_linked_pages(sf_dir: str, n_docs: int):
+    """One page per document: host = site{doc_id % 20}.test, html carries
+    the page text plus a footer of three <a href> links whose targets are
+    pure doc_id arithmetic (dense ids, so every target exists)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        htmls = []
+        hosts = []
+        for did, text in zip(ids.tolist(), texts):
+            host = f"site{did % _N_HOSTS}.test"
+            hosts.append(host)
+            anchors = "".join(
+                f'<a href="https://site{((did * m + a) % n_docs) % _N_HOSTS}.test'
+                f'/p/{(did * m + a) % n_docs:08d}">l</a>'
+                for m, a in _LINK_RULES
+            )
+            htmls.append(
+                f"<html><body><p>{text}</p><footer>{anchors}</footer></body></html>".encode()
+            )
+        return pa.table(
+            {
+                "page_id": pa.array(ids, type=pa.int64()),
+                "host": pa.array(hosts, type=pa.string()),
+                "html": pa.array(htmls, type=pa.binary()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", batch_size=1024)
+
+
+def _extract_links(pages):
+    """(src_page, src_host, dst_page, dst_host) rows parsed from html bytes.
+    Warm-task map_batches — the only state is one module-level compiled
+    regex (CLAUDE.md: actor pools only for real per-actor state)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = batch.column("page_id").to_numpy(zero_copy_only=False)
+        hosts = batch.column("host").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        src, shost, dst, dhost = [], [], [], []
+        for did, h, html in zip(ids.tolist(), hosts, htmls):
+            for m in _HREF_RE.finditer(html or b""):
+                src.append(did)
+                shost.append(h)
+                dst.append(int(m.group(2)))
+                dhost.append(f"site{int(m.group(1))}.test")
+        return pa.table(
+            {
+                "src_page": pa.array(src, type=pa.int64()),
+                "src_host": pa.array(shost, type=pa.string()),
+                "dst_page": pa.array(dst, type=pa.int64()),
+                "dst_host": pa.array(dhost, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+
+
+def _edge_list(sf_dir: str, n_docs: int):
+    """Distinct non-self (src_page, dst_page) edges (hash-partitioned)."""
+    import pyarrow.compute as pc
+
+    raw = _extract_links(synth_linked_pages(sf_dir, n_docs))
+    nonself = raw.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src_page"], t["dst_page"])).select(
+            ["src_page", "dst_page"]
+        ),
+        batch_format="pyarrow",
+    )
+    return distinct(nonself, ["src_page", "dst_page"], num_parts=16)
+
+
+# SQL fragments shared by all oracles
+_EDGES_CTE = f"""
+n AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src_page, (doc_id * r.m + r.a) % n.n AS dst_page
+  FROM documents, n,
+       (VALUES {", ".join(f"({m}, {a})" for m, a in _LINK_RULES)}) AS r(m, a)
+),
+edges AS (SELECT DISTINCT src_page, dst_page FROM raw WHERE src_page <> dst_page)
+"""
+
+
+def page_links(sf_dir: str):
+    """The extracted, deduplicated web-link edge list."""
+    return _edge_list(sf_dir, _n_docs(sf_dir))
+
+
+PAGE_LINKS_SQL = f"WITH {_EDGES_CTE} SELECT src_page, dst_page FROM edges"
+
+
+def link_stats(sf_dir: str):
+    """Per-page (page_id, out_deg, in_deg), zero-filled over all pages."""
+    edges = _edge_list(sf_dir, _n_docs(sf_dir))
+
+    # one pass: each edge contributes (src,1,0) and (dst,0,1)
+    def expand(t: pa.Table) -> pa.Table:
+        s = t.column("src_page").to_numpy(zero_copy_only=False)
+        d = t.column("dst_page").to_numpy(zero_copy_only=False)
+        page = np.concatenate([s, d])
+        out_d = np.concatenate([np.ones(len(s), np.int64), np.zeros(len(d), np.int64)])
+        in_d = np.concatenate([np.zeros(len(s), np.int64), np.ones(len(d), np.int64)])
+        return pa.table(
+            {
+                "page_id": pa.array(page, type=pa.int64()),
+                "o": pa.array(out_d, type=pa.int64()),
+                "i": pa.array(in_d, type=pa.int64()),
+            }
+        )
+
+    deg = grouped_agg(
+        edges.map_batches(expand, batch_format="pyarrow"),
+        ["page_id"],
+        {"out_deg": ("o", "sum"), "in_deg": ("i", "sum")},
+        num_parts=16,
+    )
+    pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+    )
+    return _attach_zero_fill(
+        pages,
+        deg,
+        key="page_id",
+        value_cols=["out_deg", "in_deg"],
+        left_schema=pa.schema([("page_id", pa.int64())]),
+        right_schema=pa.schema(
+            [("page_id", pa.int64()), ("out_deg", pa.int64()), ("in_deg", pa.int64())]
+        ),
+    )
+
+
+LINK_STATS_SQL = f"""
+WITH {_EDGES_CTE},
+o AS (SELECT src_page AS page_id, count(*) AS out_deg FROM edges GROUP BY 1),
+i AS (SELECT dst_page AS page_id, count(*) AS in_deg FROM edges GROUP BY 1)
+SELECT d.doc_id AS page_id,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg
+FROM documents d LEFT JOIN o ON d.doc_id = o.page_id
+                 LEFT JOIN i ON d.doc_id = i.page_id
+"""
+
+
+# --------------------------------------------------------------------------
+# fixed-point PageRank
+# --------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 5
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+
+
+def pagerank(sf_dir: str, iters: int = _PR_ITERS):
+    """T damped PageRank iterations in int64 fixed point (see module doc).
+
+    pr_0(v)      = SCALE // N
+    pr_{t+1}(v)  = (15 · SCALE) // (100 · N)
+                   + (85 · Σ_{u→v} pr_t(u) // out_deg(u)) // 100
+
+    Every operation is integer floor division / addition on non-negatives,
+    so any summation order gives the same bits and DuckDB's ``//`` (trunc)
+    agrees with Python's (floor)."""
+    n_docs = _n_docs(sf_dir)
+
+    edges = pin(_edge_list(sf_dir, n_docs), "webgraph_edges")
+    out_deg = grouped_agg(
+        edges, ["src_page"], {"out_deg": ("dst_page", "count")}, num_parts=16
+    )
+    edge_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    deg_schema = pa.schema([("src_page", pa.int64()), ("out_deg", pa.int64())])
+    ewd = pin(
+        lookup_join(
+            edges, out_deg, "src_page", "src_page", {"out_deg": "out_deg"},
+            num_parts=16, left_schema=edge_schema, right_schema=deg_schema,
+        ),
+        "webgraph_edges_deg",
+    )
+    ewd_schema = pa.schema(
+        [("src_page", pa.int64()), ("dst_page", pa.int64()), ("out_deg", pa.int64())]
+    )
+
+    pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+    )
+    pages_schema = pa.schema([("page_id", pa.int64())])
+    pr_schema = pa.schema([("page_id", pa.int64()), ("pr", pa.int64())])
+
+    init = _PR_SCALE // n_docs
+    base = (15 * _PR_SCALE) // (100 * n_docs)
+
+    pr = pin(
+        pages.map_batches(
+            lambda t: t.append_column(
+                "pr", pa.array(np.full(len(t), init, np.int64), type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        "webgraph_pr0",
+    )
+
+    for it in range(iters):
+        contrib = lookup_join(
+            ewd, pr, "src_page", "page_id", {"pr": "pr"},
+            num_parts=16, left_schema=ewd_schema, right_schema=pr_schema,
+        )
+
+        def share(t: pa.Table) -> pa.Table:
+            p = t.column("pr").to_numpy(zero_copy_only=False)
+            d = t.column("out_deg").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "page_id": t["dst_page"],
+                    "c": pa.array(p // d, type=pa.int64()),
+                }
+            )
+
+        sums = grouped_agg(
+            contrib.map_batches(share, batch_format="pyarrow"),
+            ["page_id"],
+            {"m": ("c", "sum")},
+            num_parts=16,
+        )
+        filled = _attach_zero_fill(
+            pages, sums, key="page_id", value_cols=["m"],
+            left_schema=pages_schema,
+            right_schema=pa.schema([("page_id", pa.int64()), ("m", pa.int64())]),
+        )
+
+        def damp(t: pa.Table) -> pa.Table:
+            m = t.column("m").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "page_id": t["page_id"],
+                    "pr": pa.array(
+                        base + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN, type=pa.int64()
+                    ),
+                }
+            )
+
+        pr = pin(filled.map_batches(damp, batch_format="pyarrow"), f"webgraph_pr{it + 1}")
+
+    return pr
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        "od AS (SELECT src_page, count(*) AS out_deg FROM edges GROUP BY 1)",
+        f"pr0 AS (SELECT doc_id AS page_id, CAST({_PR_SCALE} AS BIGINT) // n.n AS pr"
+        " FROM documents, n)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"s{t} AS (SELECT e.dst_page AS page_id,"
+            f" CAST(sum(p.pr // od.out_deg) AS BIGINT) AS m"
+            f" FROM edges e JOIN od USING (src_page)"
+            f" JOIN pr{t} p ON p.page_id = e.src_page GROUP BY 1)"
+        )
+        parts.append(
+            f"pr{t + 1} AS (SELECT d.doc_id AS page_id,"
+            f" (15 * CAST({_PR_SCALE} AS BIGINT)) // (100 * n.n)"
+            f" + ({_PR_DAMP_NUM} * COALESCE(s.m, 0)) // {_PR_DAMP_DEN} AS pr"
+            f" FROM documents d CROSS JOIN n LEFT JOIN s{t} s ON d.doc_id = s.page_id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT page_id, pr FROM pr{iters}"
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# cross-snapshot dedup (latest capture per url)
+# --------------------------------------------------------------------------
+
+_TS_BASE_US = int(np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64))
+_HOUR_US = 3_600_000_000
+
+
+def synth_captures(sf_dir: str):
+    """Multi-capture pages table: doc_id gets 1 + doc_id % 3 captures of
+    url https://site{doc_id%20}.test/p/{doc_id:08d}; capture c has
+    warc_ts = base + doc_id·1s + c·1h and text revision suffix ' rev{c}'
+    for c > 0 (so later captures differ in length)."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        url, ts, tl, cap = [], [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            u = f"https://site{did % _N_HOSTS}.test/p/{did:08d}"
+            for c in range(1 + did % 3):
+                url.append(u)
+                ts.append(_TS_BASE_US + did * 1_000_000 + c * _HOUR_US)
+                t = text if c == 0 else f"{text} rev{c}"
+                tl.append(len(t))
+                cap.append(c)
+        return pa.table(
+            {
+                "url": pa.array(url, type=pa.string()),
+                "warc_ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+                "text_len": pa.array(tl, type=pa.int64()),
+                "capture": pa.array(cap, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=2048)
+
+
+def latest_snapshot(sf_dir: str):
+    """Keep the latest capture per url (warc_ts argmax) + capture count:
+    one url-hash shuffle, per-bucket lexsort argmax — no driver state."""
+    caps = synth_captures(sf_dir)
+    num_parts = 16
+
+    def tag(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        part = np.array(
+            [hash_url(u) % num_parts for u in urls], dtype=np.int64
+        )
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def pick_latest(g: pa.Table) -> pa.Table:
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        ts = g.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, urls))
+        urls_s, ts_s = urls[order], ts[order]
+        # last row of each url run = latest capture (ts strictly increasing
+        # within a url by construction; lexsort is total so ties can't occur)
+        is_last = np.r_[urls_s[1:] != urls_s[:-1], True]
+        starts = np.flatnonzero(np.r_[True, urls_s[1:] != urls_s[:-1]])
+        n_caps = np.diff(np.r_[starts, len(urls_s)])
+        idx = pa.array(order[is_last], type=pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": pc.take(g.column("url").combine_chunks(), idx),
+                "latest_ts": pc.take(g.column("warc_ts").combine_chunks(), idx),
+                "n_captures": pa.array(n_caps, type=pa.int64()),
+                "latest_len": pc.take(g.column("text_len").combine_chunks(), idx),
+            }
+        )
+
+    return (
+        caps.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("__part")
+        .map_groups(pick_latest, batch_format="pyarrow")
+    )
+
+
+LATEST_SNAPSHOT_SQL = f"""
+WITH caps AS (
+  SELECT 'https://site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test/p/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_microseconds(doc_id * 1000000 + c.c * {_HOUR_US}) AS warc_ts,
+         CAST(length(text || CASE WHEN c.c = 0 THEN '' ELSE ' rev' || CAST(c.c AS VARCHAR) END) AS BIGINT) AS text_len,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c.c DESC) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n_captures
+  FROM documents, UNNEST([0, 1, 2]) AS c(c)
+  WHERE c.c < 1 + doc_id % 3
+)
+SELECT url, warc_ts AS latest_ts, CAST(n_captures AS BIGINT) AS n_captures,
+       text_len AS latest_len
+FROM caps WHERE rn = 1
+"""
+
+
+def hash_url(u: str) -> int:
+    """Deterministic 63-bit FNV-1a over the url bytes (process-independent,
+    unlike builtin hash)."""
+    h = 0xCBF29CE484222325
+    for b in u.encode():
+        h = ((h ^ b) * 0x100000001B3) & 0x7FFFFFFFFFFFFFFF
+    return h
+
+
+# --------------------------------------------------------------------------
+# per-domain rollup
+# --------------------------------------------------------------------------
+
+
+def domain_stats(sf_dir: str):
+    """Per-host rollup: (host, n_pages, sum_chars, n_out_links,
+    n_cross_links). Link counts come from the EXTRACTED edge rows (pre-
+    distinct raw hrefs, self-links included — the crawl-side accounting),
+    cross = dst_host != src_host."""
+    n_docs = _n_docs(sf_dir)
+    pages = synth_linked_pages(sf_dir, n_docs)
+
+    def page_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch["host"],
+                "np": pa.array(np.ones(len(batch), np.int64), type=pa.int64()),
+                "nc": batch["n_chars"],
+            }
+        )
+
+    pstats = grouped_agg(
+        pages.map_batches(page_partial, batch_format="pyarrow"),
+        ["host"],
+        {"n_pages": ("np", "sum"), "sum_chars": ("nc", "sum")},
+        num_parts=8,
+    )
+
+    links = _extract_links(synth_linked_pages(sf_dir, n_docs))
+
+    def link_partial(batch: pa.Table) -> pa.Table:
+        sh = batch.column("src_host").to_pylist()
+        dh = batch.column("dst_host").to_pylist()
+        cross = np.array([a != b for a, b in zip(sh, dh)], dtype=np.int64)
+        return pa.table(
+            {
+                "host": batch["src_host"],
+                "nl": pa.array(np.ones(len(batch), np.int64), type=pa.int64()),
+                "nx": pa.array(cross, type=pa.int64()),
+            }
+        )
+
+    lstats = grouped_agg(
+        links.map_batches(link_partial, batch_format="pyarrow"),
+        ["host"],
+        {"n_out_links": ("nl", "sum"), "n_cross_links": ("nx", "sum")},
+        num_parts=8,
+    )
+
+    # every host has pages AND links (3 raw hrefs per page): inner join
+    return lookup_join(
+        pstats, lstats, "host", "host",
+        {"n_out_links": "n_out_links", "n_cross_links": "n_cross_links"},
+        num_parts=8,
+        left_schema=pa.schema(
+            [("host", pa.string()), ("n_pages", pa.int64()), ("sum_chars", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [("host", pa.string()), ("n_out_links", pa.int64()), ("n_cross_links", pa.int64())]
+        ),
+    )
+
+
+DOMAIN_STATS_SQL = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id % {_N_HOSTS} AS src_h,
+         ((doc_id * r.m + r.a) % n.n) % {_N_HOSTS} AS dst_h
+  FROM documents, n,
+       (VALUES {", ".join(f"({m}, {a})" for m, a in _LINK_RULES)}) AS r(m, a)
+),
+l AS (
+  SELECT 'site' || CAST(src_h AS VARCHAR) || '.test' AS host,
+         count(*) AS n_out_links,
+         CAST(sum(CASE WHEN src_h <> dst_h THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_links
+  FROM raw GROUP BY 1
+),
+p AS (
+  SELECT 'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test' AS host,
+         count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT p.host, p.n_pages, p.sum_chars, l.n_out_links, l.n_cross_links
+FROM p JOIN l USING (host)
+"""
+
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+
+def _attach_zero_fill(left, right, key: str, value_cols: list[str],
+                      left_schema=None, right_schema=None, num_parts: int = 16):
+    """LEFT JOIN right (unique-keyed int64) onto left, missing -> 0."""
+    grouped, split = cogroup(
+        left, right, [key], num_parts=num_parts,
+        left_schema=left_schema, right_schema=right_schema,
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        lk = lg.column(key).to_numpy(zero_copy_only=False)
+        rk = rg.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk)
+        rk = rk[order]
+        pos = np.searchsorted(rk, lk)
+        pos_c = np.clip(pos, 0, max(len(rk) - 1, 0))
+        hit = (rk[pos_c] == lk) if len(rk) else np.zeros(len(lk), dtype=bool)
+        cols = {key: lg[key]}
+        for c in value_cols:
+            v = np.zeros(len(lk), dtype=np.int64)
+            if len(rk):
+                rv = rg.column(c).to_numpy(zero_copy_only=False)[order]
+                v[hit] = rv[pos_c[hit]]
+            cols[c] = pa.array(v, type=pa.int64())
+        return pa.table(cols)
+
+    return grouped.map_groups(attach, batch_format="pyarrow")
+
+
+def _read_documents(sf_dir: str, columns):
+    from osmwaterwayextractor_ray.sources.readers import read_pq
+
+    return read_pq(f"{sf_dir}/documents.parquet", columns=columns)

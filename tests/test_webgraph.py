@@ -1,0 +1,155 @@
+"""Web-graph operators (pipelines/webgraph.py) — brute-force references +
+block invariance. tests/test_oracle.py pins the SQL oracles; here the
+reference is an independent pure-Python implementation (dict/set loops),
+so the Ray pipeline and the SQL can't share a bug."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from osmwaterwayextractor_ray.pipelines import webgraph
+
+N_DOCS = 60
+
+
+def _make_docs(n=N_DOCS):
+    texts = [" ".join(["w"] * (1 + i % 5)) for i in range(n)]
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": "en",
+            "source": [f"s{i % 3}" for i in range(n)],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webgraph_docs")
+    _make_docs().to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _brute_edges(n=N_DOCS) -> set[tuple[int, int]]:
+    out = set()
+    for did in range(n):
+        for m, a in webgraph._LINK_RULES:
+            t = (did * m + a) % n
+            if t != did:
+                out.add((did, t))
+    return out
+
+
+def test_page_links_bruteforce(ray_session, corpus_dir):
+    got = set(
+        map(tuple, webgraph.page_links(corpus_dir).to_pandas().to_numpy().tolist())
+    )
+    assert got == _brute_edges()
+
+
+def test_link_stats_bruteforce(ray_session, corpus_dir):
+    edges = _brute_edges()
+    got = (
+        webgraph.link_stats(corpus_dir)
+        .to_pandas()
+        .sort_values("page_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        p = row["page_id"]
+        assert row["out_deg"] == sum(1 for s, _ in edges if s == p)
+        assert row["in_deg"] == sum(1 for _, d in edges if d == p)
+
+
+def _brute_pagerank(n=N_DOCS, iters=webgraph._PR_ITERS) -> dict[int, int]:
+    edges = _brute_edges()
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {v: webgraph._PR_SCALE // n for v in range(n)}
+    base = (15 * webgraph._PR_SCALE) // (100 * n)
+    for _ in range(iters):
+        sums = {v: 0 for v in range(n)}
+        for s, d in edges:
+            sums[d] += pr[s] // outdeg[s]
+        pr = {v: base + (85 * sums[v]) // 100 for v in range(n)}
+    return pr
+
+
+def test_pagerank_bruteforce(ray_session, corpus_dir):
+    got = webgraph.pagerank(corpus_dir).to_pandas()
+    want = _brute_pagerank()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        assert row["pr"] == want[row["page_id"]], row["page_id"]
+    # mass sanity: damped + dangling-drop never exceeds the initial mass
+    assert got["pr"].sum() <= webgraph._PR_SCALE
+
+
+def test_latest_snapshot_bruteforce(ray_session, corpus_dir):
+    got = (
+        webgraph.latest_snapshot(corpus_dir)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    docs = _make_docs()
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        n_caps = 1 + did % 3
+        c = n_caps - 1
+        t = text if c == 0 else f"{text} rev{c}"
+        rows.append(
+            (
+                f"https://site{did % webgraph._N_HOSTS}.test/p/{did:08d}",
+                webgraph._TS_BASE_US + did * 1_000_000 + c * webgraph._HOUR_US,
+                n_caps,
+                len(t),
+            )
+        )
+    want = pd.DataFrame(
+        rows, columns=["url", "latest_ts", "n_captures", "latest_len"]
+    ).sort_values("url").reset_index(drop=True)
+    got["latest_ts"] = got["latest_ts"].astype("datetime64[us]").astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "op", ["page_links", "link_stats", "pagerank", "latest_snapshot", "domain_stats"]
+)
+def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
+    fn = getattr(webgraph, op)
+    base = fn(corpus_dir).to_pandas()
+
+    real = webgraph._read_documents
+
+    def spread(sf_dir, columns):
+        import pyarrow as pa
+
+        ds = real(sf_dir, columns)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__blk", pa.array((ids * 2654435761) % 5, type=pa.int64())
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .sort("__blk")
+            .map_batches(lambda t: t.drop_columns(["__blk"]), batch_format="pyarrow")
+        )
+
+    monkeypatch.setattr(webgraph, "_read_documents", spread)
+    alt = fn(corpus_dir).to_pandas()
+    cols = list(base.columns)
+    assert list(alt.columns) == cols
+    pd.testing.assert_frame_equal(
+        alt.sort_values(cols).reset_index(drop=True),
+        base.sort_values(cols).reset_index(drop=True),
+    )
