@@ -150,16 +150,15 @@ def dup_span_stats(sf_dir: str):
     number of word positions covered by the union of those gram spans —
     the signal substring-level dedup thresholds on.
 
-    Plan (all bounded, no all-pairs):
+    Plan (all bounded, no all-pairs; THREE shuffles total):
       1. postings scan: (doc_id, pos, gram) string trigrams
-      2. gram document-frequency: distinct (gram, doc) -> grouped count
-         -> grams with df >= 2 (the shared-gram set)
+      2. shared-gram set in one gram-keyed shuffle: per-batch partial
+         distinct of (gram, doc), per-bucket dedupe + count, df >= 2
       3. semi-join postings against shared grams (bucketed lookup_join —
          one gram-hash shuffle, Arrow-native per bucket)
-      4. per-doc coverage: one doc-hash bucket shuffle, per-bucket numpy
-         segment reduction (sorted starts; union of fixed-width intervals
-         via clipped consecutive gaps)
-      5. left-attach onto the per-doc base stats with zero-fill
+      4. coverage + attach in one doc-keyed cogroup: per-doc numpy
+         interval-union reduction (sorted starts; clipped consecutive
+         gaps) computed inside the zero-fill attach kernel
 
     Output: (doc_id, n_words, n_gram_positions, n_dup_positions,
     n_covered_words) — all exact integers, full SQL oracle."""
@@ -187,22 +186,37 @@ def dup_span_stats(sf_dir: str):
         postings, batch_format="pyarrow", batch_size=8192
     )
 
-    # document frequency per gram; positions within one doc never repeat a
-    # (gram,pos) pair but a gram CAN repeat within a doc — distinct first
-    from osmwaterwayextractor_ray.stages.fastagg import distinct
-
-    gram_doc = distinct(
-        post.map_batches(lambda t: t.select(["gram", "doc_id"]), batch_format="pyarrow"),
-        ["gram", "doc_id"],
-        num_parts=num_parts,
-    )
-    df = grouped_agg(gram_doc, ["gram"], {"df": ("doc_id", "count")}, num_parts=num_parts)
-
+    # document frequency per gram in ONE gram-keyed shuffle: per-batch
+    # partial distinct of (gram, doc) pairs (a gram CAN repeat within a
+    # doc), then a per-bucket dedupe + count + df>=2 filter — fusing the
+    # former distinct + grouped_agg pair (two shuffles) into one
     import pyarrow.compute as pc
 
-    shared = df.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["gram"]),
-        batch_format="pyarrow",
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
+
+    def gramdoc_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["gram", "doc_id"])
+            .group_by(["gram", "doc_id"], use_threads=False)
+            .aggregate([])
+        )
+        return t.append_column(
+            "__part", pa.array(_bucket_tbl(t, ["gram"], num_parts), type=pa.int64())
+        )
+
+    def shared_grams(g: pa.Table) -> pa.Table:
+        pairs = (
+            g.select(["gram", "doc_id"])
+            .group_by(["gram", "doc_id"], use_threads=False)
+            .aggregate([])
+        )
+        df = pairs.group_by(["gram"], use_threads=False).aggregate([("doc_id", "count")])
+        return df.filter(pc.greater_equal(df["doc_id_count"], 2)).select(["gram"])
+
+    shared = (
+        post.map_batches(gramdoc_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(shared_grams, batch_format="pyarrow")
     )
 
     # semi-join: keep postings whose gram is shared (right side unique)
@@ -214,43 +228,6 @@ def dup_span_stats(sf_dir: str):
         post, shared, "gram", "gram", take_cols={},
         num_parts=num_parts, left_schema=post_schema, right_schema=shared_schema,
     ).map_batches(lambda t: t.select(["doc_id", "pos"]), batch_format="pyarrow")
-
-    # per-doc coverage: bucket by doc hash, numpy segment reduction
-    def tag(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_parts)
-        return batch.append_column("__part", pa.array(part.astype(np.int64), type=pa.int64()))
-
-    def coverage(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = g.column("pos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((pos, ids))
-        ids, pos = ids[order], pos[order]
-        seg = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
-        n_dup = np.diff(np.r_[seg, len(ids)])
-        # union of [pos, pos+N-1] intervals per doc: clipped consecutive
-        # gaps + N for each doc's last interval
-        gap = np.minimum(pos[1:] - pos[:-1], _SPAN_N)
-        same = ids[1:] == ids[:-1]
-        contrib = np.where(same, gap, 0).astype(np.int64)
-        covered = np.add.reduceat(np.r_[contrib, 0], seg) + _SPAN_N
-        if len(seg) > 1:
-            # reduceat over contrib includes the boundary entry between
-            # docs only when same==False contributes 0 — already handled
-            pass
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[seg], type=pa.int64()),
-                "n_dup_positions": pa.array(n_dup, type=pa.int64()),
-                "n_covered_words": pa.array(covered, type=pa.int64()),
-            }
-        )
-
-    dup_stats = (
-        dup_post.map_batches(tag, batch_format="pyarrow", batch_size=65536)
-        .groupby("__part")
-        .map_groups(coverage, batch_format="pyarrow")
-    )
 
     # base stats (second streaming scan — cheaper than pinning the corpus)
     def base(batch: pa.Table) -> pa.Table:
@@ -270,36 +247,46 @@ def dup_span_stats(sf_dir: str):
         base, batch_format="pyarrow", batch_size=8192
     )
 
-    # left-attach dup stats with zero-fill (dup_stats unique per doc_id)
+    # coverage + attach in ONE doc-keyed shuffle: co-group the base stats
+    # with the RAW duplicated positions and run the numpy interval-union
+    # reduction inside the attach kernel (formerly a separate doc-hash
+    # groupby produced per-doc stats that a second cogroup then attached)
     from osmwaterwayextractor_ray.stages.fastagg import cogroup
 
     base_schema = pa.schema(
         [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_gram_positions", pa.int64())]
     )
-    dup_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_dup_positions", pa.int64()), ("n_covered_words", pa.int64())]
-    )
+    pos_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
     grouped, split = cogroup(
-        base_ds, dup_stats, ["doc_id"], num_parts=num_parts,
-        left_schema=base_schema, right_schema=dup_schema,
+        base_ds, dup_post, ["doc_id"], num_parts=num_parts,
+        left_schema=base_schema, right_schema=pos_schema,
     )
 
     def attach(g: pa.Table) -> pa.Table:
         lg, rg = split(g)
         lk = lg.column("doc_id").to_numpy(zero_copy_only=False)
-        rk = rg.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(rk)
-        rk = rk[order]
-        idx = np.searchsorted(rk, lk)
-        idx_c = np.clip(idx, 0, max(len(rk) - 1, 0))
-        hit = (len(rk) > 0) & (rk[idx_c] == lk) if len(rk) else np.zeros(len(lk), bool)
         nd = np.zeros(len(lk), dtype=np.int64)
         nc = np.zeros(len(lk), dtype=np.int64)
-        if len(rk):
-            rdn = rg.column("n_dup_positions").to_numpy(zero_copy_only=False)[order]
-            rcv = rg.column("n_covered_words").to_numpy(zero_copy_only=False)[order]
-            nd[hit] = rdn[idx_c[hit]]
-            nc[hit] = rcv[idx_c[hit]]
+        if len(rg):
+            ids = rg.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = rg.column("pos").to_numpy(zero_copy_only=False)
+            order = np.lexsort((pos, ids))
+            ids, pos = ids[order], pos[order]
+            seg = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+            n_dup = np.diff(np.r_[seg, len(ids)])
+            # union of [pos, pos+N-1] intervals per doc: clipped
+            # consecutive gaps + N for each doc's last interval (the
+            # cross-doc boundary entries are zeroed by `same`)
+            gap = np.minimum(pos[1:] - pos[:-1], _SPAN_N)
+            same = ids[1:] == ids[:-1]
+            contrib = np.where(same, gap, 0).astype(np.int64)
+            covered = np.add.reduceat(np.r_[contrib, 0], seg) + _SPAN_N
+            rk = ids[seg]
+            idx = np.searchsorted(rk, lk)
+            idx_c = np.clip(idx, 0, max(len(rk) - 1, 0))
+            hit = rk[idx_c] == lk
+            nd[hit] = n_dup[idx_c[hit]]
+            nc[hit] = covered[idx_c[hit]]
         return pa.table(
             {
                 "doc_id": lg["doc_id"],
