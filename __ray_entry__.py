@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": webgraph.pagerank,
         "latest_snapshot": webgraph.latest_snapshot,
         "domain_stats": webgraph.domain_stats,
+        "anchor_text": webgraph.anchor_text,
+        "host_graph": webgraph.host_graph,
+        "url_dedup": webgraph.url_dedup,
+        "snapshot_diff": webgraph.snapshot_diff,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -268,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": webgraph.PAGERANK_SQL,
         "latest_snapshot": webgraph.LATEST_SNAPSHOT_SQL,
         "domain_stats": webgraph.DOMAIN_STATS_SQL,
+        "anchor_text": webgraph.ANCHOR_TEXT_SQL,
+        "host_graph": webgraph.HOST_GRAPH_SQL,
+        "url_dedup": webgraph.URL_DEDUP_SQL,
+        "snapshot_diff": webgraph.SNAPSHOT_DIFF_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,

@@ -87,7 +87,8 @@ def synth_linked_pages(sf_dir: str, n_docs: int):
             hosts.append(host)
             anchors = "".join(
                 f'<a href="https://site{((did * m + a) % n_docs) % _N_HOSTS}.test'
-                f'/p/{(did * m + a) % n_docs:08d}">l</a>'
+                f'/p/{(did * m + a) % n_docs:08d}">'
+                f"a{(did * 3 + (did * m + a) % n_docs) % 101}</a>"
                 for m, a in _LINK_RULES
             )
             htmls.append(
@@ -539,6 +540,328 @@ p AS (
 )
 SELECT p.host, p.n_pages, p.sum_chars, l.n_out_links, l.n_cross_links
 FROM p JOIN l USING (host)
+"""
+
+
+# --------------------------------------------------------------------------
+# anchor-text aggregation (wave 7)
+# --------------------------------------------------------------------------
+
+_ANCHOR_RE = re.compile(rb'<a href="https://site\d+\.test/p/(\d{8})">([^<]*)</a>')
+
+
+def _mult_part(ids: np.ndarray, num_parts: int) -> np.ndarray:
+    """Multiplicative int64 hash -> partition id (dense ids would otherwise
+    bucket on their low bits; same device as the detect/cluster kernels)."""
+    h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(num_parts)).astype(np.int64)
+
+
+def anchor_text(sf_dir: str):
+    """Inbound anchor-text aggregation — the classic web-corpus enrichment
+    step (anchor text of links INTO a page describes the page). Per target
+    page over non-self links: total inbound anchors, distinct anchor
+    strings, lexicographically smallest anchor. One hash shuffle on
+    dst_page; per-bucket lexsort + reduceat (no per-row Python)."""
+    n_docs = _n_docs(sf_dir)
+    pages = synth_linked_pages(sf_dir, n_docs)
+    num_parts = 16
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = batch.column("page_id").to_numpy(zero_copy_only=False)
+        htmls = batch.column("html").to_pylist()
+        dst, anc = [], []
+        for did, html in zip(ids.tolist(), htmls):
+            for m in _ANCHOR_RE.finditer(html or b""):
+                t = int(m.group(1))
+                if t != did:
+                    dst.append(t)
+                    anc.append(m.group(2).decode())
+        d = np.asarray(dst, dtype=np.int64)
+        return pa.table(
+            {
+                "dst_page": pa.array(d, type=pa.int64()),
+                "anchor": pa.array(anc, type=pa.string()),
+                "__part": pa.array(_mult_part(d, num_parts), type=pa.int64()),
+            }
+        )
+
+    def agg(g: pa.Table) -> pa.Table:
+        d = g.column("dst_page").to_numpy(zero_copy_only=False)
+        a = np.asarray(g.column("anchor").to_pylist(), dtype=object)
+        order = np.lexsort((a, d))
+        d_s, a_s = d[order], a[order]
+        new_dst = np.r_[True, d_s[1:] != d_s[:-1]]
+        starts = np.flatnonzero(new_dst)
+        counts = np.diff(np.r_[starts, len(d_s)])
+        new_pair = np.r_[True, (d_s[1:] != d_s[:-1]) | (a_s[1:] != a_s[:-1])]
+        uniq = np.add.reduceat(new_pair.astype(np.int64), starts)
+        return pa.table(
+            {
+                "dst_page": pa.array(d_s[starts], type=pa.int64()),
+                "n_anchors": pa.array(counts, type=pa.int64()),
+                "n_unique_anchors": pa.array(uniq, type=pa.int64()),
+                "top_anchor": pa.array(a_s[starts].tolist(), type=pa.string()),
+            }
+        )
+
+    return (
+        pages.map_batches(parse, batch_format="pyarrow", batch_size=1024)
+        .groupby("__part")
+        .map_groups(agg, batch_format="pyarrow")
+    )
+
+
+ANCHOR_TEXT_SQL = f"""
+WITH {_EDGES_CTE},
+anchors AS (
+  SELECT dst_page,
+         'a' || CAST((src_page * 3 + dst_page) % 101 AS VARCHAR) AS anchor
+  FROM raw WHERE src_page <> dst_page
+)
+SELECT dst_page, count(*) AS n_anchors,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_unique_anchors,
+       min(anchor) AS top_anchor
+FROM anchors GROUP BY dst_page
+"""
+
+
+# --------------------------------------------------------------------------
+# host-level link graph with reciprocity (wave 7)
+# --------------------------------------------------------------------------
+
+
+def host_graph(sf_dir: str):
+    """Host-pair rollup of the distinct page-level edge list with the
+    reciprocal count attached: (src_host, dst_host, n_edges, n_reverse).
+    The reverse direction is attached WITHOUT a join — each host pair is
+    emitted twice (forward carrying n_edges, swapped carrying n_reverse)
+    and one grouped sum folds them; rows that only existed as reversals
+    (n_edges = 0) are dropped at the end. Two shuffles total, both over
+    pre-aggregated host pairs (O(hosts^2) rows, not O(edges))."""
+    import pyarrow.compute as pc
+
+    n_docs = _n_docs(sf_dir)
+    raw = _extract_links(synth_linked_pages(sf_dir, n_docs))
+    nonself = raw.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src_page"], t["dst_page"])),
+        batch_format="pyarrow",
+    )
+    edges = distinct(
+        nonself, ["src_page", "dst_page", "src_host", "dst_host"], num_parts=16
+    )
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        ones = np.ones(len(t), dtype=np.int64)
+        zeros = np.zeros(len(t), dtype=np.int64)
+        fwd = pa.table(
+            {
+                "src_host": t["src_host"],
+                "dst_host": t["dst_host"],
+                "ne": pa.array(ones, type=pa.int64()),
+                "nr": pa.array(zeros, type=pa.int64()),
+            }
+        )
+        rev = pa.table(
+            {
+                "src_host": t["dst_host"],
+                "dst_host": t["src_host"],
+                "ne": pa.array(zeros, type=pa.int64()),
+                "nr": pa.array(ones, type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([fwd, rev])
+
+    pairs = grouped_agg(
+        edges.map_batches(both_directions, batch_format="pyarrow"),
+        ["src_host", "dst_host"],
+        {"n_edges": ("ne", "sum"), "n_reverse": ("nr", "sum")},
+        num_parts=8,
+    )
+    return pairs.map_batches(
+        lambda t: t.filter(pc.greater(t["n_edges"], 0)), batch_format="pyarrow"
+    )
+
+
+HOST_GRAPH_SQL = f"""
+WITH {_EDGES_CTE},
+hp AS (
+  SELECT 'site' || CAST(src_page % {_N_HOSTS} AS VARCHAR) || '.test' AS src_host,
+         'site' || CAST(dst_page % {_N_HOSTS} AS VARCHAR) || '.test' AS dst_host,
+         count(*) AS n_edges
+  FROM edges GROUP BY 1, 2
+)
+SELECT a.src_host, a.dst_host, a.n_edges,
+       CAST(coalesce(b.n_edges, 0) AS BIGINT) AS n_reverse
+FROM hp a LEFT JOIN hp b
+  ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+"""
+
+
+# --------------------------------------------------------------------------
+# url canonicalization + variant dedup (wave 7)
+# --------------------------------------------------------------------------
+
+
+def canonicalize_urls(urls) -> pa.Array:
+    """Vectorized URL canonicalization (pyarrow/RE2 kernels, no Python
+    loop): strip #fragment, drop utm_* query params (and any dangling
+    ?/&), lowercase scheme+host, upgrade http->https, strip trailing
+    slashes from the path. Non-URL strings pass through unchanged."""
+    import pyarrow.compute as pc
+
+    u = pc.replace_substring_regex(urls, r"#.*$", "")
+    u = pc.replace_substring_regex(u, r"utm_[^&#]*&?", "")
+    u = pc.replace_substring_regex(u, r"[?&]+$", "")
+    parts = pc.extract_regex(
+        u, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
+    )
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    scheme = pc.replace_substring_regex(scheme, r"^http$", "https")
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    rest = pc.replace_substring_regex(pc.struct_field(parts, "rest"), r"/+$", "")
+    joined = pc.binary_join_element_wise(scheme, "://", host, rest, "")
+    out = pc.if_else(pc.is_valid(scheme), joined, u)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def synth_url_variants(sf_dir: str):
+    """Messy-URL table: doc_id gets 1 + doc_id % 3 raw variants of its
+    canonical url (clean; HTTP + capitalized host + trailing slash;
+    utm-tracking query + fragment) — the aliasing every crawl dedup
+    has to resolve."""
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        raw = []
+        for did in ids.tolist():
+            h = did % _N_HOSTS
+            base = f"site{h}.test/p/{did:08d}"
+            raw.append(f"https://{base}")
+            if did % 3 >= 1:
+                raw.append(f"HTTP://Site{h}.test/p/{did:08d}/")
+            if did % 3 >= 2:
+                raw.append(
+                    f"https://{base}?utm_source=s{did % 5}&utm_campaign=c{did % 7}"
+                    f"#sec{did % 11}"
+                )
+        return pa.table({"raw_url": pa.array(raw, type=pa.string())})
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=2048)
+
+
+def url_dedup(sf_dir: str):
+    """Canonicalize every raw URL variant, then count variants per
+    canonical url — one vectorized map + one hash-partitioned grouped
+    sum (fastagg partial/combine), no driver state."""
+    vs = synth_url_variants(sf_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": canonicalize_urls(t.column("raw_url")),
+                "one": pa.array(np.ones(len(t), np.int64), type=pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        vs.map_batches(canon, batch_format="pyarrow"),
+        ["url"],
+        {"n_variants": ("one", "sum")},
+        num_parts=16,
+    )
+
+
+URL_DEDUP_SQL = f"""
+SELECT 'https://site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test/p/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_variants
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-snapshot diff (wave 7)
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(sf_dir: str):
+    """Per-url diff of the two most recent captures: capture count, latest
+    and previous text lengths, and a status ('new' single-capture url,
+    'changed'/'unchanged' by content-length comparison). Same single
+    url-hash shuffle as latest_snapshot; per-bucket lexsort kernel."""
+    caps = synth_captures(sf_dir)
+    num_parts = 16
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = np.array(
+            [hash_url(u) % num_parts for u in batch.column("url").to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def diff(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        urls = np.asarray(g.column("url").to_pylist(), dtype=object)
+        ts = g.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tl = g.column("text_len").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, urls))
+        u_s, l_s = urls[order], tl[order]
+        starts = np.flatnonzero(np.r_[True, u_s[1:] != u_s[:-1]])
+        ends = np.r_[starts[1:], len(u_s)] - 1
+        n_caps = ends - starts + 1
+        latest_len = l_s[ends]
+        prev_len = np.where(n_caps > 1, l_s[np.maximum(ends - 1, 0)], 0)
+        status = np.where(
+            n_caps == 1,
+            "new",
+            np.where(latest_len != prev_len, "changed", "unchanged"),
+        )
+        return pa.table(
+            {
+                "url": pc.take(
+                    g.column("url").combine_chunks(),
+                    pa.array(order[ends], type=pa.int64()),
+                ),
+                "n_captures": pa.array(n_caps, type=pa.int64()),
+                "latest_len": pa.array(latest_len, type=pa.int64()),
+                "prev_len": pa.array(prev_len, type=pa.int64()),
+                "status": pa.array(status.tolist(), type=pa.string()),
+            }
+        )
+
+    return (
+        caps.map_batches(tag, batch_format="pyarrow", batch_size=8192)
+        .groupby("__part")
+        .map_groups(diff, batch_format="pyarrow")
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH caps AS (
+  SELECT 'https://site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test/p/'
+           || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_microseconds(doc_id * 1000000 + c.c * {_HOUR_US}) AS warc_ts,
+         CAST(length(text || CASE WHEN c.c = 0 THEN '' ELSE ' rev' || CAST(c.c AS VARCHAR) END) AS BIGINT) AS text_len
+  FROM documents, UNNEST([0, 1, 2]) AS c(c)
+  WHERE c.c < 1 + doc_id % 3
+),
+x AS (
+  SELECT url, text_len,
+         row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn,
+         count(*) OVER (PARTITION BY url) AS nc
+  FROM caps
+)
+SELECT a.url, CAST(a.nc AS BIGINT) AS n_captures, a.text_len AS latest_len,
+       CAST(coalesce(b.text_len, 0) AS BIGINT) AS prev_len,
+       CASE WHEN a.nc = 1 THEN 'new'
+            WHEN a.text_len <> b.text_len THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM x a LEFT JOIN x b ON a.url = b.url AND b.rn = 2
+WHERE a.rn = 1
 """
 
 

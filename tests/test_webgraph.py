@@ -119,8 +119,109 @@ def test_latest_snapshot_bruteforce(ray_session, corpus_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_anchor_text_bruteforce(ray_session, corpus_dir):
+    n = N_DOCS
+    want: dict[int, list[str]] = {}
+    for did in range(n):
+        for m, a in webgraph._LINK_RULES:
+            t = (did * m + a) % n
+            if t != did:
+                want.setdefault(t, []).append(f"a{(did * 3 + t) % 101}")
+    got = webgraph.anchor_text(corpus_dir).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        anchors = want[row["dst_page"]]
+        assert row["n_anchors"] == len(anchors)
+        assert row["n_unique_anchors"] == len(set(anchors))
+        assert row["top_anchor"] == min(anchors)
+
+
+def test_host_graph_bruteforce(ray_session, corpus_dir):
+    counts: dict[tuple[str, str], int] = {}
+    for s, d in _brute_edges():
+        key = (
+            f"site{s % webgraph._N_HOSTS}.test",
+            f"site{d % webgraph._N_HOSTS}.test",
+        )
+        counts[key] = counts.get(key, 0) + 1
+    got = webgraph.host_graph(corpus_dir).to_pandas()
+    assert len(got) == len(counts)
+    for _, row in got.iterrows():
+        key = (row["src_host"], row["dst_host"])
+        assert row["n_edges"] == counts[key]
+        assert row["n_reverse"] == counts.get((key[1], key[0]), 0)
+
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("https://site3.test/p/00000001", "https://site3.test/p/00000001"),
+    ("HTTP://Site3.test/p/00000001/", "https://site3.test/p/00000001"),
+    (
+        "https://site3.test/p/00000001?utm_source=s1&utm_campaign=c2#sec5",
+        "https://site3.test/p/00000001",
+    ),
+    # non-utm params survive, utm stripped from the middle
+    ("https://a.test/x?utm_x=1&q=2", "https://a.test/x?q=2"),
+    ("https://a.test/x?q=2&utm_x=1", "https://a.test/x?q=2"),
+    # fragment-only and slash-only tails
+    ("https://a.test/#top", "https://a.test"),
+    ("https://A.Test///", "https://a.test"),
+    # scheme is upgraded only for exactly http
+    ("ftp://a.test/f", "ftp://a.test/f"),
+    ("httpx://a.test/f", "httpx://a.test/f"),
+    # non-URL strings pass through
+    ("not a url", "not a url"),
+]
+
+
+def test_canonicalize_urls_cases():
+    import pyarrow as pa
+
+    raw = pa.array([r for r, _ in CANON_CASES], type=pa.string())
+    got = webgraph.canonicalize_urls(raw).to_pylist()
+    assert got == [c for _, c in CANON_CASES]
+
+
+def test_url_dedup_bruteforce(ray_session, corpus_dir):
+    got = webgraph.url_dedup(corpus_dir).to_pandas()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        did = int(row["url"].rsplit("/", 1)[1])
+        assert row["url"] == f"https://site{did % webgraph._N_HOSTS}.test/p/{did:08d}"
+        assert row["n_variants"] == 1 + did % 3
+
+
+def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
+    docs = _make_docs()
+    got = webgraph.snapshot_diff(corpus_dir).to_pandas()
+    assert len(got) == N_DOCS
+    by_url = {row["url"]: row for _, row in got.iterrows()}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        url = f"https://site{did % webgraph._N_HOSTS}.test/p/{did:08d}"
+        n_caps = 1 + did % 3
+        lens = [len(text if c == 0 else f"{text} rev{c}") for c in range(n_caps)]
+        row = by_url[url]
+        assert row["n_captures"] == n_caps
+        assert row["latest_len"] == lens[-1]
+        assert row["prev_len"] == (lens[-2] if n_caps > 1 else 0)
+        assert row["status"] == (
+            "new" if n_caps == 1 else ("changed" if lens[-1] != lens[-2] else "unchanged")
+        )
+
+
 @pytest.mark.parametrize(
-    "op", ["page_links", "link_stats", "pagerank", "latest_snapshot", "domain_stats"]
+    "op",
+    [
+        "page_links",
+        "link_stats",
+        "pagerank",
+        "latest_snapshot",
+        "domain_stats",
+        "anchor_text",
+        "host_graph",
+        "url_dedup",
+        "snapshot_diff",
+    ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webgraph, op)
