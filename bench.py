@@ -151,6 +151,19 @@ QUERY_SET = [
     "media_byte_stats",
     "media_resize",
     "media_frame_sample",
+    "pii_scrub",
+    "dup_span_stats",
+    "bm25_search",
+    "weighted_sample",
+    "page_links",
+    "link_stats",
+    "pagerank",
+    "latest_snapshot",
+    "domain_stats",
+    "anchor_text",
+    "host_graph",
+    "url_dedup",
+    "snapshot_diff",
 ]
 
 
