@@ -288,10 +288,81 @@ def main_headline_only():
     ray.shutdown()
 
 
+def _ep_burn(batch):
+    """CPU-bound numpy kernel (xorshift-style LCG sweeps): no I/O, no
+    shuffle, ~250 MB/s of pure register/vector work per task."""
+    import numpy as np
+
+    x = np.arange(1_000_000, dtype=np.uint64)
+    acc = np.uint64(0)
+    for _ in range(60):
+        x = x * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+        acc ^= x.sum()
+    return {"id": batch["id"], "acc": [int(acc)] * len(batch["id"])}
+
+
+def main_ep_probe():
+    """Host scaling ceiling probe: 256 INDEPENDENT CPU-bound numpy tasks
+    via map_batches — zero shuffles, zero barriers beyond the single map.
+    Whatever efficiency this measures between SCALE_LO and SCALE_HI is the
+    HOST's ceiling (hypervisor sharing / ambient tenancy), not the
+    engine's: no data-processing pipeline on this box can scale better
+    than an embarrassingly-parallel map. Run it in the same window as
+    --scaling to normalize the engine's ratio (BASELINE.md §3)."""
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", str(lo * 4)))
+    reps = int(os.environ.get("SCALE_REPS", "3"))
+    code = (
+        "import sys, time, json, ray\n"
+        "import bench\n"
+        "C = int(sys.argv[1])\n"
+        "ray.init(address='local', num_cpus=C, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "import ray.data\n"
+        "ds = ray.data.range(256, override_num_blocks=256)\n"
+        "ds.map_batches(bench._ep_burn, batch_size=1).count()\n"
+        "best = float('inf')\n"
+        "for _ in range(2):\n"
+        "    t0 = time.time()\n"
+        "    ds.map_batches(bench._ep_burn, batch_size=1).count()\n"
+        "    best = min(best, time.time() - t0)\n"
+        "print(json.dumps({'cpus': C, 'sec': round(best, 2)}))\n"
+        "ray.shutdown()\n"
+    )
+
+    def run(ncpu: int) -> float:
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(ncpu)],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=str(Path(__file__).resolve().parent),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])["sec"]
+
+    lo_secs, hi_secs = [], []
+    for _ in range(reps):  # interleaved, same reasoning as main_scaling
+        lo_secs.append(run(lo))
+        hi_secs.append(run(hi))
+    eff = (min(lo_secs) / min(hi_secs)) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": f"host EP ceiling (zero-shuffle map, {lo} vs {hi} cpus)",
+                f"sec_{lo}": lo_secs,
+                f"sec_{hi}": hi_secs,
+                "ep_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
     elif "--headline-only" in sys.argv:
         main_headline_only()
+    elif "--ep" in sys.argv:
+        main_ep_probe()
     else:
         main_plain()
