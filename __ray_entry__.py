@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textops,
         webgraph,
         webtext,
+        packing,
     )
 
     return {
@@ -158,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": textops.simhash_neardup,
         "langid_pred": textops.langid_pred,
         "winnow_counts": textops.winnow_counts,
+        "pack_sequences": packing.pack_sequences,
+        "pack_chunks": packing.pack_chunks,
         # --- web-scale curation ops (pipelines/webtext.py) ---
         "pii_scrub": webtext.pii_scrub,
         "dup_span_stats": webtext.dup_span_stats,
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         webgraph,
         webtext,
         embeddings,
+        packing,
     )
 
     return {
@@ -263,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": textops.DOC_REPETITION_SQL,
         "contamination_check": textops.CONTAMINATION_SQL,
         "bpe_token_stats": textops.BPE_TOKEN_STATS_SQL,
+        "pack_sequences": packing.PACK_SEQUENCES_SQL,
+        "pack_chunks": packing.PACK_CHUNKS_SQL,
         "pii_scrub": webtext.PII_SCRUB_SQL,
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,

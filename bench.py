@@ -164,6 +164,8 @@ QUERY_SET = [
     "host_graph",
     "url_dedup",
     "snapshot_diff",
+    "pack_sequences",
+    "pack_chunks",
 ]
 
 
