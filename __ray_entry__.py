@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": webtext.dup_span_stats,
         "bm25_search": webtext.bm25_search,
         "weighted_sample": webtext.weighted_sample,
+        "lm_quality": webtext.lm_quality,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
+        "lm_quality": webtext.LM_QUALITY_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,

@@ -166,6 +166,7 @@ QUERY_SET = [
     "snapshot_diff",
     "pack_sequences",
     "pack_chunks",
+    "lm_quality",
 ]
 
 

@@ -501,6 +501,166 @@ WHERE (doc_id * {_WS_HASH_MULT}) % 4294967296 < n_chars * {_WS_SCALE}
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram LM quality scoring (wave 7)
+# ---------------------------------------------------------------------------
+
+_LM_SLICE_MOD = 10  # LM trains on docs with doc_id % 10 == 0
+_LM_V_CAP = 65536  # vocabulary cap (count desc, token asc tie-break)
+_LM_SCALE = 1_000_000  # micro-nats per token cost unit
+
+
+def lm_quality(sf_dir: str):
+    """Unigram language-model quality scoring — the classic perplexity
+    filter shape: train unigram counts on a deterministic slice
+    (doc_id % 10 == 0), keep the top-V vocabulary, broadcast the
+    per-token cost table, and score every document in one streaming
+    pass. Costs are INTEGER micro-nats (floor(-ln(c/T)·1e6), OOV =
+    floor(ln(T+1)·1e6), both computed with libm log on scalar doubles in
+    engine AND oracle), so per-doc sums are exact int64 and the result
+    is bit-identical under any block structure.
+
+    Shape: one token-hash shuffle over the SLICE's (token, count)
+    partials (grouped_agg); the counts table is pinned (WWX_PIN_MODE)
+    and consumed twice — per-block partial top-V + O(V) driver merge
+    (the heavy_users exact plan) and the O(distinct) total T; the corpus
+    side then streams with a vectorized pc.index_in membership lookup
+    against the broadcast vocab (no corpus shuffle). At 100 TB the
+    vocab cap bounds the broadcast; the counts shuffle moves O(distinct
+    tokens in the slice), not the corpus. Returns (doc_id, n_tokens,
+    lm_cost, n_oov) for docs with >= 1 token."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def slice_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        toks: list[str] = []
+        for did, t in zip(ids.tolist(), texts):
+            if did % _LM_SLICE_MOD == 0:
+                toks.extend(tokenize(t))
+        tbl = pa.table({"tok": pa.array(toks, type=pa.string())})
+        return tbl.group_by("tok", use_threads=False).aggregate([("tok", "count")]).rename_columns(["tok", "n"])
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(slice_partial, batch_format="pyarrow", batch_size=8192),
+            ["tok"],
+            {"c": ("n", "sum")},
+            num_parts=16,
+        ),
+        "lm_quality_counts",
+    )
+
+    # total slice tokens T: exact int64 over ALL counts (vocab + tail)
+    from ray.data.aggregate import Sum
+
+    T = int(counts.aggregate(Sum("c", alias_name="t"))["t"])
+
+    def partial_topv(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tok, -c))[:_LM_V_CAP]
+        return pa.table(
+            {
+                "tok": pa.array(tok[o].tolist(), type=pa.string()),
+                "c": pa.array(c[o], type=pa.int64()),
+            }
+        )
+
+    pdf = counts.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    tok_all = pdf["tok"].to_numpy(dtype=object)
+    c_all = pdf["c"].to_numpy(dtype=np.int64)
+    o = np.lexsort((tok_all, -c_all))[:_LM_V_CAP]
+    vocab_tok, vocab_c = tok_all[o], c_all[o]
+    # libm log on scalar doubles — matches DuckDB's ln() bit-for-bit
+    q_vals = np.fromiter(
+        (math.floor(-math.log(int(c) / T) * _LM_SCALE) for c in vocab_c),
+        dtype=np.int64,
+        count=len(vocab_c),
+    )
+    q_oov = math.floor(math.log(T + 1) * _LM_SCALE)
+    ref = ray.put((pa.array(vocab_tok.tolist(), type=pa.string()), q_vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_arr, qv_tab = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        flat: list[str] = []
+        nt = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tk = tokenize(t)
+            nt[i] = len(tk)
+            flat.extend(tk)
+        keep = nt > 0
+        ids_k, nt_k = ids[keep], nt[keep]
+        if not len(ids_k):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "lm_cost": pa.array([], type=pa.int64()),
+                    "n_oov": pa.array([], type=pa.int64()),
+                }
+            )
+        idx = pc.index_in(pa.array(flat, type=pa.string()), value_set=vocab_arr)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        qv = np.where(iv >= 0, qv_tab[np.maximum(iv, 0)], q_oov)
+        oov = (iv < 0).astype(np.int64)
+        starts = np.cumsum(nt_k) - nt_k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_k, type=pa.int64()),
+                "n_tokens": pa.array(nt_k, type=pa.int64()),
+                "lm_cost": pa.array(np.add.reduceat(qv, starts), type=pa.int64()),
+                "n_oov": pa.array(np.add.reduceat(oov, starts), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+LM_QUALITY_SQL = f"""
+WITH slice_toks AS (
+  SELECT u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+  WHERE doc_id % {_LM_SLICE_MOD} = 0
+),
+counts AS (SELECT tok, count(*) AS c FROM slice_toks GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM counts),
+vocab AS (SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {_LM_V_CAP}),
+q AS (
+  SELECT tok,
+         CAST(floor(-ln(CAST(c AS DOUBLE) / T) * {_LM_SCALE}) AS BIGINT) AS q
+  FROM vocab, tot
+),
+oovq AS (
+  SELECT CAST(floor(ln(CAST(T + 1 AS DOUBLE)) * {_LM_SCALE}) AS BIGINT) AS q
+  FROM tot
+),
+doc_toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+)
+SELECT d.doc_id, count(*) AS n_tokens,
+       CAST(sum(coalesce(q.q, (SELECT q FROM oovq))) AS BIGINT) AS lm_cost,
+       CAST(sum(CASE WHEN q.q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM doc_toks d LEFT JOIN q ON d.tok = q.tok
+GROUP BY d.doc_id
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

@@ -43,6 +43,9 @@ def _make_corpus(n=80, seed=11):
     rows.append((n + 3, "aa aa aa aa aa aa"))  # self-repeat only
     rows.append((n + 4, "scan merge"))  # < 3 words -> no grams
     rows.append((n + 5, ""))
+    # OOV plant for lm_quality: doc_id 86 (% 10 != 0, outside the LM
+    # training slice) carries words no slice doc can contain
+    rows.append((n + 6, "zzuniq qquniq scan"))
     df = pd.DataFrame(rows, columns=["doc_id", "text"])
     df["source"] = [f"s{i % 3}" for i in range(len(df))]
     df["n_chars"] = df["text"].str.len().astype(np.int64)
@@ -220,12 +223,47 @@ def test_weighted_sample_rule(ray_session, corpus_dir):
     assert 0 < len(got) < len(df)  # the corpus exercises both branches
 
 
+def test_lm_quality_bruteforce(ray_session, corpus_dir):
+    import math
+
+    docs = _make_corpus()
+    # independent pure-python LM (counts/dicts, no numpy/arrow)
+    counts: dict[str, int] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        if did % webtext._LM_SLICE_MOD == 0:
+            for t in text.split():
+                counts[t] = counts.get(t, 0) + 1
+    T = sum(counts.values())
+    vocab = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: webtext._LM_V_CAP]
+    q = {t: math.floor(-math.log(c / T) * webtext._LM_SCALE) for t, c in vocab}
+    q_oov = math.floor(math.log(T + 1) * webtext._LM_SCALE)
+
+    got = webtext.lm_quality(corpus_dir).to_pandas()
+    want_rows = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        if not toks:
+            continue
+        cost = sum(q.get(t, q_oov) for t in toks)
+        oov = sum(1 for t in toks if t not in q)
+        want_rows[did] = (len(toks), cost, oov)
+    assert len(got) == len(want_rows)
+    saw_oov = 0
+    for _, row in got.iterrows():
+        nt, cost, oov = want_rows[row["doc_id"]]
+        assert (row["n_tokens"], row["lm_cost"], row["n_oov"]) == (nt, cost, oov)
+        saw_oov += oov
+    # the fixture must actually exercise the OOV path (docs outside the
+    # slice contain words the slice never saw) or this test proves nothing
+    assert saw_oov > 0
+
+
 # ---------------------------------------------------------------------------
 # block-structure invariance: 7 shuffled blocks == 1 block
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize(
-    "op", ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample"]
+    "op", ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample", "lm_quality"]
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
