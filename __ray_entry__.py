@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": webgraph.host_graph,
         "url_dedup": webgraph.url_dedup,
         "snapshot_diff": webgraph.snapshot_diff,
+        "link_components": webgraph.link_components,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "host_graph": webgraph.HOST_GRAPH_SQL,
         "url_dedup": webgraph.URL_DEDUP_SQL,
         "snapshot_diff": webgraph.SNAPSHOT_DIFF_SQL,
+        "link_components": webgraph.LINK_COMPONENTS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,

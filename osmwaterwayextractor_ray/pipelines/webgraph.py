@@ -782,6 +782,71 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# connected components over a sparse link-graph slice (wave 7)
+# --------------------------------------------------------------------------
+
+_CC_MOD = 13  # keep edges with (src+dst) % 13 == 0: mean degree ~0.46,
+# below the giant-component threshold, so components stay small and the
+# recursive-CTE oracle's reach table stays bounded
+
+
+def link_components(sf_dir: str):
+    """Weakly-connected components over a sparse slice of the page link
+    graph ((src+dst) % 13 == 0 edges — the sub-percolation regime where
+    component structure is non-trivial), singletons mapped to themselves.
+    Reuses the snap-clustering machinery: per-partition union-find +
+    O(boundary) driver closure (stages/components.py), then one
+    partitioned left join fills singletons. Nothing O(pages) on the
+    driver."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.components import connected_components
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+
+    n_docs = _n_docs(sf_dir)
+    edges = _edge_list(sf_dir, n_docs)
+
+    def keep_sparse(t: pa.Table) -> pa.Table:
+        s = t.column("src_page").to_numpy(zero_copy_only=False)
+        d = t.column("dst_page").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((s + d) % _CC_MOD == 0))
+
+    sparse = edges.map_batches(keep_sparse, batch_format="pyarrow")
+    assigns = connected_components(
+        sparse, "src_page", "dst_page", out_node="doc_id", out_comp="component"
+    )
+    docs = _read_documents(sf_dir, ["doc_id"])
+    joined = hash_join(docs, assigns, on=["doc_id"], how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # unmatched pages are singletons: component = own id (miss marker
+        # may be an Arrow null or a pandas-path NaN — same as dedup_clusters)
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        cf = pc.cast(batch.column("component"), pa.float64(), safe=False)
+        miss = pc.or_kleene(pc.is_null(cf), pc.is_nan(cf))
+        c = pc.cast(pc.if_else(miss, pc.cast(d, pa.float64()), cf), pa.int64())
+        return pa.table({"page_id": d, "component": c})
+
+    return joined.map_batches(fill, batch_format="pyarrow", batch_size=65536)
+
+
+LINK_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+sp AS (
+  SELECT src_page AS a, dst_page AS b FROM edges
+  WHERE (src_page + dst_page) % {_CC_MOD} = 0
+),
+und AS (SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp),
+reach(d, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.l FROM reach r JOIN und e ON e.b = r.d
+)
+SELECT d AS page_id, CAST(MIN(l) AS BIGINT) AS component FROM reach GROUP BY d
+"""
+
+
+# --------------------------------------------------------------------------
 # cross-snapshot diff (wave 7)
 # --------------------------------------------------------------------------
 

@@ -191,6 +191,36 @@ def test_url_dedup_bruteforce(ray_session, corpus_dir):
         assert row["n_variants"] == 1 + did % 3
 
 
+def test_link_components_bruteforce(ray_session, corpus_dir):
+    # sequential union-find over the sparse edge slice
+    parent = list(range(N_DOCS))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_edges = 0
+    for s, d in _brute_edges():
+        if (s + d) % webgraph._CC_MOD == 0:
+            n_edges += 1
+            a, b = find(s), find(d)
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+    # min-id labels
+    want = {}
+    for v in range(N_DOCS):
+        r = find(v)
+        want.setdefault(r, []).append(v)
+    label = {v: min(members) for r, members in want.items() for v in members}
+    assert n_edges > 0  # the fixture must exercise real merges
+    got = webgraph.link_components(corpus_dir).to_pandas()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        assert row["component"] == label[row["page_id"]], row["page_id"]
+
+
 def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
     docs = _make_docs()
     got = webgraph.snapshot_diff(corpus_dir).to_pandas()
@@ -221,6 +251,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "host_graph",
         "url_dedup",
         "snapshot_diff",
+        "link_components",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
