@@ -705,21 +705,29 @@ FROM hp a LEFT JOIN hp b
 
 def canonicalize_urls(urls) -> pa.Array:
     """Vectorized URL canonicalization (pyarrow/RE2 kernels, no Python
-    loop): strip #fragment, drop utm_* query params (and any dangling
-    ?/&), lowercase scheme+host, upgrade http->https, strip trailing
-    slashes from the path. Non-URL strings pass through unchanged."""
+    loop): strip #fragment, drop utm_* query params, lowercase
+    scheme+host, upgrade http->https, strip trailing slashes and dangling
+    ?/& junk. Non-URL strings pass through deterministically.
+
+    The rule chain is IDEMPOTENT for arbitrary input (pinned by a
+    hypothesis property test): the utm strip keeps its [?&] anchor (so a
+    global RE2 pass removes every anchored occurrence and cannot splice a
+    new one — the following char after a maximal [^&#]* run is &/#/end,
+    never 'utm_'), separator runs left behind collapse in one pass, and
+    the single trailing [/?&]+ rule leaves an end character outside its
+    own class."""
     import pyarrow.compute as pc
 
     u = pc.replace_substring_regex(urls, r"#.*$", "")
-    u = pc.replace_substring_regex(u, r"utm_[^&#]*&?", "")
-    u = pc.replace_substring_regex(u, r"[?&]+$", "")
+    u = pc.replace_substring_regex(u, r"([?&])utm_[^&#]*", r"\1")
+    u = pc.replace_substring_regex(u, r"([?&])&+", r"\1")
     parts = pc.extract_regex(
         u, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#]*)(?P<rest>.*)$"
     )
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
     scheme = pc.replace_substring_regex(scheme, r"^http$", "https")
     host = pc.utf8_lower(pc.struct_field(parts, "host"))
-    rest = pc.replace_substring_regex(pc.struct_field(parts, "rest"), r"/+$", "")
+    rest = pc.replace_substring_regex(pc.struct_field(parts, "rest"), r"[/?&]+$", "")
     joined = pc.binary_join_element_wise(scheme, "://", host, rest, "")
     out = pc.if_else(pc.is_valid(scheme), joined, u)
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out

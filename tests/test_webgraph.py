@@ -182,6 +182,31 @@ def test_canonicalize_urls_cases():
     assert got == [c for _, c in CANON_CASES]
 
 
+def test_canonicalize_urls_idempotent_hypothesis():
+    """Canonicalization must be a projection: canon(canon(x)) == canon(x)
+    for ANY string (canonicalizers classically fail this on inputs where
+    one rewrite exposes another)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    piece = st.sampled_from(
+        ["http://", "HTTPS://", "hTTp://", "Site9.TEST", "a.b", "/p/1", "/",
+         "//", "?", "&", "#frag", "utm_x=1", "q=2", "utm_", "#", "x y", ""]
+    )
+    urls = st.lists(piece, min_size=0, max_size=8).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=20))
+    def run(batch):
+        arr = pa.array(batch, type=pa.string())
+        once = webgraph.canonicalize_urls(arr)
+        twice = webgraph.canonicalize_urls(once)
+        assert once.to_pylist() == twice.to_pylist()
+
+    run()
+
+
 def test_url_dedup_bruteforce(ray_session, corpus_dir):
     got = webgraph.url_dedup(corpus_dir).to_pandas()
     assert len(got) == N_DOCS
