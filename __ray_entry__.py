@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": webtext.bm25_search,
         "weighted_sample": webtext.weighted_sample,
         "lm_quality": webtext.lm_quality,
+        "line_dedup": webtext.line_dedup,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -276,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": webtext.BM25_SEARCH_SQL,
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
         "lm_quality": webtext.LM_QUALITY_SQL,
+        "line_dedup": webtext.LINE_DEDUP_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,

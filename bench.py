@@ -167,6 +167,7 @@ QUERY_SET = [
     "pack_sequences",
     "pack_chunks",
     "lm_quality",
+    "line_dedup",
     "link_components",
 ]
 

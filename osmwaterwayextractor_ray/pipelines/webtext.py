@@ -661,6 +661,166 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (wave 8)
+# ---------------------------------------------------------------------------
+
+_LD_W = 6  # words per derived line
+_LD_K = 5  # a line occurring in >= K distinct docs is boilerplate
+
+# Planted boilerplate: the synthetic corpus is single-line word streams, so
+# lines are DERIVED deterministically (chunk the word list into _LD_W-word
+# lines) and docs with even doc_id get a prepended boilerplate line (5
+# variants) — the same pure-function planting device as _plant_pii. The
+# boilerplate string is exactly _LD_W words so the original text chunks the
+# same way with or without it.
+_LD_BOILER = "subscribe variant {v} newsletter now click"
+
+
+def line_dedup(sf_dir: str):
+    """Line-level exact dedup (RefinedWeb/CCNet-style boilerplate
+    removal): drop every line that occurs verbatim in >= _LD_K distinct
+    documents, and rebuild each document's text from its surviving lines
+    in order. Returns (doc_id, n_lines, n_removed, clean_text) — the
+    clean_text string is exact, so the oracle hash-compares it.
+
+    Plan (fully distributed, TWO shuffles, no driver state, no broadcast
+    smallness assumption — unlike the contamination screen there is no
+    bound on how many distinct boilerplate lines a 100 TB crawl has):
+      1. derive (doc_id, line_no, line) rows, hash-partition by LINE so
+         every occurrence of a line co-locates; per bucket, document
+         frequency via pyarrow's C++ hash aggregate and a keep flag via
+         pc.index_in against the bucket-local heavy set (exact: df is
+         global because the partition key is the line itself)
+      2. re-partition the flagged rows by DOC; per bucket, one lexsort +
+         reduceat pass computes per-doc counts and a LargeListArray +
+         pc.binary_join rebuilds clean_text vectorized (no per-row
+         Python string assembly)
+    Skew note: a planet-scale boilerplate line lands in one bucket, but
+    the kernel is linear (hash-agg + take) — no pairwise blow-up; the
+    doc-side shuffle is uniform in doc_id."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
+
+    num_parts = 16
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def lines(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out_id, out_no, out_line = [], [], []
+        for did, t in zip(ids.tolist(), texts):
+            ws = t.split(" ")
+            if did % 2 == 0:
+                ws = _LD_BOILER.format(v=did % 5).split(" ") + ws
+            for i in range(0, len(ws), _LD_W):
+                out_id.append(did)
+                out_no.append(i // _LD_W)
+                out_line.append(" ".join(ws[i : i + _LD_W]))
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "line_no": pa.array(out_no, type=pa.int64()),
+                "line": pa.array(out_line, type=pa.string()),
+            }
+        )
+        return t.append_column(
+            "__part", pa.array(_bucket_tbl(t, ["line"], num_parts), type=pa.int64())
+        )
+
+    line_rows = ds.map_batches(lines, batch_format="pyarrow", batch_size=8192)
+
+    def flag(g: pa.Table) -> pa.Table:
+        pairs = (
+            g.select(["line", "doc_id"])
+            .group_by(["line", "doc_id"], use_threads=False)
+            .aggregate([])
+        )
+        dfc = pairs.group_by(["line"], use_threads=False).aggregate(
+            [("doc_id", "count")]
+        )
+        heavy = dfc.filter(pc.greater_equal(dfc["doc_id_count"], _LD_K)).column("line")
+        if isinstance(heavy, pa.ChunkedArray):
+            heavy = heavy.combine_chunks()
+        keep = pc.is_null(pc.index_in(g.column("line"), value_set=heavy))
+        out = g.select(["doc_id", "line_no", "line"]).append_column("keep", keep)
+        return out.append_column(
+            "__part", pa.array(_bucket_tbl(out, ["doc_id"], num_parts), type=pa.int64())
+        )
+
+    flagged = line_rows.groupby("__part").map_groups(flag, batch_format="pyarrow")
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_lines": pa.array([], type=pa.int64()),
+                    "n_removed": pa.array([], type=pa.int64()),
+                    "clean_text": pa.array([], type=pa.string()),
+                }
+            )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        ln = g.column("line_no").to_numpy(zero_copy_only=False)
+        kp = g.column("keep").to_numpy(zero_copy_only=False).astype(bool)
+        line_col = g.column("line")
+        if isinstance(line_col, pa.ChunkedArray):
+            line_col = line_col.combine_chunks()
+        order = np.lexsort((ln, ids))
+        ids, kp = ids[order], kp[order]
+        lines_sorted = line_col.take(pa.array(order, type=pa.int64()))
+        seg = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        n_lines = np.diff(np.r_[seg, len(ids)])
+        n_kept = np.add.reduceat(kp.astype(np.int64), seg)
+        kept_lines = lines_sorted.filter(pa.array(kp))
+        kept_ids = ids[kp]
+        uids = ids[seg]
+        offsets = np.r_[np.searchsorted(kept_ids, uids), len(kept_ids)]
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), kept_lines
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_removed": pa.array(n_lines - n_kept, type=pa.int64()),
+                "clean_text": pc.binary_join(lst, "\n"),
+            }
+        )
+
+    return flagged.groupby("__part").map_groups(rebuild, batch_format="pyarrow")
+
+
+LINE_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'subscribe variant ' || CAST(doc_id % 5 AS VARCHAR)
+                   || ' newsletter now click ' || text
+              ELSE text END AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS ws FROM base
+), l AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(ws[i*{_LD_W}+1:i*{_LD_W}+{_LD_W}], ' ') AS line
+  FROM w, UNNEST(range((len(ws) + {_LD_W - 1}) // {_LD_W})) AS t(i)
+), heavy AS (
+  SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= {_LD_K}
+), k AS (
+  SELECT l.doc_id, l.line_no, l.line, heavy.line IS NOT NULL AS hv
+  FROM l LEFT JOIN heavy USING (line)
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN hv THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN NOT hv THEN line END, chr(10)
+                           ORDER BY line_no), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

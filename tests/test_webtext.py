@@ -259,11 +259,57 @@ def test_lm_quality_bruteforce(ray_session, corpus_dir):
 
 
 # ---------------------------------------------------------------------------
+# line_dedup vs brute force
+# ---------------------------------------------------------------------------
+
+def _brute_line_dedup(df: pd.DataFrame) -> pd.DataFrame:
+    W, K = webtext._LD_W, webtext._LD_K
+    per_doc: dict[int, list[str]] = {}
+    freq: dict[str, set[int]] = {}
+    for did, text in zip(df["doc_id"], df["text"]):
+        ws = text.split(" ")
+        if did % 2 == 0:
+            ws = webtext._LD_BOILER.format(v=did % 5).split(" ") + ws
+        lines = [" ".join(ws[i : i + W]) for i in range(0, len(ws), W)]
+        per_doc[int(did)] = lines
+        for ln in set(lines):
+            freq.setdefault(ln, set()).add(int(did))
+    rows = []
+    for did, lines in per_doc.items():
+        kept = [ln for ln in lines if len(freq[ln]) < K]
+        rows.append((did, len(lines), len(lines) - len(kept), "\n".join(kept)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_lines", "n_removed", "clean_text"]
+    )
+
+
+def test_line_dedup_bruteforce(ray_session, corpus_dir):
+    got = (
+        webtext.line_dedup(corpus_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        _brute_line_dedup(_make_corpus())
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the fixture must exercise BOTH paths: planted boilerplate removed
+    # (every even doc loses its banner line) and clean docs untouched
+    assert int(want["n_removed"].sum()) >= want["doc_id"].nunique() // 2
+    assert (want["n_removed"] == 0).any()
+
+
+# ---------------------------------------------------------------------------
 # block-structure invariance: 7 shuffled blocks == 1 block
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize(
-    "op", ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample", "lm_quality"]
+    "op",
+    ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
+     "lm_quality", "line_dedup"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
