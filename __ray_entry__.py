@@ -168,6 +168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": webtext.weighted_sample,
         "lm_quality": webtext.lm_quality,
         "line_dedup": webtext.line_dedup,
+        "host_quota": webtext.host_quota,
+        "doc_length_hist": webtext.doc_length_hist,
+        "dsir_weights": webtext.dsir_weights,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -184,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk_ivf": embeddings.embed_topk_ivf,
         "embed_topk_pq": embeddings.embed_topk_pq,
         "kmeans_embeddings": embeddings.kmeans_embeddings,
+        "cluster_label_mix": embeddings.cluster_label_mix,
         "label_centroid_sums": embeddings.label_centroid_sums,
         "embed_neardup": embeddings.embed_neardup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
@@ -278,6 +282,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
         "lm_quality": webtext.LM_QUALITY_SQL,
         "line_dedup": webtext.LINE_DEDUP_SQL,
+        "host_quota": webtext.HOST_QUOTA_SQL,
+        "doc_length_hist": webtext.DOC_LENGTH_HIST_SQL,
+        "dsir_weights": webtext.DSIR_WEIGHTS_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,
@@ -290,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": webgraph.LINK_COMPONENTS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
+        "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
         "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,

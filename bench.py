@@ -169,6 +169,10 @@ QUERY_SET = [
     "lm_quality",
     "line_dedup",
     "link_components",
+    "host_quota",
+    "doc_length_hist",
+    "dsir_weights",
+    "cluster_label_mix",
 ]
 
 

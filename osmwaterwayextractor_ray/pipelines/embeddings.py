@@ -274,29 +274,17 @@ KM_ITERS = 3
 _KM_Q = 1_000_000  # centroid quantization grid (1e-6)
 
 
-def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
-    """Lloyd's k-means over the embedding column — the iterative
-    broadcast-and-partial-aggregate primitive (semantic clustering /
-    data-mixing buckets for a training corpus). Per iteration:
+def _km_assign(mat: np.ndarray, C_: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment, elementwise (x_i - c_i)^2 distances —
+    the exact expression the SQL oracles evaluate; ties -> lowest index."""
+    d2 = ((mat[:, None, :] - C_[None, :, :]) ** 2).sum(axis=-1)
+    return d2.argmin(axis=1)
 
-      centroids (k x DIM, tiny) -> ray.put broadcast;
-      map_batches: argmin-of-squared-distance assignment + per-cluster
-      PARTIAL sums — emitted as EXACT int64 sums of the inputs quantized
-      to the 1e-6 grid (floor(v*1e6 + 0.5)), so the reduce is integer
-      addition: bit-identical under ANY batch structure / num_cpus / add
-      order (the CLAUDE.md invariance rule — float partial sums would
-      drift in the low bits and could flip boundary assignments);
-      driver: combine the O(k x n_batches) partials, mean, de-quantize.
-      Empty clusters keep their previous centroid.
 
-    Init is the first k vectors by vec_id (deterministic). Distances use
-    the elementwise (x_i - c_i)^2 form — the same expression the SQL
-    oracle evaluates, so both engines see identical centroids and
-    distances up to per-dimension addition order. Returns
-    (vec_id, cluster) from a final assignment pass. KMEANS_SQL unrolls
-    the same ``iters`` iterations as chained CTEs."""
+def _kmeans_centroids(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> np.ndarray:
+    """The Lloyd iteration loop of kmeans_embeddings, returning the final
+    centroid matrix (see kmeans_embeddings for the exactness contract)."""
     import ray
-    import ray.data as rd
 
     import pyarrow.parquet as pq
 
@@ -315,17 +303,13 @@ def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
         [it.column("embedding")[int(i)].as_py() for i in order], dtype=np.float64
     )
 
-    def _assign(mat: np.ndarray, C_: np.ndarray) -> np.ndarray:
-        d2 = ((mat[:, None, :] - C_[None, :, :]) ** 2).sum(axis=-1)
-        return d2.argmin(axis=1)  # ties -> lowest cluster index
-
     for _ in range(iters):
         ref = ray.put(C)
 
         def partial(batch: pa.Table) -> pa.Table:
             C_ = ray.get(ref)
             ids, mat = _emb_matrix(batch)
-            cl = _assign(mat, C_)
+            cl = _km_assign(mat, C_)
             q = np.floor(mat * _KM_Q + 0.5).astype(np.int64)
             kk = C_.shape[0]
             S = np.zeros((kk, mat.shape[1]), dtype=np.int64)
@@ -352,13 +336,40 @@ def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
         nz = n > 0
         C = C.copy()
         C[nz] = (S[nz] / n[nz, None]) / _KM_Q
+    return C
 
+
+def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
+    """Lloyd's k-means over the embedding column — the iterative
+    broadcast-and-partial-aggregate primitive (semantic clustering /
+    data-mixing buckets for a training corpus). Per iteration:
+
+      centroids (k x DIM, tiny) -> ray.put broadcast;
+      map_batches: argmin-of-squared-distance assignment + per-cluster
+      PARTIAL sums — emitted as EXACT int64 sums of the inputs quantized
+      to the 1e-6 grid (floor(v*1e6 + 0.5)), so the reduce is integer
+      addition: bit-identical under ANY batch structure / num_cpus / add
+      order (the CLAUDE.md invariance rule — float partial sums would
+      drift in the low bits and could flip boundary assignments);
+      driver: combine the O(k x n_batches) partials, mean, de-quantize.
+      Empty clusters keep their previous centroid.
+
+    Init is the first k vectors by vec_id (deterministic). Distances use
+    the elementwise (x_i - c_i)^2 form — the same expression the SQL
+    oracle evaluates, so both engines see identical centroids and
+    distances up to per-dimension addition order. Returns
+    (vec_id, cluster) from a final assignment pass. KMEANS_SQL unrolls
+    the same ``iters`` iterations as chained CTEs."""
+    import ray
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(sf_dir, k=k, iters=iters)
     ref = ray.put(C)
 
     def final(batch: pa.Table) -> pa.Table:
         C_ = ray.get(ref)
         ids, mat = _emb_matrix(batch)
-        cl = _assign(mat, C_)
+        cl = _km_assign(mat, C_)
         return pa.table(
             {
                 "vec_id": pa.array(ids, type=pa.int64()),
@@ -426,6 +437,59 @@ def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+def cluster_label_mix(sf_dir: str):
+    """Semantic data-mixing table: per (k-means cluster, label) vector
+    counts — the audit behind cluster-balanced corpus sampling (how are
+    the topical labels distributed over semantic clusters?). Runs the
+    same deterministic Lloyd loop as kmeans_embeddings
+    (`_kmeans_centroids` — exact int64 partial sums, bit-identical under
+    any block structure), then ONE streaming assignment pass emitting
+    per-batch PARTIAL (cluster, label) counts, combined by an O(k x
+    labels) fastagg shuffle. The corpus never shuffles; the broadcast is
+    the k x DIM centroid matrix. Returns (cluster, label, n_vecs)."""
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    C = _kmeans_centroids(sf_dir)
+    ref = ray.put(C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        _, mat = _emb_matrix(batch)
+        cl = _km_assign(mat, C_)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch combine: pack (cluster, label) into one key
+        key = cl.astype(np.int64) * 1_000_003 + lab
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(uk // 1_000_003, type=pa.int64()),
+                "label": pa.array(uk % 1_000_003, type=pa.int64()),
+                "n_vecs": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["cluster", "label"],
+        {"n_vecs": ("n_vecs", "sum")},
+        num_parts=4,
+    )
+
+
+CLUSTER_LABEL_MIX_SQL = f"""
+SELECT km.cluster, CAST(l.label AS BIGINT) AS label, count(*) AS n_vecs
+FROM ({KMEANS_SQL}) km
+JOIN embeddings l ON l.vec_id = km.vec_id
+GROUP BY 1, 2
+"""
 
 
 # ---- IVF-style bucketed ANN (the scale path for similarity search) ----

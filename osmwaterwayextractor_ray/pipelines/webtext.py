@@ -821,6 +821,316 @@ FROM k GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# per-host document quota (wave 8)
+# ---------------------------------------------------------------------------
+
+_HQ_HOSTS = 20  # host = site{doc_id % 20}.test (the webgraph convention)
+_HQ_CAP = 15  # keep at most this many docs per host
+
+
+def host_quota(sf_dir: str):
+    """Per-host document cap — the crawl-curation quota stage (keep at
+    most _HQ_CAP docs per host so no single site dominates the corpus).
+    Priority inside a host: n_chars DESC, doc_id ASC (a total key — ties
+    in n_chars exist in the data, so the doc_id tiebreak is what makes
+    the result block-structure-invariant). Returns
+    (doc_id, host, n_chars, host_rank), host_rank in 1.._HQ_CAP.
+
+    Plan: per-block PARTIAL top-cap per host (one lexsort + run-position
+    filter — each block emits <= cap rows per host it sees, and the
+    global per-host top-cap is contained in the union of per-block
+    top-caps), then ONE shuffle of the surviving <= cap x hosts-per-block
+    rows hash-partitioned by host, final per-bucket top-cap + rank. The
+    corpus itself never shuffles; the moved volume is bounded by
+    cap x distinct-hosts, independent of corpus size."""
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
+
+    num_parts = 8
+    ds = _read_documents(sf_dir, ["doc_id", "n_chars"])
+
+    def _topcap(ids: np.ndarray, nc: np.ndarray):
+        h = ids % _HQ_HOSTS
+        o = np.lexsort((ids, -nc, h))
+        hs, ncs, idss = h[o], nc[o], ids[o]
+        seg = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        pos = np.arange(len(hs)) - np.repeat(seg, np.diff(np.r_[seg, len(hs)]))
+        keep = pos < _HQ_CAP
+        return idss[keep], ncs[keep], hs[keep], pos[keep]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        idss, ncs, hs, _ = _topcap(ids, nc)
+        return pa.table(
+            {
+                "doc_id": pa.array(idss, type=pa.int64()),
+                "n_chars": pa.array(ncs, type=pa.int64()),
+                "__part": pa.array(hs % num_parts, type=pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        idss, ncs, hs, pos = _topcap(ids, nc)
+        return pa.table(
+            {
+                "doc_id": pa.array(idss, type=pa.int64()),
+                "host": pa.array([f"site{v}.test" for v in hs.tolist()], type=pa.string()),
+                "n_chars": pa.array(ncs, type=pa.int64()),
+                "host_rank": pa.array(pos + 1, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+HOST_QUOTA_SQL = f"""
+SELECT doc_id, host, n_chars, host_rank FROM (
+  SELECT doc_id,
+         'site' || CAST(doc_id % {_HQ_HOSTS} AS VARCHAR) || '.test' AS host,
+         n_chars,
+         row_number() OVER (PARTITION BY doc_id % {_HQ_HOSTS}
+                            ORDER BY n_chars DESC, doc_id) AS host_rank
+  FROM documents
+) WHERE host_rank <= {_HQ_CAP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact document-length histogram (wave 8)
+# ---------------------------------------------------------------------------
+
+_DLH_BIN = 50  # n_chars bin width
+
+
+def doc_length_hist(sf_dir: str):
+    """Exact binned length histogram over the corpus — the standard
+    pre-training length-distribution audit. Bucket = n_chars // _DLH_BIN;
+    returns (bucket, lo_chars, n_docs, sum_chars, min_chars, max_chars).
+    Partial-aggregate inside map_batches + one O(buckets) combine shuffle
+    (stages/fastagg.grouped_agg) — the corpus never shuffles."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_documents(sf_dir, ["doc_id", "n_chars"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(nc // _DLH_BIN, type=pa.int64()),
+                "n_chars": pa.array(nc, type=pa.int64()),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536),
+        ["bucket"],
+        {
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_chars": ("n_chars", "min"),
+            "max_chars": ("n_chars", "max"),
+        },
+        num_parts=4,
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("lo_chars", pa.array(b * _DLH_BIN, type=pa.int64()))
+
+    return agg.map_batches(widen, batch_format="pyarrow")
+
+
+DOC_LENGTH_HIST_SQL = f"""
+SELECT n_chars // {_DLH_BIN} AS bucket,
+       (n_chars // {_DLH_BIN}) * {_DLH_BIN} AS lo_chars,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (wave 8)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"  # target distribution = the English slice
+_DSIR_V_CAP = 65536  # joint vocabulary cap (raw count desc, token asc)
+_DSIR_SCALE = 1_000_000  # micro-nats
+
+
+def dsir_weights(sf_dir: str):
+    """Data Selection via Importance Resampling (Xie et al. 2023) with a
+    vocab-restricted unigram feature space: per document,
+    dsir_weight = sum over in-vocab tokens of
+    floor((ln((ct+1)/(Tt+V)) - ln((cr+1)/(Tr+V))) * 1e6), where ct/cr are
+    the token's counts in the TARGET slice (lang = 'en') and the RAW
+    corpus, Tt/Tr the in-vocab totals and V the vocab size (add-one
+    smoothing). Positive weight = looks like the target distribution.
+    Costs are INTEGER micro-nats computed with libm ln on identical
+    float64 expressions in engine and oracle, so per-doc sums are exact
+    int64 and block-structure-invariant (the lm_quality device).
+
+    Shape (lm_quality's): one token-hash shuffle of (token, ct, cr)
+    partials; per-block partial top-V + O(V) driver merge; the corpus
+    then streams through a vectorized pc.index_in lookup against the
+    broadcast weight table — no corpus shuffle, broadcast bounded by the
+    vocab cap. Returns (doc_id, n_tokens, dsir_weight) for docs with
+    >= 1 token."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        toks: list[str] = []
+        is_t: list[int] = []
+        for lg, t in zip(langs, texts):
+            tk = tokenize(t)
+            toks.extend(tk)
+            is_t.extend([1 if lg == _DSIR_TARGET_LANG else 0] * len(tk))
+        tbl = pa.table(
+            {
+                "tok": pa.array(toks, type=pa.string()),
+                "ct": pa.array(is_t, type=pa.int64()),
+                "cr": pa.array(np.ones(len(toks), dtype=np.int64)),
+            }
+        )
+        return (
+            tbl.group_by("tok", use_threads=False)
+            .aggregate([("ct", "sum"), ("cr", "sum")])
+            .rename_columns(["tok", "ct", "cr"])
+        )
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(count_partial, batch_format="pyarrow", batch_size=8192),
+            ["tok"],
+            {"ct": ("ct", "sum"), "cr": ("cr", "sum")},
+            num_parts=16,
+        ),
+        "dsir_counts",
+    )
+
+    def partial_topv(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        ct = batch.column("ct").to_numpy(zero_copy_only=False)
+        cr = batch.column("cr").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tok, -cr))[:_DSIR_V_CAP]
+        return pa.table(
+            {
+                "tok": pa.array(tok[o].tolist(), type=pa.string()),
+                "ct": pa.array(ct[o], type=pa.int64()),
+                "cr": pa.array(cr[o], type=pa.int64()),
+            }
+        )
+
+    pdf = counts.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    tok_all = pdf["tok"].to_numpy(dtype=object)
+    ct_all = pdf["ct"].to_numpy(dtype=np.int64)
+    cr_all = pdf["cr"].to_numpy(dtype=np.int64)
+    o = np.lexsort((tok_all, -cr_all))[:_DSIR_V_CAP]
+    vocab_tok, vocab_ct, vocab_cr = tok_all[o], ct_all[o], cr_all[o]
+    V = len(vocab_tok)
+    Tt = int(vocab_ct.sum())
+    Tr = int(vocab_cr.sum())
+    # libm ln on identical scalar-double expressions — matches DuckDB
+    w_vals = np.fromiter(
+        (
+            math.floor(
+                (math.log((int(ct) + 1) / (Tt + V)) - math.log((int(cr) + 1) / (Tr + V)))
+                * _DSIR_SCALE
+            )
+            for ct, cr in zip(vocab_ct, vocab_cr)
+        ),
+        dtype=np.int64,
+        count=V,
+    )
+    ref = ray.put((pa.array(vocab_tok.tolist(), type=pa.string()), w_vals))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_arr, wv = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        flat: list[str] = []
+        nt = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tk = tokenize(t)
+            nt[i] = len(tk)
+            flat.extend(tk)
+        keep = nt > 0
+        ids_k, nt_k = ids[keep], nt[keep]
+        if not len(ids_k):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "dsir_weight": pa.array([], type=pa.int64()),
+                }
+            )
+        idx = pc.index_in(pa.array(flat, type=pa.string()), value_set=vocab_arr)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        tw = np.where(iv >= 0, wv[np.maximum(iv, 0)], 0)
+        starts = np.cumsum(nt_k) - nt_k
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_k, type=pa.int64()),
+                "n_tokens": pa.array(nt_k, type=pa.int64()),
+                "dsir_weight": pa.array(np.add.reduceat(tw, starts), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH all_toks AS (
+  SELECT doc_id, lang, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         count(*) AS cr
+  FROM all_toks GROUP BY tok
+),
+vocab AS (SELECT tok, ct, cr FROM counts ORDER BY cr DESC, tok LIMIT {_DSIR_V_CAP}),
+tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS Tt, CAST(sum(cr) AS BIGINT) AS Tr,
+         count(*) AS V
+  FROM vocab
+),
+w AS (
+  SELECT tok,
+         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / CAST(Tt + V AS DOUBLE))
+                     - ln(CAST(cr + 1 AS DOUBLE) / CAST(Tr + V AS DOUBLE)))
+                    * {_DSIR_SCALE}) AS BIGINT) AS w
+  FROM vocab, tot
+)
+SELECT a.doc_id, count(*) AS n_tokens,
+       CAST(sum(coalesce(w.w, 0)) AS BIGINT) AS dsir_weight
+FROM all_toks a LEFT JOIN w ON a.tok = w.tok
+GROUP BY a.doc_id
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

@@ -309,7 +309,8 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
 @pytest.mark.parametrize(
     "op",
     ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
-     "lm_quality", "line_dedup"],
+     "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
+     "dsir_weights"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -341,3 +342,128 @@ def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     b = base.sort_values(cols).reset_index(drop=True)
     a = alt.sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# host_quota / doc_length_hist / dsir_weights brute-force references
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def quota_dir(tmp_path_factory):
+    """A corpus dense enough that every host exceeds the cap (400 docs /
+    20 hosts = 20 per host > cap 15), with planted n_chars TIES inside a
+    host so the doc_id tiebreak is actually exercised."""
+    rng = np.random.default_rng(23)
+    n = 400
+    texts = ["x" * int(rng.integers(0, 60)) for _ in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df["source"] = "s0"
+    df["lang"] = ["en" if i % 3 == 0 else "xx" for i in range(n)]
+    d = tmp_path_factory.mktemp("quota_docs")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_host_quota_bruteforce(ray_session, quota_dir):
+    got = (
+        webtext.host_quota(quota_dir)
+        .to_pandas()
+        .sort_values(["host", "host_rank"])
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{quota_dir}/documents.parquet")
+    df["hostn"] = df["doc_id"] % webtext._HQ_HOSTS
+    df = df.sort_values(
+        ["hostn", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    df["host_rank"] = df.groupby("hostn").cumcount() + 1
+    want = df[df["host_rank"] <= webtext._HQ_CAP].copy()
+    want["host"] = "site" + want["hostn"].astype(str) + ".test"
+    want = (
+        want[["doc_id", "host", "n_chars", "host_rank"]]
+        .sort_values(["host", "host_rank"])
+        .reset_index(drop=True)
+    )
+    # every host hits the cap exactly in this corpus
+    assert (got.groupby("host").size() == webtext._HQ_CAP).all()
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: got[c].dtype for c in want.columns})
+    )
+
+
+def test_doc_length_hist_bruteforce(ray_session, quota_dir):
+    got = (
+        webtext.doc_length_hist(quota_dir)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    df = pd.read_parquet(f"{quota_dir}/documents.parquet")
+    g = df.assign(bucket=df["n_chars"] // webtext._DLH_BIN).groupby("bucket")["n_chars"]
+    want = pd.DataFrame(
+        {
+            "bucket": g.count().index.astype(np.int64),
+            "n_docs": g.count().to_numpy(np.int64),
+            "sum_chars": g.sum().to_numpy(np.int64),
+            "min_chars": g.min().to_numpy(np.int64),
+            "max_chars": g.max().to_numpy(np.int64),
+        }
+    )
+    want["lo_chars"] = want["bucket"] * webtext._DLH_BIN
+    want = want[list(got.columns)].sort_values("bucket").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({c: got[c].dtype for c in want.columns}))
+
+
+def test_dsir_weights_bruteforce(ray_session, corpus_dir):
+    """Pure-python DSIR reference on the module corpus (all-en: target ==
+    raw so every weight collapses to 0) AND the mixed-lang quota corpus
+    exercised via the oracle suite; here the all-en degenerate case pins
+    the smoothing arithmetic (weights must be exactly 0, sums exact)."""
+    import math
+
+    from collections import Counter
+
+    got = webtext.dsir_weights(corpus_dir).to_pandas()
+    df = pd.read_parquet(f"{corpus_dir}/documents.parquet")
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        cr.update(toks)
+        if r["lang"] == webtext._DSIR_TARGET_LANG:
+            ct.update(toks)
+    vocab = sorted(cr, key=lambda t: (-cr[t], t))[: webtext._DSIR_V_CAP]
+    V = len(vocab)
+    Tt = sum(ct[t] for t in vocab)
+    Tr = sum(cr[t] for t in vocab)
+    w = {
+        t: math.floor(
+            (math.log((ct[t] + 1) / (Tt + V)) - math.log((cr[t] + 1) / (Tr + V)))
+            * webtext._DSIR_SCALE
+        )
+        for t in vocab
+    }
+    wset = set(vocab)
+    want_rows = []
+    for _, r in df.iterrows():
+        toks = r["text"].split()
+        if toks:
+            want_rows.append(
+                (r["doc_id"], len(toks), sum(w[t] for t in toks if t in wset))
+            )
+    want = pd.DataFrame(want_rows, columns=["doc_id", "n_tokens", "dsir_weight"])
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, want.astype({c: g[c].dtype for c in want.columns}))
+    # all-en corpus: ct == cr for every token -> every weight identical...
+    # but Tt == Tr too, so the difference is exactly 0
+    assert (g["dsir_weight"] == 0).all()
+
+
+def test_dsir_weights_mixed_lang(ray_session, quota_dir):
+    """On the mixed-lang corpus the en slice is 1/3 of the mass: weights
+    must be non-degenerate and in-vocab-only (the single-token docs give
+    direct per-token reads)."""
+    got = webtext.dsir_weights(quota_dir).to_pandas()
+    assert (got["dsir_weight"] != 0).any()
