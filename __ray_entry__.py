@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quota": webtext.host_quota,
         "doc_length_hist": webtext.doc_length_hist,
         "dsir_weights": webtext.dsir_weights,
+        "source_temperature_mix": webtext.source_temperature_mix,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -182,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": webgraph.url_dedup,
         "snapshot_diff": webgraph.snapshot_diff,
         "link_components": webgraph.link_components,
+        "host_blocklist": webgraph.host_blocklist,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -285,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quota": webtext.HOST_QUOTA_SQL,
         "doc_length_hist": webtext.DOC_LENGTH_HIST_SQL,
         "dsir_weights": webtext.DSIR_WEIGHTS_SQL,
+        "source_temperature_mix": webtext.SOURCE_TEMPERATURE_MIX_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,
@@ -295,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": webgraph.URL_DEDUP_SQL,
         "snapshot_diff": webgraph.SNAPSHOT_DIFF_SQL,
         "link_components": webgraph.LINK_COMPONENTS_SQL,
+        "host_blocklist": webgraph.HOST_BLOCKLIST_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

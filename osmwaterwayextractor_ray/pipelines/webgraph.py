@@ -939,6 +939,95 @@ WHERE a.rn = 1
 
 
 # --------------------------------------------------------------------------
+# host blocklist filtering (wave 9)
+# --------------------------------------------------------------------------
+
+# deterministic subdomain synthesis: (doc_id // 20) % 4 picks the
+# subdomain tier — decorrelated from the site index (doc_id % 20), so all
+# 4 x 20 host combinations occur
+_BL_SUBS = ["", "cdn.", "ads.", "m."]
+# ordered domain-suffix blocklist (RefinedWeb / UT1 style): an entry
+# blocks the host itself AND every subdomain of it ('.'-suffix match);
+# first matching entry in list order wins ('cdn.site7.test' is shadowed
+# by 'site7.test' — kept to pin the precedence rule)
+HOST_BLOCKLIST = [
+    "ads.site3.test",
+    "site7.test",
+    "m.site1.test",
+    "site13.test",
+    "cdn.site7.test",
+]
+
+
+def host_blocklist(sf_dir: str):
+    """Domain-suffix blocklist filter — the URL-curation screen every
+    crawl corpus passes through (UT1 / RefinedWeb blocklists). A host is
+    blocked iff it equals a blocklist entry or ends with '.' + entry
+    (standard registrable-domain semantics: 'site7.test' blocks
+    'cdn.site7.test' but NOT 'notsite7.test'). Returns the BLOCKED rows
+    (doc_id, host, blocked_by), blocked_by = first matching entry.
+
+    Host = {'', cdn., ads., m.}[(doc_id // 20) % 4] + site{doc_id % 20}.test.
+
+    Shape: the blocklist is the tiny broadcast side (module constant
+    here; ray.put at real scale); matching is k vectorized
+    equal/ends_with passes per batch over the host column — one
+    streaming map, zero shuffles, output bounded by the block rate."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def screen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        subs = np.array(_BL_SUBS, dtype=object)[(ids // _N_HOSTS) % 4]
+        hosts = pa.array(
+            [f"{s}site{i % _N_HOSTS}.test" for s, i in zip(subs, ids.tolist())],
+            type=pa.string(),
+        )
+        hit = np.full(len(ids), -1, dtype=np.int64)
+        for j in range(len(HOST_BLOCKLIST) - 1, -1, -1):
+            e = HOST_BLOCKLIST[j]
+            m = pc.or_(
+                pc.equal(hosts, e), pc.ends_with(hosts, pattern="." + e)
+            ).to_numpy(zero_copy_only=False)
+            hit[m] = j  # reverse iteration -> lowest matching index wins
+        keep = hit >= 0
+        idx = pa.array(np.flatnonzero(keep), type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "host": pc.take(hosts, idx),
+                "blocked_by": pa.array(
+                    [HOST_BLOCKLIST[j] for j in hit[keep].tolist()], type=pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(screen, batch_format="pyarrow", batch_size=65536)
+
+
+_BL_VALUES = ", ".join(
+    f"('{e}', {i})" for i, e in enumerate(HOST_BLOCKLIST)
+)
+
+HOST_BLOCKLIST_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE (doc_id // {_N_HOSTS}) % 4 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.'
+               WHEN 3 THEN 'm.' ELSE '' END)
+           || 'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test' AS host
+  FROM documents
+),
+b(entry, ord) AS (VALUES {_BL_VALUES})
+SELECT doc_id, host, blocked_by FROM (
+  SELECT d.doc_id, d.host, b.entry AS blocked_by,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY b.ord) AS rn
+  FROM d JOIN b ON d.host = b.entry OR ends_with(d.host, '.' || b.entry)
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # shared helpers
 # --------------------------------------------------------------------------
 

@@ -502,6 +502,109 @@ WHERE (doc_id * {_WS_HASH_MULT}) % 4294967296 < n_chars * {_WS_SCALE}
 
 
 # ---------------------------------------------------------------------------
+# temperature-based source mixing (wave 9)
+# ---------------------------------------------------------------------------
+
+_STM_HASH_MULT = 2246822519  # xxhash PRIME32_2 — decorrelated from _WS_HASH_MULT
+_STM_ALPHA = 0.5  # temperature: rate_s = (m_min / mass_s) ** (1 - alpha)
+
+
+def source_temperature_mix(sf_dir: str):
+    """Temperature-based source mixing (the GLaM / Llama data-mixing
+    primitive): flatten the source distribution by sampling source s at
+    rate (m_min / mass_s)^(1-alpha), where mass_s = sum(n_chars) over the
+    source and m_min the smallest source's mass — the lightest source
+    keeps everything, heavy sources are downsampled toward the alpha-
+    tempered distribution. With alpha = 0.5 the rate is sqrt(m_min/mass_s):
+    sqrt is IEEE-correctly-rounded, so engine (numpy) and oracle (DuckDB)
+    compute the identical double, and the integer threshold
+    floor(rate * 2^32) makes the per-doc keep decision an exact int64
+    comparison against a doc_id hash (the weighted_sample device) —
+    bit-reproducible, block-structure-invariant, no RNG state.
+
+    Shape: per-batch partial (source, mass) sums -> O(sources) combine
+    shuffle -> O(sources) driver thresholds -> broadcast -> ONE streaming
+    filter pass (vectorized pc.index_in source -> threshold lookup). The
+    corpus never shuffles. Returns the kept (doc_id, source) rows."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def mass_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "mass": batch.column("n_chars"),
+            }
+        )
+        return (
+            t.group_by("source", use_threads=False)
+            .aggregate([("mass", "sum")])
+            .rename_columns(["source", "mass"])
+        )
+
+    masses = (
+        grouped_agg(
+            ds.map_batches(mass_partial, batch_format="pyarrow", batch_size=65536),
+            ["source"],
+            {"mass": ("mass", "sum")},
+            num_parts=2,
+        )
+        .to_pandas()  # O(sources) rows
+    )
+    m_min = int(masses["mass"].min())
+    thr = {
+        s: math.floor(math.sqrt(m_min / float(m)) * 4294967296)
+        for s, m in zip(masses["source"], masses["mass"])
+    }
+    src_arr = pa.array(list(thr.keys()), type=pa.string())
+    thr_arr = np.fromiter(thr.values(), dtype=np.int64, count=len(thr))
+    ref = ray.put((src_arr, thr_arr))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        src_a, thr_a = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        si = (
+            pc.index_in(batch.column("source"), value_set=src_a)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        h = (ids * _STM_HASH_MULT) % 4294967296
+        keep = h < thr_a[si]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "source": pc.take(
+                    batch.column("source").combine_chunks(),
+                    pa.array(np.flatnonzero(keep), type=pa.int64()),
+                ),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+
+
+SOURCE_TEMPERATURE_MIX_SQL = f"""
+WITH m AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass FROM documents GROUP BY source
+),
+mn AS (SELECT min(mass) AS m_min FROM m),
+t AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(m_min AS DOUBLE) / CAST(mass AS DOUBLE))
+                    * 4294967296) AS BIGINT) AS thr
+  FROM m, mn
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE (d.doc_id * {_STM_HASH_MULT}) % 4294967296 < t.thr
+"""
+
+
+# ---------------------------------------------------------------------------
 # unigram LM quality scoring (wave 7)
 # ---------------------------------------------------------------------------
 

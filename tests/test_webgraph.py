@@ -277,6 +277,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "url_dedup",
         "snapshot_diff",
         "link_components",
+        "host_blocklist",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
@@ -310,3 +311,44 @@ def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
         alt.sort_values(cols).reset_index(drop=True),
         base.sort_values(cols).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# host_blocklist vs brute force + precedence semantics
+# ---------------------------------------------------------------------------
+
+def _brute_blocklist(n=N_DOCS):
+    rows = []
+    for did in range(n):
+        host = (
+            webgraph._BL_SUBS[(did // webgraph._N_HOSTS) % 4]
+            + f"site{did % webgraph._N_HOSTS}.test"
+        )
+        for e in webgraph.HOST_BLOCKLIST:  # list order = precedence
+            if host == e or host.endswith("." + e):
+                rows.append((did, host, e))
+                break
+    return pd.DataFrame(rows, columns=["doc_id", "host", "blocked_by"])
+
+
+def test_host_blocklist_bruteforce(ray_session, corpus_dir):
+    got = (
+        webgraph.host_blocklist(corpus_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_blocklist().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"doc_id": got["doc_id"].dtype}))
+    # semantics pins: exact match, subdomain suffix match, precedence
+    # (N_DOCS=60 -> subdomain tiers '', 'cdn.', 'ads.' occur; 'm.' doesn't)
+    by = dict(zip(got["host"], got["blocked_by"]))
+    assert by.get("ads.site3.test") == "ads.site3.test"  # exact entry
+    assert by.get("site7.test") == "site7.test"  # exact match on a bare entry
+    assert by.get("ads.site7.test") == "site7.test"  # subdomain suffix match
+    # cdn.site7.test matches BOTH 'site7.test' (ord 1) and its own exact
+    # entry (ord 4): the earlier entry must win
+    assert by.get("cdn.site7.test") == "site7.test"
+    # registrable-domain boundary: site3.test itself is NOT blocked by
+    # the 'ads.site3.test' entry, and no 'notsiteX' style superstring is
+    assert "site3.test" not in by

@@ -310,7 +310,7 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
     "op",
     ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
-     "dsir_weights"],
+     "dsir_weights", "source_temperature_mix"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -467,3 +467,36 @@ def test_dsir_weights_mixed_lang(ray_session, quota_dir):
     direct per-token reads)."""
     got = webtext.dsir_weights(quota_dir).to_pandas()
     assert (got["dsir_weight"] != 0).any()
+
+
+def test_source_temperature_mix_bruteforce(ray_session, corpus_dir):
+    """Pure-python reference of the tempered-rate decision on the module
+    corpus (3 sources with naturally different byte masses)."""
+    import math
+
+    got = webtext.source_temperature_mix(corpus_dir).to_pandas()
+    df = pd.read_parquet(f"{corpus_dir}/documents.parquet")
+    mass = df.groupby("source")["n_chars"].sum().to_dict()
+    m_min = min(mass.values())
+    thr = {
+        s: math.floor(math.sqrt(m_min / float(m)) * 4294967296)
+        for s, m in mass.items()
+    }
+    keep = [
+        (int(r["doc_id"]), r["source"])
+        for _, r in df.iterrows()
+        if (int(r["doc_id"]) * webtext._STM_HASH_MULT) % 4294967296
+        < thr[r["source"]]
+    ]
+    want = pd.DataFrame(keep, columns=["doc_id", "source"])
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        g, want.astype({c: g[c].dtype for c in want.columns})
+    )
+    # masses differ -> at least one source is actually downsampled, and
+    # the lightest source keeps everything (rate exactly 1)
+    assert len(set(thr.values())) > 1
+    lightest = min(mass, key=mass.get)  # unique on this corpus
+    n_light = (df["source"] == lightest).sum()
+    assert (got["source"] == lightest).sum() == n_light
