@@ -62,6 +62,7 @@ def _tiles(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from osmwaterwayextractor_ray.pipelines import (
+        bpe,
         embeddings,
         geo,
         multimodal,
@@ -161,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_counts": textops.winnow_counts,
         "pack_sequences": packing.pack_sequences,
         "pack_chunks": packing.pack_chunks,
+        # distributed BPE tokenizer training (iterative, not SQL-
+        # expressible — pinned vs an independent reference in tests/test_bpe.py)
+        "bpe_train": bpe.bpe_train,
         # --- web-scale curation ops (pipelines/webtext.py) ---
         "pii_scrub": webtext.pii_scrub,
         "dup_span_stats": webtext.dup_span_stats,

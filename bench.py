@@ -173,6 +173,9 @@ QUERY_SET = [
     "doc_length_hist",
     "dsir_weights",
     "cluster_label_mix",
+    "source_temperature_mix",
+    "host_blocklist",
+    "bpe_train",
 ]
 
 
