@@ -162,9 +162,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_counts": textops.winnow_counts,
         "pack_sequences": packing.pack_sequences,
         "pack_chunks": packing.pack_chunks,
-        # distributed BPE tokenizer training (iterative, not SQL-
-        # expressible — pinned vs an independent reference in tests/test_bpe.py)
+        # distributed BPE tokenizer training + corpus encoding (iterative,
+        # not SQL-expressible — pinned vs an independent reference in
+        # tests/test_bpe.py)
         "bpe_train": bpe.bpe_train,
+        "bpe_encode": bpe.bpe_encode,
         # --- web-scale curation ops (pipelines/webtext.py) ---
         "pii_scrub": webtext.pii_scrub,
         "dup_span_stats": webtext.dup_span_stats,
@@ -188,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": webgraph.snapshot_diff,
         "link_components": webgraph.link_components,
         "host_blocklist": webgraph.host_blocklist,
+        "curate_web_corpus": webgraph.curate_web_corpus,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -303,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": webgraph.SNAPSHOT_DIFF_SQL,
         "link_components": webgraph.LINK_COMPONENTS_SQL,
         "host_blocklist": webgraph.HOST_BLOCKLIST_SQL,
+        "curate_web_corpus": webgraph.CURATE_WEB_CORPUS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

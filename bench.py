@@ -175,7 +175,9 @@ QUERY_SET = [
     "cluster_label_mix",
     "source_temperature_mix",
     "host_blocklist",
+    "curate_web_corpus",
     "bpe_train",
+    "bpe_encode",
 ]
 
 

@@ -109,6 +109,14 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
     table (step, left, right, pair_count, new_token) — the tokenizer
     artifact a training pipeline ships. See module docstring for the
     distributed plan and the determinism contract."""
+    merges, _ = _bpe_train_full(sf_dir, n_merges)
+    return merges
+
+
+def _bpe_train_full(sf_dir: str, n_merges: int = N_MERGES):
+    """The full training loop; returns (merge table, final encoded word
+    table Dataset with columns word / ids / freq) — bpe_encode consumes
+    the latter for the per-word post-merge token lengths."""
     import ray
 
     words = pin(_word_freqs(sf_dir), "bpe_words")
@@ -142,7 +150,11 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
             flat[p] = eow
             p += 1
         return pa.table(
-            {"ids": _list_col(flat, lens), "freq": batch.column("freq")}
+            {
+                "word": batch.column("word"),
+                "ids": _list_col(flat, lens),
+                "freq": batch.column("freq"),
+            }
         )
 
     encoded = pin(
@@ -233,7 +245,11 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
                 flat = flat[~del_mask]
                 lens = lens - np.bincount(wid[kept], minlength=len(lens))
             return pa.table(
-                {"ids": _list_col(flat, lens), "freq": batch.column("freq")}
+                {
+                    "word": batch.column("word"),
+                    "ids": _list_col(flat, lens),
+                    "freq": batch.column("freq"),
+                }
             )
 
         encoded = pin(
@@ -241,6 +257,82 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES) -> pd.DataFrame:
             f"bpe_step{step}",
         )
 
-    return pd.DataFrame(
+    mdf = pd.DataFrame(
         merges, columns=["step", "left", "right", "pair_count", "new_token"]
     ).astype({"step": np.int64, "pair_count": np.int64})
+    return mdf, encoded
+
+
+def bpe_encode(sf_dir: str, n_merges: int = N_MERGES):
+    """Apply the trained BPE merges to the corpus — the tokenize step a
+    training pipeline runs after bpe_train. Per document:
+    (doc_id, n_words, n_bpe_tokens), n_bpe_tokens = total symbols after
+    all merges (each word carries its </w> terminal).
+
+    Scale shape: training already reduced every distinct word to its
+    post-merge symbol sequence, so encoding the corpus is a per-word
+    LENGTH LOOKUP, not a re-run of the merge loop: the (word -> n
+    symbols) table is O(distinct words) and broadcast (ray.put) — for
+    vocabularies beyond broadcast size the same join is
+    fastagg.lookup_join, the engine's standard distributed twin. The
+    corpus streams once through a vectorized pc.index_in lookup."""
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    _, encoded = _bpe_train_full(sf_dir, n_merges)
+
+    def word_lens(batch: pa.Table) -> pa.Table:
+        col = batch.column("ids")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "n_sym": pa.array(np.diff(offs), type=pa.int64()),
+            }
+        )
+
+    wl = encoded.map_batches(word_lens, batch_format="pyarrow").to_pandas()
+    word_arr = pa.array(wl["word"].tolist(), type=pa.string())
+    len_arr = wl["n_sym"].to_numpy(np.int64)
+    ref = ray.put((word_arr, len_arr))
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        wa, la = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        flat: list[str] = []
+        nw = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            tk = tokenize("" if t is None else t)
+            nw[i] = len(tk)
+            flat.extend(tk)
+        if len(flat):
+            # every corpus word is in the trained table by construction
+            # (same corpus, same tokenizer); fill_null is belt-and-braces
+            iv = (
+                pc.index_in(pa.array(flat, type=pa.string()), value_set=wa)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            tw = np.where(iv >= 0, la[np.maximum(iv, 0)], 0)
+            # clamp starts for trailing empty docs; reduceat returns
+            # tw[s] for zero-length segments — zeroed by the where below
+            starts = np.minimum(np.cumsum(nw) - nw, len(tw) - 1)
+            nbpe = np.where(nw > 0, np.add.reduceat(tw, starts), 0)
+        else:
+            nbpe = np.zeros(len(nw), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(nw, type=pa.int64()),
+                "n_bpe_tokens": pa.array(nbpe, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)

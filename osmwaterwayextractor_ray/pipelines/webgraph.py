@@ -1028,6 +1028,190 @@ SELECT doc_id, host, blocked_by FROM (
 
 
 # --------------------------------------------------------------------------
+# full web-curation chain (wave 9)
+# --------------------------------------------------------------------------
+
+_CWC_CAP = 15  # per-host keep cap (webtext._HQ_CAP's value, chain-local)
+
+
+def curate_web_corpus(sf_dir: str):
+    """The end-to-end CRAWL-side curation chain, in the order a real
+    pipeline runs it:
+
+      domain-suffix blocklist screen (host_blocklist semantics)
+      -> temperature-based source mixing over the SURVIVORS
+         (source_temperature_mix semantics — masses computed on the
+         post-blocklist corpus, so a blocked heavy source no longer
+         depresses its siblings' rates)
+      -> per-host document quota over the mix survivors
+         (host_quota semantics: top-_CWC_CAP per host by n_chars DESC,
+         doc_id ASC).
+
+    Returns (doc_id, host, source, n_chars, host_rank).
+
+    Scale shape: the host is a pure function of doc_id, and only
+    4 x _N_HOSTS host strings exist — the blocklist screen collapses to
+    a precomputed 80-entry boolean lookup indexed by host key, so the
+    whole blocklist+mix filter is ONE vectorized streaming pass (plus an
+    O(sources) mass aggregate for the thresholds), and the quota is the
+    per-block partial top-cap + ONE O(cap x hosts) shuffle. The corpus
+    itself never shuffles and is read column-pruned twice (mass pass +
+    filter pass)."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.pipelines.webtext import (
+        _STM_HASH_MULT,
+        topcap_by_key,
+    )
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    n_sub = len(_BL_SUBS)
+    host_strs = [
+        f"{sub}site{k}.test" for sub in _BL_SUBS for k in range(_N_HOSTS)
+    ]  # host key = sub_tier * _N_HOSTS + site
+    blocked = np.zeros(len(host_strs), dtype=bool)
+    for j, h in enumerate(host_strs):
+        for e in HOST_BLOCKLIST:
+            if h == e or h.endswith("." + e):
+                blocked[j] = True
+                break
+
+    ds = _read_documents(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def hostkey(ids: np.ndarray) -> np.ndarray:
+        return ((ids // _N_HOSTS) % n_sub) * _N_HOSTS + ids % _N_HOSTS
+
+    def mass_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.filter(pa.array(~blocked[hostkey(ids)]))
+        tt = pa.table({"source": t.column("source"), "mass": t.column("n_chars")})
+        return (
+            tt.group_by("source", use_threads=False)
+            .aggregate([("mass", "sum")])
+            .rename_columns(["source", "mass"])
+        )
+
+    masses = grouped_agg(
+        ds.map_batches(mass_partial, batch_format="pyarrow", batch_size=65536),
+        ["source"],
+        {"mass": ("mass", "sum")},
+        num_parts=2,
+    ).to_pandas()  # O(sources) rows
+    m_min = int(masses["mass"].min())
+    src_arr = pa.array(masses["source"].tolist(), type=pa.string())
+    thr_arr = np.fromiter(
+        (
+            math.floor(math.sqrt(m_min / float(m)) * 4294967296)
+            for m in masses["mass"]
+        ),
+        dtype=np.int64,
+        count=len(masses),
+    )
+    ref = ray.put((src_arr, thr_arr))
+
+    num_parts = 8
+
+    def filter_and_cap(batch: pa.Table) -> pa.Table:
+        src_a, thr_a = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = hostkey(ids)
+        si = (
+            pc.index_in(batch.column("source"), value_set=src_a)
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # blocklist + tempered-mix keep decision in one vectorized pass;
+        # a source absent from the mass table (possible only if ALL its
+        # docs are blocked) has no survivors by construction
+        keep = (~blocked[hk]) & (si >= 0) & (
+            (ids * _STM_HASH_MULT) % 4294967296 < thr_a[np.maximum(si, 0)]
+        )
+        t = batch.filter(pa.array(keep))
+        ids_k = ids[keep]
+        nc_k = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx, _ = topcap_by_key(ids_k, nc_k, hk[keep], _CWC_CAP)
+        take = pa.array(idx, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_k[idx], type=pa.int64()),
+                "source": pc.take(t.column("source").combine_chunks(), take),
+                "n_chars": pa.array(nc_k[idx], type=pa.int64()),
+                "__part": pa.array(hk[keep][idx] % num_parts, type=pa.int64()),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = g.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = hostkey(ids)
+        idx, pos = topcap_by_key(ids, nc, hk, _CWC_CAP)
+        take = pa.array(idx, type=pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx], type=pa.int64()),
+                "host": pa.array(
+                    [host_strs[j] for j in hk[idx].tolist()], type=pa.string()
+                ),
+                "source": pc.take(g.column("source").combine_chunks(), take),
+                "n_chars": pa.array(nc[idx], type=pa.int64()),
+                "host_rank": pa.array(pos + 1, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(filter_and_cap, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _cwc_sql() -> str:
+    from osmwaterwayextractor_ray.pipelines.webtext import _STM_HASH_MULT
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         (CASE (doc_id // {_N_HOSTS}) % 4 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.'
+               WHEN 3 THEN 'm.' ELSE '' END)
+           || 'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test' AS host
+  FROM documents
+),
+b(entry, ord) AS (VALUES {_BL_VALUES}),
+surv AS (
+  SELECT d.* FROM d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM b WHERE d.host = b.entry OR ends_with(d.host, '.' || b.entry)
+  )
+),
+m AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass FROM surv GROUP BY source),
+mn AS (SELECT min(mass) AS m_min FROM m),
+t AS (
+  SELECT source,
+         CAST(floor(sqrt(CAST(m_min AS DOUBLE) / CAST(mass AS DOUBLE))
+                    * 4294967296) AS BIGINT) AS thr
+  FROM m, mn
+),
+mixed AS (
+  SELECT s.* FROM surv s JOIN t USING (source)
+  WHERE (s.doc_id * {_STM_HASH_MULT}) % 4294967296 < t.thr
+)
+SELECT doc_id, host, source, n_chars, host_rank FROM (
+  SELECT doc_id, host, source, n_chars,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n_chars DESC, doc_id) AS host_rank
+  FROM mixed
+) WHERE host_rank <= {_CWC_CAP}
+"""
+
+
+CURATE_WEB_CORPUS_SQL = _cwc_sql()
+
+
+# --------------------------------------------------------------------------
 # shared helpers
 # --------------------------------------------------------------------------
 

@@ -932,6 +932,26 @@ _HQ_HOSTS = 20  # host = site{doc_id % 20}.test (the webgraph convention)
 _HQ_CAP = 15  # keep at most this many docs per host
 
 
+def topcap_by_key(
+    ids: np.ndarray, nc: np.ndarray, h: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key top-``cap`` selection by (n_chars DESC, doc_id ASC) — the
+    quota kernel shared by host_quota and curate_web_corpus. Returns
+    (idx, pos): indices into the input arrays of the kept rows (so any
+    payload column can be gathered alongside) and each kept row's
+    0-based rank within its key. One lexsort + run-position filter;
+    the (nc DESC, ids ASC) key is total, so the selection is
+    block-structure-invariant."""
+    if not len(ids):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    o = np.lexsort((ids, -nc, h))
+    hs = h[o]
+    seg = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+    pos = np.arange(len(hs)) - np.repeat(seg, np.diff(np.r_[seg, len(hs)]))
+    keep = pos < cap
+    return o[keep], pos[keep]
+
+
 def host_quota(sf_dir: str):
     """Per-host document cap — the crawl-curation quota stage (keep at
     most _HQ_CAP docs per host so no single site dominates the corpus).
@@ -947,19 +967,12 @@ def host_quota(sf_dir: str):
     rows hash-partitioned by host, final per-bucket top-cap + rank. The
     corpus itself never shuffles; the moved volume is bounded by
     cap x distinct-hosts, independent of corpus size."""
-    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
-
     num_parts = 8
     ds = _read_documents(sf_dir, ["doc_id", "n_chars"])
 
     def _topcap(ids: np.ndarray, nc: np.ndarray):
-        h = ids % _HQ_HOSTS
-        o = np.lexsort((ids, -nc, h))
-        hs, ncs, idss = h[o], nc[o], ids[o]
-        seg = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
-        pos = np.arange(len(hs)) - np.repeat(seg, np.diff(np.r_[seg, len(hs)]))
-        keep = pos < _HQ_CAP
-        return idss[keep], ncs[keep], hs[keep], pos[keep]
+        idx, pos = topcap_by_key(ids, nc, ids % _HQ_HOSTS, _HQ_CAP)
+        return ids[idx], nc[idx], (ids % _HQ_HOSTS)[idx], pos
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -157,3 +157,79 @@ def test_bpe_greedy_overlap_unit(ray_session, tmp_path, text):
     got = bpe.bpe_train(str(tmp_path), n_merges=4)
     want = _brute_bpe([text], n_merges=4)
     pd.testing.assert_frame_equal(got, want)
+
+
+def _brute_encode(texts, n_merges=bpe.N_MERGES) -> pd.DataFrame:
+    """Independent apply-side reference: re-derive merges via _brute_bpe's
+    loop, then encode each doc word by word with the single-pass scan."""
+    from collections import Counter
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    wf: Counter = Counter()
+    for t in texts:
+        wf.update(tokenize(t or ""))
+    alphabet = sorted({ch for w in wf for ch in w})
+    id2s = alphabet + [bpe._EOW]
+    s2id = {s: i for i, s in enumerate(id2s)}
+    eow = s2id[bpe._EOW]
+    words = {w: [s2id[ch] for ch in w] + [eow] for w in wf}
+    for _ in range(n_merges):
+        cnt: Counter = Counter()
+        for w, seq in words.items():
+            f = wf[w]
+            for i in range(len(seq) - 1):
+                cnt[(seq[i], seq[i + 1])] += f
+        if not cnt:
+            break
+        best = min(cnt, key=lambda p: (-cnt[p], p))
+        c = len(id2s)
+        id2s.append(id2s[best[0]] + id2s[best[1]])
+        for w, seq in words.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == best[0] and seq[i + 1] == best[1]:
+                    out.append(c)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            words[w] = out
+    rows = []
+    for did, t in enumerate(texts):
+        tk = tokenize(t or "")
+        rows.append((did, len(tk), sum(len(words[w]) for w in tk)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_words", "n_bpe_tokens"]).astype(
+        {"doc_id": np.int64, "n_words": np.int64, "n_bpe_tokens": np.int64}
+    )
+
+
+def test_bpe_encode_fixture(ray_session, fixture_dir):
+    got = (
+        bpe.bpe_encode(fixture_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_encode(FIXTURE)
+    pd.testing.assert_frame_equal(got, want)
+    # the empty doc must land at (0 words, 0 tokens), and merges must
+    # actually compress: some doc's n_bpe_tokens < chars + n_words
+    empty = got[got["n_words"] == 0]
+    assert (empty["n_bpe_tokens"] == 0).all() and len(empty) == 1
+    base = [len(t.replace(" ", "")) + len(t.split()) for t in FIXTURE if t]
+    assert got[got["n_words"] > 0]["n_bpe_tokens"].sum() < sum(base)
+
+
+def test_bpe_encode_sf0001(ray_session):
+    texts = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].tolist()
+    got = (
+        bpe.bpe_encode("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_encode(texts)
+    pd.testing.assert_frame_equal(got, want)

@@ -278,6 +278,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "snapshot_diff",
         "link_components",
         "host_blocklist",
+        "curate_web_corpus",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
@@ -352,3 +353,87 @@ def test_host_blocklist_bruteforce(ray_session, corpus_dir):
     # registrable-domain boundary: site3.test itself is NOT blocked by
     # the 'ads.site3.test' entry, and no 'notsiteX' style superstring is
     assert "site3.test" not in by
+
+
+# ---------------------------------------------------------------------------
+# curate_web_corpus vs an independent staged python reference
+# ---------------------------------------------------------------------------
+
+def test_curate_web_corpus_bruteforce(ray_session, tmp_path_factory):
+    """Dense corpus (600 docs, 3 sources, skewed lengths) so every stage
+    bites: hosts cross the quota cap, sources get distinct mix rates, and
+    all four subdomain tiers (incl. blocked ones) occur."""
+    import math
+
+    from osmwaterwayextractor_ray.pipelines.webtext import _STM_HASH_MULT
+
+    rng = np.random.default_rng(31)
+    n = 3000  # ~37 docs per host pre-mix, so the quota cap binds post-mix
+    # skew source masses: source s2 docs are much longer
+    lens = np.array(
+        [int(rng.integers(5, 30)) * (3 if i % 3 == 2 else 1) for i in range(n)]
+    )
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["x" * int(v) for v in lens],
+            "lang": "en",
+            "source": [f"s{i % 3}" for i in range(n)],
+            "n_chars": lens.astype(np.int64),
+        }
+    )
+    d = tmp_path_factory.mktemp("cwc_docs")
+    df.to_parquet(d / "documents.parquet", index=False)
+
+    got = (
+        webgraph.curate_web_corpus(str(d))
+        .to_pandas()
+        .sort_values(["host", "host_rank"])
+        .reset_index(drop=True)
+    )
+
+    # staged reference, dict/loop style
+    def host(did):
+        return (
+            webgraph._BL_SUBS[(did // webgraph._N_HOSTS) % 4]
+            + f"site{did % webgraph._N_HOSTS}.test"
+        )
+
+    def is_blocked(h):
+        return any(
+            h == e or h.endswith("." + e) for e in webgraph.HOST_BLOCKLIST
+        )
+
+    surv = df[[not is_blocked(host(i)) for i in df["doc_id"]]].copy()
+    mass = surv.groupby("source")["n_chars"].sum().to_dict()
+    m_min = min(mass.values())
+    thr = {
+        s: math.floor(math.sqrt(m_min / float(m)) * 4294967296)
+        for s, m in mass.items()
+    }
+    mixed = surv[
+        [
+            (int(r["doc_id"]) * _STM_HASH_MULT) % 4294967296 < thr[r["source"]]
+            for _, r in surv.iterrows()
+        ]
+    ].copy()
+    mixed["host"] = [host(int(i)) for i in mixed["doc_id"]]
+    mixed = mixed.sort_values(
+        ["host", "n_chars", "doc_id"], ascending=[True, False, True]
+    )
+    mixed["host_rank"] = mixed.groupby("host").cumcount() + 1
+    want = (
+        mixed[mixed["host_rank"] <= webgraph._CWC_CAP][
+            ["doc_id", "host", "source", "n_chars", "host_rank"]
+        ]
+        .sort_values(["host", "host_rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want.astype({c: got[c].dtype for c in want.columns})
+    )
+    # every stage actually bit on this corpus
+    assert len(surv) < len(df)  # blocklist dropped docs
+    assert len(mixed) < len(surv)  # mix downsampled
+    assert (want["host_rank"] == webgraph._CWC_CAP).any()  # quota hit the cap
+    assert len(set(thr.values())) > 1  # distinct mix rates
