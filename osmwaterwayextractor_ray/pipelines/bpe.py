@@ -311,6 +311,8 @@ def bpe_encode(sf_dir: str, n_merges: int = N_MERGES):
             tk = tokenize("" if t is None else t)
             nw[i] = len(tk)
             flat.extend(tk)
+        nbpe = np.zeros(len(nw), dtype=np.int64)
+        nz = nw > 0
         if len(flat):
             # every corpus word is in the trained table by construction
             # (same corpus, same tokenizer); fill_null is belt-and-braces
@@ -321,12 +323,13 @@ def bpe_encode(sf_dir: str, n_merges: int = N_MERGES):
                 .astype(np.int64)
             )
             tw = np.where(iv >= 0, la[np.maximum(iv, 0)], 0)
-            # clamp starts for trailing empty docs; reduceat returns
-            # tw[s] for zero-length segments — zeroed by the where below
-            starts = np.minimum(np.cumsum(nw) - nw, len(tw) - 1)
-            nbpe = np.where(nw > 0, np.add.reduceat(tw, starts), 0)
-        else:
-            nbpe = np.zeros(len(nw), dtype=np.int64)
+            # reduceat over the NON-EMPTY docs only (their starts are
+            # strictly increasing and in-bounds); empty docs keep 0 —
+            # clamping starts instead would truncate the last non-empty
+            # doc's segment whenever an empty doc ends the batch
+            nw_nz = nw[nz]
+            starts = np.cumsum(nw_nz) - nw_nz
+            nbpe[nz] = np.add.reduceat(tw, starts)
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

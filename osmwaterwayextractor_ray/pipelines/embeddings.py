@@ -281,14 +281,19 @@ def _km_assign(mat: np.ndarray, C_: np.ndarray) -> np.ndarray:
     return d2.argmin(axis=1)
 
 
-def _kmeans_centroids(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS) -> np.ndarray:
+def _kmeans_centroids(
+    sf_dir: str, k: int = KM_K, iters: int = KM_ITERS, ds=None
+) -> np.ndarray:
     """The Lloyd iteration loop of kmeans_embeddings, returning the final
-    centroid matrix (see kmeans_embeddings for the exactness contract)."""
+    centroid matrix (see kmeans_embeddings for the exactness contract).
+    Pass ``ds`` to reuse a caller's (vec_id, embedding) Dataset instead of
+    constructing a second read (each construction pays a metadata fetch)."""
     import ray
 
     import pyarrow.parquet as pq
 
-    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    if ds is None:
+        ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # deterministic init: the first k vectors by vec_id (predicate
     # pushdown — only row groups containing them leave storage)
     it = pq.read_table(
@@ -363,7 +368,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
     import ray
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    C = _kmeans_centroids(sf_dir, k=k, iters=iters)
+    C = _kmeans_centroids(sf_dir, k=k, iters=iters, ds=ds)
     ref = ray.put(C)
 
     def final(batch: pa.Table) -> pa.Table:
@@ -464,14 +469,17 @@ def cluster_label_mix(sf_dir: str):
         _, mat = _emb_matrix(batch)
         cl = _km_assign(mat, C_)
         lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        # per-batch combine: pack (cluster, label) into one key
-        key = cl.astype(np.int64) * 1_000_003 + lab
+        # per-batch combine: pack (cluster, label) into one key — the
+        # label rides in the low 32 bits as its uint32 image, so ANY
+        # int32 label (negative included) round-trips exactly
+        key = (cl.astype(np.int64) << 32) | (lab & 0xFFFFFFFF)
         uk, inv = np.unique(key, return_inverse=True)
         n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        lab_u = (uk & 0xFFFFFFFF).astype(np.uint32).view(np.int32).astype(np.int64)
         return pa.table(
             {
-                "cluster": pa.array(uk // 1_000_003, type=pa.int64()),
-                "label": pa.array(uk % 1_000_003, type=pa.int64()),
+                "cluster": pa.array(uk >> 32, type=pa.int64()),
+                "label": pa.array(lab_u, type=pa.int64()),
                 "n_vecs": pa.array(n, type=pa.int64()),
             }
         )

@@ -973,32 +973,35 @@ def host_blocklist(sf_dir: str):
     here; ray.put at real scale); matching is k vectorized
     equal/ends_with passes per batch over the host column — one
     streaming map, zero shuffles, output bounded by the block rate."""
-    import pyarrow.compute as pc
-
     ds = _read_documents(sf_dir, ["doc_id"])
+
+    # only len(_BL_SUBS) x _N_HOSTS distinct hosts exist, so the whole
+    # match (strings AND first-matching-entry index) precomputes into
+    # 80-entry lookup tables indexed by host key — the per-batch hot
+    # path is pure vectorized integer indexing, no string work
+    host_strs = np.array(
+        [f"{sub}site{k}.test" for sub in _BL_SUBS for k in range(_N_HOSTS)],
+        dtype=object,
+    )
+    hit_by_key = np.full(len(host_strs), -1, dtype=np.int64)
+    for j, h in enumerate(host_strs):
+        for e_i, e in enumerate(HOST_BLOCKLIST):  # list order = precedence
+            if h == e or h.endswith("." + e):
+                hit_by_key[j] = e_i
+                break
+    bl_strs = np.array(HOST_BLOCKLIST, dtype=object)
 
     def screen(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        subs = np.array(_BL_SUBS, dtype=object)[(ids // _N_HOSTS) % 4]
-        hosts = pa.array(
-            [f"{s}site{i % _N_HOSTS}.test" for s, i in zip(subs, ids.tolist())],
-            type=pa.string(),
-        )
-        hit = np.full(len(ids), -1, dtype=np.int64)
-        for j in range(len(HOST_BLOCKLIST) - 1, -1, -1):
-            e = HOST_BLOCKLIST[j]
-            m = pc.or_(
-                pc.equal(hosts, e), pc.ends_with(hosts, pattern="." + e)
-            ).to_numpy(zero_copy_only=False)
-            hit[m] = j  # reverse iteration -> lowest matching index wins
+        hk = ((ids // _N_HOSTS) % len(_BL_SUBS)) * _N_HOSTS + ids % _N_HOSTS
+        hit = hit_by_key[hk]
         keep = hit >= 0
-        idx = pa.array(np.flatnonzero(keep), type=pa.int64())
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], type=pa.int64()),
-                "host": pc.take(hosts, idx),
+                "host": pa.array(host_strs[hk[keep]].tolist(), type=pa.string()),
                 "blocked_by": pa.array(
-                    [HOST_BLOCKLIST[j] for j in hit[keep].tolist()], type=pa.string()
+                    bl_strs[hit[keep]].tolist(), type=pa.string()
                 ),
             }
         )
@@ -1057,13 +1060,12 @@ def curate_web_corpus(sf_dir: str):
     per-block partial top-cap + ONE O(cap x hosts) shuffle. The corpus
     itself never shuffles and is read column-pruned twice (mass pass +
     filter pass)."""
-    import math
-
     import pyarrow.compute as pc
     import ray
 
     from osmwaterwayextractor_ray.pipelines.webtext import (
         _STM_HASH_MULT,
+        stm_thresholds,
         topcap_by_key,
     )
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
@@ -1100,16 +1102,8 @@ def curate_web_corpus(sf_dir: str):
         {"mass": ("mass", "sum")},
         num_parts=2,
     ).to_pandas()  # O(sources) rows
-    m_min = int(masses["mass"].min())
-    src_arr = pa.array(masses["source"].tolist(), type=pa.string())
-    thr_arr = np.fromiter(
-        (
-            math.floor(math.sqrt(m_min / float(m)) * 4294967296)
-            for m in masses["mass"]
-        ),
-        dtype=np.int64,
-        count=len(masses),
-    )
+    srcs, thr_arr = stm_thresholds(masses["source"], masses["mass"])
+    src_arr = pa.array(srcs, type=pa.string())
     ref = ray.put((src_arr, thr_arr))
 
     num_parts = 8

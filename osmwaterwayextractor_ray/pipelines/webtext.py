@@ -506,7 +506,29 @@ WHERE (doc_id * {_WS_HASH_MULT}) % 4294967296 < n_chars * {_WS_SCALE}
 # ---------------------------------------------------------------------------
 
 _STM_HASH_MULT = 2246822519  # xxhash PRIME32_2 — decorrelated from _WS_HASH_MULT
-_STM_ALPHA = 0.5  # temperature: rate_s = (m_min / mass_s) ** (1 - alpha)
+# temperature is FIXED at alpha = 0.5: rate_s = sqrt(m_min / mass_s).
+# sqrt (unlike pow) is IEEE-correctly-rounded, which is what makes the
+# engine and the DuckDB oracle agree bit-for-bit — a tunable alpha would
+# need pow() on both sides with no rounding guarantee.
+
+
+def stm_thresholds(sources, masses) -> tuple[list, np.ndarray]:
+    """The tempered-mix integer thresholds shared by
+    source_temperature_mix and webgraph.curate_web_corpus: keep doc iff
+    (doc_id * _STM_HASH_MULT) % 2^32 < floor(sqrt(m_min/mass_s) * 2^32).
+    One definition so the hash/threshold scheme can't diverge between
+    the standalone op and the curation chain (their SQL twins both spell
+    the same formula)."""
+    import math
+
+    masses = [int(m) for m in masses]
+    m_min = min(masses)
+    thr = np.fromiter(
+        (math.floor(math.sqrt(m_min / float(m)) * 4294967296) for m in masses),
+        dtype=np.int64,
+        count=len(masses),
+    )
+    return list(sources), thr
 
 
 def source_temperature_mix(sf_dir: str):
@@ -526,8 +548,6 @@ def source_temperature_mix(sf_dir: str):
     shuffle -> O(sources) driver thresholds -> broadcast -> ONE streaming
     filter pass (vectorized pc.index_in source -> threshold lookup). The
     corpus never shuffles. Returns the kept (doc_id, source) rows."""
-    import math
-
     import pyarrow.compute as pc
     import ray
 
@@ -555,13 +575,8 @@ def source_temperature_mix(sf_dir: str):
         )
         .to_pandas()  # O(sources) rows
     )
-    m_min = int(masses["mass"].min())
-    thr = {
-        s: math.floor(math.sqrt(m_min / float(m)) * 4294967296)
-        for s, m in zip(masses["source"], masses["mass"])
-    }
-    src_arr = pa.array(list(thr.keys()), type=pa.string())
-    thr_arr = np.fromiter(thr.values(), dtype=np.int64, count=len(thr))
+    srcs, thr_arr = stm_thresholds(masses["source"], masses["mass"])
+    src_arr = pa.array(srcs, type=pa.string())
     ref = ray.put((src_arr, thr_arr))
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -1033,7 +1048,7 @@ def doc_length_hist(sf_dir: str):
     (stages/fastagg.grouped_agg) — the corpus never shuffles."""
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
-    ds = _read_documents(sf_dir, ["doc_id", "n_chars"])
+    ds = _read_documents(sf_dir, ["n_chars"])
 
     def tag(batch: pa.Table) -> pa.Table:
         nc = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -233,3 +233,54 @@ def test_bpe_encode_sf0001(ray_session):
     )
     want = _brute_encode(texts)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bpe_encode_block_invariance_trailing_empty(
+    ray_session, tmp_path_factory, monkeypatch
+):
+    """Regression pin for the reduceat-clamp bug: a zero-token doc at a
+    BATCH END must not truncate the preceding doc's segment. The spread
+    harness re-blocks the corpus so different docs land at block ends;
+    the corpus also ends with empty docs outright."""
+    texts = ["low lower lowest", "aaaa aa", "", "zz b zz", "", ""]
+    d = tmp_path_factory.mktemp("bpe_empty_docs")
+    pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "source": "s0",
+            "lang": "en",
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    base = (
+        bpe.bpe_encode(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _brute_encode(texts)
+    pd.testing.assert_frame_equal(base, want)
+
+    real = bpe._read_documents
+
+    def spread(sf_dir, columns):
+        import pyarrow as pa
+
+        ds = real(sf_dir, columns)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__blk", pa.array((ids * 2654435761) % 3, type=pa.int64())
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .sort("__blk")
+            .map_batches(lambda t: t.drop_columns(["__blk"]), batch_format="pyarrow")
+        )
+
+    monkeypatch.setattr(bpe, "_read_documents", spread)
+    alt = (
+        bpe.bpe_encode(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, base)

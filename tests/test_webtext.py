@@ -500,3 +500,12 @@ def test_source_temperature_mix_bruteforce(ray_session, corpus_dir):
     lightest = min(mass, key=mass.get)  # unique on this corpus
     n_light = (df["source"] == lightest).sum()
     assert (got["source"] == lightest).sum() == n_light
+
+
+def test_host_count_constants_agree():
+    """_HQ_HOSTS re-declares webgraph's host count (a module-level import
+    would cycle through CURATE_WEB_CORPUS_SQL's build): pin them equal so
+    the two host universes can't silently desync."""
+    from osmwaterwayextractor_ray.pipelines import webgraph
+
+    assert webtext._HQ_HOSTS == webgraph._N_HOSTS
