@@ -129,6 +129,7 @@ QUERY_SET = [
     "geo_extract",
     "geo_extract_cells",
     "dedup_exact",
+    "incremental_dedup",
     "doc_quality",
     "token_totals",
     "doc_repetition",

@@ -62,6 +62,107 @@ def dedup_exact(sf_dir: str):
 DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text"
 
 
+_INC_REF_MOD = 7  # reference ("already ingested") corpus = doc_id % 7 == 0
+
+
+def incremental_dedup(sf_dir: str, m_bits: int | None = None):
+    """Cross-run incremental dedup — the every-crawl ingest step: drop
+    each NEW document whose text already exists in the REFERENCE corpus
+    (here the doc_id % _INC_REF_MOD == 0 slice plays the prior ingest).
+    Returns the kept new docs (doc_id, text).
+
+    Scale shape (the classic Bloom-prefilter + exact-verify composition,
+    `state/bloom.py`): the reference side folds its xxh64 content hashes
+    into per-batch 128 KiB bitmaps, OR-merged on the driver (order-
+    independent) and broadcast once; the new side streams through a
+    vectorized membership test — DEFINITE negatives (the vast majority:
+    Bloom has no false negatives) pass straight through with ZERO
+    shuffle, and only the maybe-duplicate candidates co-group against
+    the exact reference hashes for the anti-join verify. The output is
+    EXACT (false positives are killed by the verify), so the SQL oracle
+    is a plain NOT EXISTS anti-join; hash equality stands in for text
+    equality per the dedup_exact convention. The corpus is read twice
+    (reference pass + scoring pass), column-pruned, never pinned."""
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup
+    from osmwaterwayextractor_ray.state.bloom import (
+        M_BITS,
+        bloom_contains,
+        bloom_merge,
+        bloom_partial,
+    )
+
+    mb = M_BITS if m_bits is None else m_bits  # tests shrink mb to force FPs
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def _hashed(batch: pa.Table):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        return ids, text_hash64(texts)
+
+    def ref_bitmap(batch: pa.Table) -> pa.Table:
+        ids, h = _hashed(batch)
+        bm = bloom_partial(h[ids % _INC_REF_MOD == 0], mb)
+        return pa.table({"bm": pa.array([bm], type=pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(ref_bitmap, batch_format="pyarrow").take_all()
+    bm = bloom_merge(np.asarray(r["bm"], dtype=np.uint8) for r in parts)
+    ref_bm = ray.put(bm)
+
+    def direct_keep(batch: pa.Table) -> pa.Table:
+        """New docs the Bloom filter clears outright — no shuffle."""
+        ids, h = _hashed(batch)
+        new = ids % _INC_REF_MOD != 0
+        keep = new & ~bloom_contains(ray.get(ref_bm), h, mb)
+        return batch.filter(pa.array(keep))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        ids, h = _hashed(batch)
+        new = ids % _INC_REF_MOD != 0
+        keep = new & bloom_contains(ray.get(ref_bm), h, mb)
+        return batch.filter(pa.array(keep)).append_column(
+            "h", pa.array(h[keep].view(np.int64), type=pa.int64())
+        )
+
+    def ref_hashes(batch: pa.Table) -> pa.Table:
+        ids, h = _hashed(batch)
+        sel = ids % _INC_REF_MOD == 0
+        return pa.table({"h": pa.array(h[sel].view(np.int64), type=pa.int64())})
+
+    cand_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("h", pa.int64())]
+    )
+    grouped, split = cogroup(
+        ds.map_batches(candidates, batch_format="pyarrow", batch_size=8192),
+        ds.map_batches(ref_hashes, batch_format="pyarrow", batch_size=8192),
+        ["h"],
+        num_parts=8,
+        left_schema=cand_schema,
+        right_schema=pa.schema([("h", pa.int64())]),
+    )
+
+    def verify(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        lh = lg.column("h").to_numpy(zero_copy_only=False)
+        rh = np.unique(rg.column("h").to_numpy(zero_copy_only=False))
+        keep = ~np.isin(lh, rh)
+        return lg.filter(pa.array(keep)).drop_columns(["h"])
+
+    direct = ds.map_batches(direct_keep, batch_format="pyarrow", batch_size=8192)
+    return direct.union(grouped.map_groups(verify, batch_format="pyarrow"))
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id % {_INC_REF_MOD} <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents r
+    WHERE r.doc_id % {_INC_REF_MOD} = 0 AND r.text = d.text
+  )
+"""
+
+
 def doc_quality(sf_dir: str):
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
