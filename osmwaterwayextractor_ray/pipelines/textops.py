@@ -81,11 +81,15 @@ def incremental_dedup(sf_dir: str, m_bits: int | None = None):
     the exact reference hashes for the anti-join verify. The output is
     EXACT (false positives are killed by the verify), so the SQL oracle
     is a plain NOT EXISTS anti-join; hash equality stands in for text
-    equality per the dedup_exact convention. The corpus is read twice
-    (reference pass + scoring pass), column-pruned, never pinned."""
+    equality per the dedup_exact convention. The xxh64 pass runs ONCE
+    over the corpus into a pinned hashed stream (WWX_PIN_MODE governs
+    the pin strategy at scale, as in the near-dup family); the bitmap /
+    direct / candidate / reference consumers are cheap column scans of
+    that stream."""
     import ray
 
     from osmwaterwayextractor_ray.stages.fastagg import cogroup
+    from osmwaterwayextractor_ray.stages.pin import pin
     from osmwaterwayextractor_ray.state.bloom import (
         M_BITS,
         bloom_contains,
@@ -96,46 +100,54 @@ def incremental_dedup(sf_dir: str, m_bits: int | None = None):
     mb = M_BITS if m_bits is None else m_bits  # tests shrink mb to force FPs
     ds = _read_documents(sf_dir, ["doc_id", "text"])
 
-    def _hashed(batch: pa.Table):
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    def add_hash(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
-        return ids, text_hash64(texts)
+        h = text_hash64(texts)
+        return batch.append_column("h", pa.array(h.view(np.int64), type=pa.int64()))
+
+    hashed = pin(
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        "incdedup_hashed",
+    )
+
+    def _cols(batch: pa.Table):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        return ids, h
 
     def ref_bitmap(batch: pa.Table) -> pa.Table:
-        ids, h = _hashed(batch)
+        ids, h = _cols(batch)
         bm = bloom_partial(h[ids % _INC_REF_MOD == 0], mb)
         return pa.table({"bm": pa.array([bm], type=pa.list_(pa.uint8()))})
 
-    parts = ds.map_batches(ref_bitmap, batch_format="pyarrow").take_all()
+    parts = hashed.map_batches(ref_bitmap, batch_format="pyarrow").take_all()
     bm = bloom_merge(np.asarray(r["bm"], dtype=np.uint8) for r in parts)
     ref_bm = ray.put(bm)
 
     def direct_keep(batch: pa.Table) -> pa.Table:
         """New docs the Bloom filter clears outright — no shuffle."""
-        ids, h = _hashed(batch)
+        ids, h = _cols(batch)
         new = ids % _INC_REF_MOD != 0
         keep = new & ~bloom_contains(ray.get(ref_bm), h, mb)
-        return batch.filter(pa.array(keep))
+        return batch.filter(pa.array(keep)).drop_columns(["h"])
 
     def candidates(batch: pa.Table) -> pa.Table:
-        ids, h = _hashed(batch)
+        ids, h = _cols(batch)
         new = ids % _INC_REF_MOD != 0
         keep = new & bloom_contains(ray.get(ref_bm), h, mb)
-        return batch.filter(pa.array(keep)).append_column(
-            "h", pa.array(h[keep].view(np.int64), type=pa.int64())
-        )
+        return batch.filter(pa.array(keep))
 
     def ref_hashes(batch: pa.Table) -> pa.Table:
-        ids, h = _hashed(batch)
+        ids, _ = _cols(batch)
         sel = ids % _INC_REF_MOD == 0
-        return pa.table({"h": pa.array(h[sel].view(np.int64), type=pa.int64())})
+        return batch.filter(pa.array(sel)).select(["h"])
 
     cand_schema = pa.schema(
         [("doc_id", pa.int64()), ("text", pa.string()), ("h", pa.int64())]
     )
     grouped, split = cogroup(
-        ds.map_batches(candidates, batch_format="pyarrow", batch_size=8192),
-        ds.map_batches(ref_hashes, batch_format="pyarrow", batch_size=8192),
+        hashed.map_batches(candidates, batch_format="pyarrow", batch_size=8192),
+        hashed.map_batches(ref_hashes, batch_format="pyarrow", batch_size=8192),
         ["h"],
         num_parts=8,
         left_schema=cand_schema,
@@ -149,7 +161,7 @@ def incremental_dedup(sf_dir: str, m_bits: int | None = None):
         keep = ~np.isin(lh, rh)
         return lg.filter(pa.array(keep)).drop_columns(["h"])
 
-    direct = ds.map_batches(direct_keep, batch_format="pyarrow", batch_size=8192)
+    direct = hashed.map_batches(direct_keep, batch_format="pyarrow", batch_size=8192)
     return direct.union(grouped.map_groups(verify, batch_format="pyarrow"))
 
 
