@@ -120,7 +120,21 @@ def incremental_dedup(sf_dir: str, m_bits: int | None = None):
         bm = bloom_partial(h[ids % _INC_REF_MOD == 0], mb)
         return pa.table({"bm": pa.array([bm], type=pa.list_(pa.uint8()))})
 
-    parts = hashed.map_batches(ref_bitmap, batch_format="pyarrow").take_all()
+    def fold(batch: pa.Table) -> pa.Table:
+        """Distributed OR-fold: 64 partial bitmaps -> 1, so the driver
+        collects O(blocks/64) rows instead of one bitmap per block (at
+        10^6 blocks the unfolded collect would be ~100 GB driver-side)."""
+        col = batch.column("bm")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        bm = np.bitwise_or.reduce(flat.reshape(len(batch), -1), axis=0)
+        return pa.table({"bm": pa.array([bm], type=pa.list_(pa.uint8()))})
+
+    parts = (
+        hashed.map_batches(ref_bitmap, batch_format="pyarrow")
+        .map_batches(fold, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
     bm = bloom_merge(np.asarray(r["bm"], dtype=np.uint8) for r in parts)
     ref_bm = ray.put(bm)
 
