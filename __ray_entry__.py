@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_counts": textops.winnow_counts,
         "pack_sequences": packing.pack_sequences,
         "pack_chunks": packing.pack_chunks,
+        "train_shards": packing.train_shards,
         # distributed BPE tokenizer training + corpus encoding (iterative,
         # not SQL-expressible — pinned vs an independent reference in
         # tests/test_bpe.py)
@@ -179,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_hist": webtext.doc_length_hist,
         "dsir_weights": webtext.dsir_weights,
         "source_temperature_mix": webtext.source_temperature_mix,
+        "gopher_filter": webtext.gopher_filter,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -200,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_label_mix": embeddings.cluster_label_mix,
         "label_centroid_sums": embeddings.label_centroid_sums,
         "embed_neardup": embeddings.embed_neardup,
+        "semdedup": embeddings.semdedup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,
         "media_byte_stats": multimodal.media_byte_stats,
@@ -287,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_stats": textops.BPE_TOKEN_STATS_SQL,
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "pack_chunks": packing.PACK_CHUNKS_SQL,
+        "train_shards": packing.TRAIN_SHARDS_SQL,
         "pii_scrub": webtext.PII_SCRUB_SQL,
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,
@@ -297,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_hist": webtext.DOC_LENGTH_HIST_SQL,
         "dsir_weights": webtext.DSIR_WEIGHTS_SQL,
         "source_temperature_mix": webtext.SOURCE_TEMPERATURE_MIX_SQL,
+        "gopher_filter": webtext.GOPHER_FILTER_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,
@@ -312,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,
+        "semdedup": embeddings.SEMDEDUP_SQL,
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
         "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,

@@ -179,6 +179,9 @@ QUERY_SET = [
     "curate_web_corpus",
     "bpe_train",
     "bpe_encode",
+    "semdedup",
+    "train_shards",
+    "gopher_filter",
 ]
 
 

@@ -802,6 +802,125 @@ GROUP BY label, g
 """
 
 
+# ---- SemDeDup: semantic dedup inside k-means clusters (wave 10) ----
+
+# cosine threshold as an exact rational NUM/DEN so the keep/drop test is
+# pure integer arithmetic in both engines (0.25 bites on this corpus —
+# the synthetic embeddings are near-isotropic, 99th-pct pairwise cosine
+# ≈ 0.29; real near-dup corpora would run this at 0.9+)
+SD_THR_NUM, SD_THR_DEN = 1, 4
+
+
+def semdedup(sf_dir: str, thr_num: int = SD_THR_NUM, thr_den: int = SD_THR_DEN):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus with k-means, then inside each cluster drop every vector that
+    has a cosine-similar predecessor. Deterministic drop rule — v is
+    dropped iff ANY u in the same cluster with u.vec_id < v.vec_id has
+    cos(u, v) >= NUM/DEN — so the result is a pure function of the data
+    (no greedy chain, SQL-expressible, block-structure invariant).
+
+    Exactness: vectors are quantized to the 1e-6 grid (the kmeans
+    discipline). All dot products / norms of quantized values stay below
+    2^53 (|q| <= ~5e5, 64 dims -> sums <= ~1.6e13), so float64 BLAS
+    matmuls compute them EXACTLY; the threshold test
+    s > 0 AND s^2·DEN^2 >= NUM^2·nn_u·nn_v needs ~2^90 bits, so it runs
+    in float64 with a certainty band and falls back to arbitrary-
+    precision Python ints only for pairs inside the band. The SQL twin
+    does the same test in HUGEINT — bit-identical keep sets.
+
+    Scale: ONE shuffle of the corpus by cluster id; per-cluster work is
+    O(n_c^2) dot products — the SemDeDup design point (k is chosen so
+    n_c stays bounded; the paper runs k=50k over LAION). Assignment is a
+    broadcast (k x DIM centroids via ray.put) streaming pass."""
+    import ray
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(sf_dir, ds=ds)
+    ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(ref)
+        _, mat = _emb_matrix(batch)
+        cl = _km_assign(mat, C_)
+        return batch.append_column("cluster", pa.array(cl, type=pa.int64()))
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    num2 = float(thr_num * thr_num)
+    den2 = float(thr_den * thr_den)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(g)
+        cluster = int(g.column("cluster")[0].as_py())
+        order = np.argsort(ids)  # vec_id unique -> total order
+        ids, mat = ids[order], mat[order]
+        q = np.floor(mat * _KM_Q + 0.5)  # integer-valued float64 (exact)
+        nn = (q * q).sum(axis=1)  # exact: <= 64 * (5e5)^2 ~ 1.6e13 < 2^53
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        B = 2048  # row block: bounds the Gram slab at B x n_c float64
+        for b0 in range(1, n, B):
+            b1 = min(b0 + B, n)
+            S = q[b0:b1] @ q.T  # exact integer Gram (see docstring)
+            lhs = S * S * den2
+            rhs = num2 * np.outer(nn[b0:b1], nn)
+            # only u strictly earlier than v counts
+            earlier = np.arange(n)[None, :] < np.arange(b0, b1)[:, None]
+            hit = (S > 0) & (lhs >= rhs) & earlier
+            # certainty band: float64 products carry ~1e-15 rel error;
+            # pairs within 1e-9 relative get the exact integer test
+            near = (S > 0) & earlier & (
+                np.abs(lhs - rhs) <= 1e-9 * np.maximum(lhs, np.abs(rhs))
+            )
+            for i, u in zip(*np.nonzero(near)):
+                s = int(S[i, u])
+                hit[i, u] = s * s * thr_den * thr_den >= (
+                    thr_num * thr_num * int(nn[b0 + i]) * int(nn[u])
+                )
+            dropped[b0:b1] |= hit.any(axis=1)
+        keep = ~dropped
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], type=pa.int64()),
+                "cluster": pa.array(
+                    np.full(int(keep.sum()), cluster), type=pa.int64()
+                ),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(kernel, batch_format="pyarrow")
+
+
+SEMDEDUP_SQL = f"""
+WITH km AS ({KMEANS_SQL}),
+q AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM + 1}),
+                        i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+a AS (
+  SELECT km.vec_id, km.cluster, q.qv,
+         list_sum(list_transform(q.qv, x -> x * x)) AS nn
+  FROM km JOIN q USING (vec_id)
+),
+p AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(range(1, {DIM + 1}), i -> u.qv[i] * v.qv[i])) AS s,
+         u.nn AS nu, v.nn AS nv
+  FROM a v JOIN a u ON u.cluster = v.cluster AND u.vec_id < v.vec_id
+),
+dropped AS (
+  SELECT DISTINCT vec_id FROM p
+  WHERE s > 0
+    AND CAST(s AS HUGEINT) * s * {SD_THR_DEN * SD_THR_DEN}
+        >= {SD_THR_NUM * SD_THR_NUM} * CAST(nu AS HUGEINT) * nv
+)
+SELECT a.vec_id, a.cluster FROM a
+WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = a.vec_id)
+"""
+
+
 def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

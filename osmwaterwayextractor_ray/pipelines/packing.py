@@ -176,6 +176,113 @@ FROM pre
 """
 
 
+# ---- deterministic epoch shuffle + shard layout (wave 10) ----
+
+_TS_SHARDS = 16          # training shards (files/workers per epoch)
+_TS_PARTS = 8            # hash-range parts per shard (rank parallelism)
+_TS_M1 = 2654435761      # Knuth multiplicative (the weighted_sample family)
+_TS_M2 = 2246822519      # xxhash PRIME32_2 — mixes chunk_idx independently
+
+
+def train_shards(sf_dir: str):
+    """Deterministic epoch shuffle: every training chunk from
+    pack_sequences is assigned a shard and a position within that shard
+    under a hash order — the \"global shuffle + shard\" layout step every
+    pretraining data pipeline ends with. No RNG state: the permutation is
+    h = (doc_id·M1 + chunk_idx·M2) mod 2^32, shard = h mod S, position =
+    rank of (h, doc_id, chunk_idx) within the shard (total tie-break, so
+    the layout is bit-reproducible and block-structure invariant).
+
+    The within-shard rank is fully distributed (the pack_chunks device):
+    chunks are bucketed by (shard, hash-range part); per-bucket counts —
+    O(S·P) integers, not O(chunks) — reach the driver to form exclusive
+    offsets; each bucket then sorts locally and adds its offset. One
+    shuffle of (ids + hash) rows; the text never moves."""
+    chunks = pack_sequences(sf_dir)
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cidx = batch.column("chunk_idx").to_numpy(zero_copy_only=False)
+        h = (ids * _TS_M1 + cidx * _TS_M2) % 4294967296
+        shard = h % _TS_SHARDS
+        rpart = h * _TS_PARTS // 4294967296
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "chunk_idx": batch["chunk_idx"],
+                "chunk_tokens": batch["chunk_tokens"],
+                "hv": pa.array(h, type=pa.int64()),
+                "__g": pa.array(shard * _TS_PARTS + rpart, type=pa.int64()),
+            }
+        )
+
+    hashed_ds = pin(
+        chunks.map_batches(hashed, batch_format="pyarrow", batch_size=8192),
+        "train_shards_hashed",
+    )
+
+    counts = grouped_agg(
+        hashed_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "__g": b["__g"],
+                    "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["__g"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    n_g = np.zeros(_TS_SHARDS * _TS_PARTS, dtype=np.int64)
+    n_g[counts["__g"].to_numpy()] = counts["n"].to_numpy()
+    # exclusive prefix within each shard over its rpart blocks
+    per_shard = n_g.reshape(_TS_SHARDS, _TS_PARTS)
+    offs = (np.cumsum(per_shard, axis=1) - per_shard).ravel()
+
+    def rank(g: pa.Table) -> pa.Table:
+        gk = int(g.column("__g")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        cidx = g.column("chunk_idx").to_numpy(zero_copy_only=False)
+        h = g.column("hv").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cidx, ids, h))
+        pos = offs[gk] + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    np.full(len(ids), gk // _TS_PARTS, dtype=np.int64)
+                ),
+                "pos": pa.array(pos, type=pa.int64()),
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "chunk_idx": pa.array(cidx[order], type=pa.int64()),
+                "chunk_tokens": pa.array(
+                    g.column("chunk_tokens").to_numpy(zero_copy_only=False)[order],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return hashed_ds.groupby("__g").map_groups(rank, batch_format="pyarrow")
+
+
+TRAIN_SHARDS_SQL = f"""
+WITH chunks AS ({PACK_SEQUENCES_SQL}),
+h AS (
+  SELECT doc_id, chunk_idx, chunk_tokens,
+         (doc_id * {_TS_M1} + chunk_idx * {_TS_M2}) % 4294967296 AS hv
+  FROM chunks
+)
+SELECT CAST(hv % {_TS_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+            PARTITION BY hv % {_TS_SHARDS}
+            ORDER BY hv, doc_id, chunk_idx) - 1 AS BIGINT) AS pos,
+       doc_id, chunk_idx, chunk_tokens
+FROM h
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

@@ -1262,6 +1262,111 @@ GROUP BY a.doc_id
 """
 
 
+# ---- Gopher-style composite quality filter (wave 10) ----
+
+# Rule constants, tuned so each rule bites on this corpus (sf0.01 keep
+# rates ~83% / ~80% / ~78%; composite ~55%). All thresholds are integers
+# and every comparison is cross-multiplied, so the keep set is exact in
+# both engines — no float ratios anywhere.
+_GF_MIN_WORDS, _GF_MAX_WORDS = 20, 90
+# mean word length in [4.2, 4.8]: 21·nw <= 5·sl AND 5·sl <= 24·nw
+_GF_MWL_LO_NUM, _GF_MWL_LO_DEN = 21, 5
+_GF_MWL_HI_NUM, _GF_MWL_HI_DEN = 24, 5
+_GF_STOPWORDS = ("the", "a")
+_GF_MIN_STOP_HITS = 2
+
+
+def gopher_filter(sf_dir: str):
+    """Composite document-quality screen in the style of the Gopher
+    rules (Rae et al. 2021, arXiv:2112.11446 — word-count bounds, mean-
+    word-length bounds, minimum stop-word presence), the standard "rule
+    cascade" stage of a pretraining curation pipeline. A doc survives iff
+
+      MIN_WORDS <= n_words <= MAX_WORDS
+      4.2 <= sum_wordlen / n_words <= 4.8   (cross-multiplied integers)
+      stop_hits >= 2                        (occurrences of 'the'/'a')
+
+    Fully vectorized single streaming pass, no shuffle: pyarrow
+    split_pattern_regex + np.add.reduceat over the flattened word array
+    computes n_words / stop_hits; sum_wordlen is len(text minus
+    whitespace) — identical to the oracle's list_sum over split words
+    because the split class and the strip class are the same. Returns
+    the surviving docs with the metrics the rules used."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def screen(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(text, r"[ \t\n\r\f\v]+")
+        flat = words.values
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = offs[0]
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        stop = pc.is_in(
+            flat, value_set=pa.array(_GF_STOPWORDS)
+        ).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        # per-row sums over the flat word array (empty rows guarded by
+        # clipping reduceat indices into the flat range)
+        idx = np.minimum(offs[:-1] - lo, max(len(nonempty) - 1, 0))
+        if len(nonempty):
+            nw = np.add.reduceat(nonempty.astype(np.int64), idx)
+            sh = np.add.reduceat((nonempty & stop).astype(np.int64), idx)
+            empty_rows = (offs[1:] - offs[:-1]) == 0
+            nw[empty_rows] = 0
+            sh[empty_rows] = 0
+        else:
+            nw = np.zeros(n, dtype=np.int64)
+            sh = np.zeros(n, dtype=np.int64)
+        stripped = pc.replace_substring_regex(text, r"[ \t\n\r\f\v]", "")
+        sl = pc.utf8_length(stripped).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            (nw >= _GF_MIN_WORDS)
+            & (nw <= _GF_MAX_WORDS)
+            & (_GF_MWL_LO_NUM * nw <= _GF_MWL_LO_DEN * sl)
+            & (_GF_MWL_HI_DEN * sl <= _GF_MWL_HI_NUM * nw)
+            & (sh >= _GF_MIN_STOP_HITS)
+        )
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(nw, type=pa.int64()),
+                "sum_wordlen": pa.array(sl, type=pa.int64()),
+                "stop_hits": pa.array(sh, type=pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(screen, batch_format="pyarrow", batch_size=8192)
+
+
+GOPHER_FILTER_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\f\\v]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT)
+           AS sum_wordlen,
+         CAST(len(list_filter(ws, x -> x IN ({", ".join(f"'{s}'" for s in _GF_STOPWORDS)})))
+           AS BIGINT) AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, sum_wordlen, stop_hits FROM s
+WHERE n_words BETWEEN {_GF_MIN_WORDS} AND {_GF_MAX_WORDS}
+  AND {_GF_MWL_LO_NUM} * n_words <= {_GF_MWL_LO_DEN} * sum_wordlen
+  AND {_GF_MWL_HI_DEN} * sum_wordlen <= {_GF_MWL_HI_NUM} * n_words
+  AND stop_hits >= {_GF_MIN_STOP_HITS}
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
