@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": webtext.dsir_weights,
         "source_temperature_mix": webtext.source_temperature_mix,
         "gopher_filter": webtext.gopher_filter,
+        "dedup_spans": webtext.dedup_spans,
+        "perplexity_buckets": webtext.perplexity_buckets,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -302,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": webtext.DSIR_WEIGHTS_SQL,
         "source_temperature_mix": webtext.SOURCE_TEMPERATURE_MIX_SQL,
         "gopher_filter": webtext.GOPHER_FILTER_SQL,
+        "dedup_spans": webtext.DEDUP_SPANS_SQL,
+        "perplexity_buckets": webtext.PERPLEXITY_BUCKETS_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,

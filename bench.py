@@ -182,6 +182,8 @@ QUERY_SET = [
     "semdedup",
     "train_shards",
     "gopher_filter",
+    "dedup_spans",
+    "perplexity_buckets",
 ]
 
 

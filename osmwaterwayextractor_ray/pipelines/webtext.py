@@ -1262,6 +1262,341 @@ GROUP BY a.doc_id
 """
 
 
+# ---- CCNet-style perplexity buckets (wave 11) ----
+
+_PB_SHIFT = 10    # per-token mean cost quantized to 2^-10 micro-nats
+_PB_COARSE = 16   # coarse counting bucket = ppl_key >> 16 (rank device)
+
+
+def perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): score every document with the unigram LM (the lm_quality
+    device — integer micro-nat costs, exact), normalize to a per-token
+    key ppl_key = lm_cost·2^10 // n_tokens (pure integer division, so
+    engine and oracle agree bit-for-bit), and split each LANGUAGE into
+    equal thirds by rank under (ppl_key, doc_id) — head = best third.
+
+    The per-language rank is fully distributed (the train_shards
+    device): docs bucket by (lang, ppl_key >> {_PB_COARSE}); per-bucket
+    counts — O(langs x occupied buckets) integers, not O(docs) — reach
+    the driver to form exclusive offsets; each bucket sorts locally and
+    adds its offset. The corpus text never shuffles — only the skinny
+    (doc_id, lang, key) score rows move."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    scores = lm_quality(sf_dir)
+    score_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("lm_cost", pa.int64()),
+            ("n_oov", pa.int64()),
+        ]
+    )
+    langs = _read_documents(sf_dir, ["doc_id", "lang"])
+    lang_schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string())])
+    with_lang = lookup_join(
+        scores, langs, "doc_id", "doc_id", take_cols={"lang": "lang"},
+        num_parts=16, left_schema=score_schema, right_schema=lang_schema,
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cost = batch.column("lm_cost").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        key = (cost << _PB_SHIFT) // nt
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "ppl_key": pa.array(key, type=pa.int64()),
+                "__b": pa.array(key >> _PB_COARSE, type=pa.int64()),
+            }
+        )
+
+    rows = pin(
+        with_lang.map_batches(keyed, batch_format="pyarrow", batch_size=65536),
+        "perplexity_buckets_rows",
+    )
+
+    counts = grouped_agg(
+        rows.map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "__b": b["__b"],
+                    "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["lang", "__b"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    # per-lang totals + exclusive offsets per coarse bucket (driver sees
+    # O(langs x occupied buckets) integers)
+    counts = counts.sort_values(["lang", "__b"])
+    n_lang = counts.groupby("lang")["n"].sum().to_dict()
+    offs: dict[tuple[str, int], int] = {}
+    for lang, grp in counts.groupby("lang"):
+        c = grp["n"].to_numpy()
+        ex = np.cumsum(c) - c
+        for b, o in zip(grp["__b"].to_numpy(), ex):
+            offs[(lang, int(b))] = int(o)
+
+    def rank(g: pa.Table) -> pa.Table:
+        lang = g.column("lang")[0].as_py()
+        b = int(g.column("__b")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        key = g.column("ppl_key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        rn = offs[(lang, b)] + np.arange(len(ids), dtype=np.int64)  # 0-based
+        n = n_lang[lang]
+        tier = (3 * rn) // n
+        labels = np.array(["head", "middle", "tail"], dtype=object)[tier]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "lang": pa.array(np.full(len(ids), lang, dtype=object)),
+                "ppl_key": pa.array(key[order], type=pa.int64()),
+                "bucket": pa.array(labels, type=pa.string()),
+            }
+        )
+
+    return rows.groupby(["lang", "__b"]).map_groups(rank, batch_format="pyarrow")
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH lm AS ({LM_QUALITY_SQL}),
+k AS (
+  SELECT lm.doc_id, d.lang, (lm.lm_cost * {1 << _PB_SHIFT}) // lm.n_tokens AS ppl_key
+  FROM lm JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, ppl_key,
+         row_number() OVER (PARTITION BY lang ORDER BY ppl_key, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM k
+)
+SELECT doc_id, lang, ppl_key,
+       CASE (3 * (rn - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
+# ---- substring-level dedup REWRITE (wave 11) ----
+
+# pack (doc_id, pos) into one int64 so "global first occurrence" is a
+# single min; assumes pos < 2^20 words per document (a 100 TB crawl doc
+# is far below 1M words; the constant is shared with the SQL twin)
+_DS_POS_BITS = 20
+
+
+def dedup_spans(sf_dir: str):
+    """Substring-level deduplication that actually REWRITES the corpus
+    (the action to dup_span_stats' audit; Lee et al. 2022): every word
+    position covered by a cross-document duplicated {_SPAN_N}-gram span
+    is removed, EXCEPT the gram's global first occurrence — min packed
+    (doc_id, pos) — so the canonical copy of a shared span is spared
+    (overlapping removal spans of OTHER shared grams may still clip it;
+    coverage is a per-position union, exactly as the SQL twin computes).
+    Returns (doc_id, n_words, n_removed_words, clean_text); clean_text
+    is exact, so the oracle hash-compares it.
+
+    Plan (same bounded posting shape as dup_span_stats; THREE shuffles):
+      1. postings scan -> (doc_id, pos, gram), hash-bucketed by gram
+      2. per gram bucket: document frequency (distinct docs) + global
+         min packed key in one C++ hash-agg pass; keep df >= 2
+      3. lookup_join postings -> shared grams (attach minkey); a
+         duplicated occurrence is one whose packed key != minkey
+      4. one doc-keyed cogroup: per-doc diff-array interval union marks
+         covered word positions; the survivors rebuild vectorized via
+         LargeListArray + pc.binary_join (the line_dedup device)
+
+    Scale: no all-pairs stage; the gram shuffle moves O(positions) skinny
+    rows, the rebuild shuffle moves the corpus ONCE (it must — the output
+    is a rewritten corpus). A planet-scale boilerplate gram lands in one
+    bucket but the kernel is linear in its occurrences."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, cogroup, lookup_join
+
+    num_parts = 16
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        out_id, out_pos, out_gram = [], [], []
+        for did, t in zip(ids.tolist(), texts):
+            ws = t.split(" ")
+            for i in range(len(ws) - _SPAN_N + 1):
+                out_id.append(did)
+                out_pos.append(i)
+                out_gram.append(" ".join(ws[i : i + _SPAN_N]))
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "pos": pa.array(out_pos, type=pa.int64()),
+                "gram": pa.array(out_gram, type=pa.string()),
+            }
+        )
+        return t.append_column(
+            "__part", pa.array(_bucket_tbl(t, ["gram"], num_parts), type=pa.int64())
+        )
+
+    post = ds.map_batches(postings, batch_format="pyarrow", batch_size=8192)
+
+    def shared_grams(g: pa.Table) -> pa.Table:
+        packed = pc.add(
+            pc.shift_left(g.column("doc_id"), _DS_POS_BITS), g.column("pos")
+        )
+        t = pa.table(
+            {"gram": g["gram"], "doc_id": g["doc_id"], "packed": packed}
+        )
+        per_doc = t.group_by(["gram", "doc_id"], use_threads=False).aggregate(
+            [("packed", "min")]
+        )
+        agg = per_doc.group_by(["gram"], use_threads=False).aggregate(
+            [("doc_id", "count"), ("packed_min", "min")]
+        )
+        shared = agg.filter(pc.greater_equal(agg["doc_id_count"], 2))
+        return pa.table(
+            {"gram": shared["gram"], "minkey": shared["packed_min_min"]}
+        )
+
+    shared = post.groupby("__part").map_groups(shared_grams, batch_format="pyarrow")
+
+    post_schema = pa.schema(
+        [("doc_id", pa.int64()), ("pos", pa.int64()), ("gram", pa.string())]
+    )
+    shared_schema = pa.schema([("gram", pa.string()), ("minkey", pa.int64())])
+    joined = lookup_join(
+        post.map_batches(
+            lambda t: t.select(["doc_id", "pos", "gram"]), batch_format="pyarrow"
+        ),
+        shared,
+        "gram",
+        "gram",
+        take_cols={"minkey": "minkey"},
+        num_parts=num_parts,
+        left_schema=post_schema,
+        right_schema=shared_schema,
+    )
+
+    def removals(batch: pa.Table) -> pa.Table:
+        packed = pc.add(
+            pc.shift_left(batch.column("doc_id"), _DS_POS_BITS), batch.column("pos")
+        )
+        out = batch.select(["doc_id", "pos"]).filter(
+            pc.not_equal(packed, batch.column("minkey"))
+        )
+        return out
+
+    rem = joined.map_batches(removals, batch_format="pyarrow")
+
+    rem_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    grouped, split = cogroup(
+        ds, rem, ["doc_id"], num_parts=num_parts,
+        left_schema=doc_schema, right_schema=rem_schema,
+    )
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        if len(lg) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_words": pa.array([], type=pa.int64()),
+                    "n_removed_words": pa.array([], type=pa.int64()),
+                    "clean_text": pa.array([], type=pa.string()),
+                }
+            )
+        ids = lg.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in lg.column("text").to_pylist()]
+        order = np.argsort(ids)
+        ids = ids[order]
+        texts = [texts[i] for i in order]
+        # flat word-index space over the group's docs (in doc_id order)
+        nw = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        doc_off = np.r_[0, np.cumsum(nw)]
+        delta = np.zeros(int(doc_off[-1]) + 1, dtype=np.int64)
+        if len(rg):
+            rid = rg.column("doc_id").to_numpy(zero_copy_only=False)
+            rpos = rg.column("pos").to_numpy(zero_copy_only=False)
+            di = np.searchsorted(ids, rid)
+            starts = doc_off[di] + rpos
+            ends = np.minimum(rpos + _SPAN_N, nw[di]) + doc_off[di]
+            np.add.at(delta, starts, 1)
+            np.add.at(delta, ends, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        # vectorized rebuild: flat word array + keep mask + per-doc offsets
+        all_words = pa.array(
+            [w for t in texts for w in t.split(" ")], type=pa.string()
+        )
+        keep = ~covered
+        kept_words = all_words.filter(pa.array(keep))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), doc_off[:-1])
+        kept_per_doc[nw == 0] = 0  # reduceat quirk on empty rows (unreachable: nw>=1)
+        offsets = np.r_[0, np.cumsum(kept_per_doc)]
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), kept_words
+        )
+        import pyarrow.compute as pc2
+
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(nw, type=pa.int64()),
+                "n_removed_words": pa.array(nw - kept_per_doc, type=pa.int64()),
+                "clean_text": pc2.binary_join(lst, " "),
+            }
+        )
+
+    return grouped.map_groups(rewrite, batch_format="pyarrow")
+
+
+DEDUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), ex AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+{_SPAN_N - 1}], ' ') AS gram
+  FROM w, UNNEST(range(1, greatest(len(ws) - {_SPAN_N - 2}, 1))) AS t(i)
+), g AS (
+  SELECT gram, count(DISTINCT doc_id) AS dfc,
+         min(doc_id * {1 << _DS_POS_BITS} + i) AS mk
+  FROM ex GROUP BY gram
+), rem AS (
+  SELECT ex.doc_id, ex.i FROM ex JOIN g USING (gram)
+  WHERE g.dfc >= 2 AND ex.doc_id * {1 << _DS_POS_BITS} + ex.i <> g.mk
+), cov AS (
+  SELECT DISTINCT doc_id, i + o.o AS j
+  FROM rem, UNNEST([{", ".join(str(i) for i in range(_SPAN_N))}]) AS o(o)
+), uw AS (
+  SELECT doc_id, CAST(t.j AS BIGINT) AS j, ws[t.j] AS word
+  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(j)
+), kept AS (
+  SELECT uw.doc_id, uw.j, uw.word
+  FROM uw LEFT JOIN cov ON cov.doc_id = uw.doc_id AND cov.j = uw.j
+  WHERE cov.j IS NULL
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY j) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed_words,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+"""
+
+
 # ---- Gopher-style composite quality filter (wave 10) ----
 
 # Rule constants, tuned so each rule bites on this corpus (sf0.01 keep

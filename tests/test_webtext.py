@@ -310,7 +310,8 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
     "op",
     ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
-     "dsir_weights", "source_temperature_mix"],
+     "dsir_weights", "source_temperature_mix", "gopher_filter",
+     "dedup_spans", "perplexity_buckets"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -509,3 +510,68 @@ def test_host_count_constants_agree():
     from osmwaterwayextractor_ray.pipelines import webgraph
 
     assert webtext._HQ_HOSTS == webgraph._N_HOSTS
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans vs brute force (wave 11)
+# ---------------------------------------------------------------------------
+
+def _brute_dedup_spans(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-position reference: union of spans of every non-first
+    occurrence of a cross-document shared gram."""
+    n = webtext._SPAN_N
+    words = {int(d): t.split(" ") for d, t in zip(df["doc_id"], df["text"])}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for did, ws in words.items():
+        for i in range(len(ws) - n + 1):
+            occ.setdefault(" ".join(ws[i : i + n]), []).append((did, i))
+    cov = {d: np.zeros(len(ws), dtype=bool) for d, ws in words.items()}
+    for gram, lst in occ.items():
+        if len({d for d, _ in lst}) >= 2:
+            first = min(lst)  # lexicographic == packed (doc_id, pos) order
+            for d, p in lst:
+                if (d, p) != first:
+                    cov[d][p : p + n] = True
+    rows = []
+    for did in sorted(words):
+        ws, m = words[did], cov[did]
+        kept = [w for w, c in zip(ws, m) if not c]
+        rows.append((did, len(ws), int(m.sum()), " ".join(kept)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_removed_words", "clean_text"]
+    )
+
+
+def test_dedup_spans_brute_force(ray_session, corpus_dir):
+    got = (
+        webtext.dedup_spans(corpus_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _brute_dedup_spans(_make_corpus())
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # the planted shared run must actually be rewritten: at least one of
+    # the three docs sharing it loses words, and the global first
+    # occurrence's doc keeps more than the later ones
+    shared_docs = want[want["doc_id"].isin([80, 81, 82])]
+    assert shared_docs["n_removed_words"].sum() > 0
+    # self-repeat-only doc (83) is untouched: its grams are single-doc
+    assert int(want.loc[want["doc_id"] == 83, "n_removed_words"].iloc[0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# perplexity_buckets properties (wave 11)
+# ---------------------------------------------------------------------------
+
+def test_perplexity_buckets_thirds_and_order(ray_session, corpus_dir):
+    got = webtext.perplexity_buckets(corpus_dir).to_pandas()
+    for lang, g in got.groupby("lang"):
+        counts = g["bucket"].value_counts()
+        # equal thirds, +-1 doc
+        assert counts.max() - counts.min() <= 1, (lang, counts.to_dict())
+        # rank order respected: every head key <= every middle key <= tail
+        h = g.loc[g["bucket"] == "head", "ppl_key"]
+        m = g.loc[g["bucket"] == "middle", "ppl_key"]
+        t = g.loc[g["bucket"] == "tail", "ppl_key"]
+        assert h.max() <= m.min() and m.max() <= t.min()
