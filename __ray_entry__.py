@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": webtext.gopher_filter,
         "dedup_spans": webtext.dedup_spans,
         "perplexity_buckets": webtext.perplexity_buckets,
+        "source_epochs": webtext.source_epochs,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": webgraph.link_components,
         "host_blocklist": webgraph.host_blocklist,
         "curate_web_corpus": webgraph.curate_web_corpus,
+        "hits_scores": webgraph.hits_scores,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -306,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": webtext.GOPHER_FILTER_SQL,
         "dedup_spans": webtext.DEDUP_SPANS_SQL,
         "perplexity_buckets": webtext.PERPLEXITY_BUCKETS_SQL,
+        "source_epochs": webtext.SOURCE_EPOCHS_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
         "link_components": webgraph.LINK_COMPONENTS_SQL,
         "host_blocklist": webgraph.HOST_BLOCKLIST_SQL,
         "curate_web_corpus": webgraph.CURATE_WEB_CORPUS_SQL,
+        "hits_scores": webgraph.HITS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

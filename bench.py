@@ -184,6 +184,8 @@ QUERY_SET = [
     "gopher_filter",
     "dedup_spans",
     "perplexity_buckets",
+    "source_epochs",
+    "hits_scores",
 ]
 
 

@@ -1210,6 +1210,151 @@ CURATE_WEB_CORPUS_SQL = _cwc_sql()
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# HITS hubs/authorities (wave 12)
+# --------------------------------------------------------------------------
+
+_HITS_SCALE = 10**6   # fixed-point grid; a_raw*SCALE must fit int64 — fine
+                      # to ~1e6 pages x SCALE; the SQL twin shares the bound
+_HITS_ITERS = 3
+
+
+def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
+    """HITS hubs/authorities (Kleinberg 1999) in int64 fixed point with
+    max-normalization — the second classic iterative graph primitive
+    next to pagerank, exercising the opposite join direction each half
+    step. Per iteration over the same distinct edge list:
+
+      a_raw(v) = Σ_{u→v} h(u);   a(v) = a_raw(v)·SCALE // max(a_raw)
+      h_raw(u) = Σ_{u→v} a(v);   h(u) = h_raw(u)·SCALE // max(h_raw)
+
+    Every step is integer addition / floor division on non-negatives, so
+    the result is bit-identical under any block structure and the
+    unrolled-CTE oracle agrees exactly. The per-iteration shape is the
+    pagerank device: broadcast nothing, ONE skinny lookup_join + grouped
+    sum per half step, O(1) driver scalars (the max), per-iteration
+    re-pin (parquet spill at 100 TB via WWX_PIN_MODE). Returns
+    (page_id, hub, auth)."""
+    from ray.data.aggregate import Max
+
+    n_docs = _n_docs(sf_dir)
+    edges = pin(_edge_list(sf_dir, n_docs), "hits_edges")
+    edge_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+
+    pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+    )
+    pages_schema = pa.schema([("page_id", pa.int64())])
+
+    def const_col(name, val):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                name, pa.array(np.full(len(t), val, np.int64), type=pa.int64())
+            )
+
+        return f
+
+    h = pin(
+        pages.map_batches(const_col("h", _HITS_SCALE), batch_format="pyarrow"),
+        "hits_h0",
+    )
+    a = None
+
+    def _half_step(scores, score_col, join_key, group_key, it):
+        """sum scores over edges joined on join_key, grouped by group_key,
+        then max-normalize to SCALE."""
+        score_schema = pa.schema([("page_id", pa.int64()), (score_col, pa.int64())])
+        contrib = lookup_join(
+            edges, scores, join_key, "page_id", {score_col: "s"},
+            num_parts=16, left_schema=edge_schema, right_schema=score_schema,
+        )
+        sums = grouped_agg(
+            contrib.map_batches(
+                lambda t: pa.table({"page_id": t[group_key], "v": t["s"]}),
+                batch_format="pyarrow",
+            ),
+            ["page_id"],
+            {"v": ("v", "sum")},
+            num_parts=16,
+        )
+        filled = _attach_zero_fill(
+            pages, sums, key="page_id", value_cols=["v"],
+            left_schema=pages_schema,
+            right_schema=pa.schema([("page_id", pa.int64()), ("v", pa.int64())]),
+        )
+        pinned = pin(filled, f"hits_{score_col}_{it}")
+        m = max(int(pinned.aggregate(Max("v", alias_name="m"))["m"]), 1)
+
+        def norm(t: pa.Table) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            out_name = "a" if group_key == "dst_page" else "h"
+            return pa.table(
+                {
+                    "page_id": t["page_id"],
+                    out_name: pa.array((v * _HITS_SCALE) // m, type=pa.int64()),
+                }
+            )
+
+        return pin(pinned.map_batches(norm, batch_format="pyarrow"),
+                   f"hits_{score_col}n_{it}")
+
+    for it in range(iters):
+        # authorities from hubs (sum over IN-edges), then hubs from
+        # authorities (sum over OUT-edges)
+        a = _half_step(h, "h", "src_page", "dst_page", it)
+        h = _half_step(a, "a", "dst_page", "src_page", it)
+
+    a_schema = pa.schema([("page_id", pa.int64()), ("a", pa.int64())])
+    h_schema = pa.schema([("page_id", pa.int64()), ("h", pa.int64())])
+    out = lookup_join(
+        h, a, "page_id", "page_id", {"a": "auth"},
+        num_parts=16, left_schema=h_schema, right_schema=a_schema,
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"page_id": t["page_id"], "hub": t["h"], "auth": t["auth"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    S = _HITS_SCALE
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        f"h0 AS (SELECT doc_id AS page_id, CAST({S} AS BIGINT) AS h FROM documents)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"ar{t} AS (SELECT e.dst_page AS page_id, CAST(sum(h.h) AS BIGINT) AS v"
+            f" FROM edges e JOIN h{t} h ON h.page_id = e.src_page GROUP BY 1)"
+        )
+        parts.append(
+            f"a{t + 1} AS (SELECT d.doc_id AS page_id,"
+            f" (COALESCE(r.v, 0) * {S}) // greatest(m.m, 1) AS a"
+            f" FROM documents d CROSS JOIN (SELECT max(v) AS m FROM ar{t}) m"
+            f" LEFT JOIN ar{t} r ON r.page_id = d.doc_id)"
+        )
+        parts.append(
+            f"hr{t} AS (SELECT e.src_page AS page_id, CAST(sum(a.a) AS BIGINT) AS v"
+            f" FROM edges e JOIN a{t + 1} a ON a.page_id = e.dst_page GROUP BY 1)"
+        )
+        parts.append(
+            f"h{t + 1} AS (SELECT d.doc_id AS page_id,"
+            f" (COALESCE(r.v, 0) * {S}) // greatest(m.m, 1) AS h"
+            f" FROM documents d CROSS JOIN (SELECT max(v) AS m FROM hr{t}) m"
+            f" LEFT JOIN hr{t} r ON r.page_id = d.doc_id)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.page_id, h.h AS hub, a.a AS auth"
+        f" FROM h{iters} h JOIN a{iters} a USING (page_id)"
+    )
+
+
+HITS_SQL = _hits_sql()
+
+
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
                       left_schema=None, right_schema=None, num_parts: int = 16):
     """LEFT JOIN right (unique-keyed int64) onto left, missing -> 0."""

@@ -1262,6 +1262,79 @@ GROUP BY a.doc_id
 """
 
 
+# ---- multi-epoch source upsampling (wave 12) ----
+
+_SE_HASH_MULT = 3266489917  # xxhash PRIME32_3 — decorrelated from the
+                            # weighted_sample / temperature-mix multipliers
+_SE_DEN = 4                 # epoch factors are quarters: 1.0 .. 2.0 epochs
+
+
+def source_epochs(sf_dir: str):
+    """Multi-epoch data scheduling (the Llama/GPT-3 mixing table: some
+    sources repeat for >1 epoch per training run): each document emits
+    floor(e_s) full copies plus one extra copy with probability
+    frac(e_s), decided by an integer hash threshold — so the realized
+    epoch count is deterministic, bit-reproducible in SQL, and the
+    EXPECTED copy count per source is exactly e_s. The per-source factor
+    here derives from the source id's trailing digits k (e_s =
+    (4 + k mod 5)/4 — 1.0, 1.25, .. 2.0 epochs; no digits -> k = 0); a
+    production run would broadcast a configured table instead, same
+    shape. Emits (doc_id, source, epoch_idx) — a shuffle-free vectorized
+    flat map (np.repeat), the pack_sequences device."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, ["doc_id", "source"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = batch.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        digits = pc.extract_regex(src, r"(?P<k>[0-9]+)$")
+        k = (
+            pc.cast(
+                pc.fill_null(pc.struct_field(digits, "k"), "0"), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+        )
+        num = 4 + (k % 5)
+        h = (ids * _SE_HASH_MULT) % 4294967296
+        extra = h < (num % _SE_DEN) * (4294967296 // _SE_DEN)
+        copies = num // _SE_DEN + extra.astype(np.int64)
+        total = int(copies.sum())
+        doc_rep = np.repeat(ids, copies)
+        src_rep = src.take(pa.array(np.repeat(np.arange(len(ids)), copies)))
+        epoch_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(copies) - copies, copies
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, type=pa.int64()),
+                "source": src_rep,
+                "epoch_idx": pa.array(epoch_idx, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+
+
+SOURCE_EPOCHS_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         4 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0) % 5 AS num
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         num // {_SE_DEN}
+         + CASE WHEN (doc_id * {_SE_HASH_MULT}) % 4294967296
+                     < (num % {_SE_DEN}) * {4294967296 // _SE_DEN}
+                THEN 1 ELSE 0 END AS copies
+  FROM s
+)
+SELECT doc_id, source, CAST(t.e AS BIGINT) AS epoch_idx
+FROM c, UNNEST(generate_series(0, copies - 1)) AS t(e)
+"""
+
+
 # ---- CCNet-style perplexity buckets (wave 11) ----
 
 _PB_SHIFT = 10    # per-token mean cost quantized to 2^-10 micro-nats

@@ -91,6 +91,37 @@ def test_pagerank_bruteforce(ray_session, corpus_dir):
     assert got["pr"].sum() <= webgraph._PR_SCALE
 
 
+def _brute_hits(n=N_DOCS, iters=webgraph._HITS_ITERS):
+    edges = _brute_edges(n)
+    S = webgraph._HITS_SCALE
+    h = {v: S for v in range(n)}
+    a = {v: 0 for v in range(n)}
+    for _ in range(iters):
+        a = {v: 0 for v in range(n)}
+        for s, d in edges:
+            a[d] += h[s]
+        m = max(max(a.values()), 1)
+        a = {v: (x * S) // m for v, x in a.items()}
+        h = {v: 0 for v in range(n)}
+        for s, d in edges:
+            h[s] += a[d]
+        m = max(max(h.values()), 1)
+        h = {v: (x * S) // m for v, x in h.items()}
+    return h, a
+
+
+def test_hits_bruteforce(ray_session, corpus_dir):
+    got = webgraph.hits_scores(corpus_dir).to_pandas()
+    hub, auth = _brute_hits()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        p = row["page_id"]
+        assert row["hub"] == hub[p] and row["auth"] == auth[p], p
+    # max-normalization holds and at least one page hits the cap
+    assert got["hub"].max() == webgraph._HITS_SCALE
+    assert got["auth"].max() == webgraph._HITS_SCALE
+
+
 def test_latest_snapshot_bruteforce(ray_session, corpus_dir):
     got = (
         webgraph.latest_snapshot(corpus_dir)
@@ -279,6 +310,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "link_components",
         "host_blocklist",
         "curate_web_corpus",
+        "hits_scores",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):

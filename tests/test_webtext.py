@@ -311,7 +311,7 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
     ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
      "dsir_weights", "source_temperature_mix", "gopher_filter",
-     "dedup_spans", "perplexity_buckets"],
+     "dedup_spans", "perplexity_buckets", "source_epochs"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -575,3 +575,27 @@ def test_perplexity_buckets_thirds_and_order(ray_session, corpus_dir):
         m = g.loc[g["bucket"] == "middle", "ppl_key"]
         t = g.loc[g["bucket"] == "tail", "ppl_key"]
         assert h.max() <= m.min() and m.max() <= t.min()
+
+
+# ---------------------------------------------------------------------------
+# source_epochs properties (wave 12)
+# ---------------------------------------------------------------------------
+
+def test_source_epochs_copy_counts(ray_session, corpus_dir):
+    got = webtext.source_epochs(corpus_dir).to_pandas()
+    df = _make_corpus()
+    per_doc = got.groupby("doc_id").size()
+    assert set(per_doc.index) == set(df["doc_id"])  # every doc appears
+    for did, src in zip(df["doc_id"], df["source"]):
+        k = int(src[1:])  # this corpus uses 's0'/'s1'/'s2' (trailing digits)
+        num = 4 + (k % 5)
+        lo, hi = num // webtext._SE_DEN, (num + webtext._SE_DEN - 1) // webtext._SE_DEN
+        assert lo <= per_doc[did] <= hi, (did, src, per_doc[did])
+        # exact per-doc rule, independently recomputed
+        extra = (did * webtext._SE_HASH_MULT) % 4294967296 < (
+            num % webtext._SE_DEN
+        ) * (4294967296 // webtext._SE_DEN)
+        assert per_doc[did] == num // webtext._SE_DEN + int(extra)
+    # epoch_idx is a clean 0..copies-1 sequence per doc
+    for did, g in got.groupby("doc_id"):
+        assert sorted(g["epoch_idx"]) == list(range(len(g)))
