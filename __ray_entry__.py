@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": packing.pack_sequences,
         "pack_chunks": packing.pack_chunks,
         "train_shards": packing.train_shards,
+        "token_balanced_shards": packing.token_balanced_shards,
         # distributed BPE tokenizer training + corpus encoding (iterative,
         # not SQL-expressible — pinned vs an independent reference in
         # tests/test_bpe.py)
@@ -184,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": webtext.dedup_spans,
         "perplexity_buckets": webtext.perplexity_buckets,
         "source_epochs": webtext.source_epochs,
+        "normalize_text": webtext.normalize_text,
         # --- web-graph ops (pipelines/webgraph.py) ---
         "page_links": webgraph.page_links,
         "link_stats": webgraph.link_stats,
@@ -295,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": packing.PACK_SEQUENCES_SQL,
         "pack_chunks": packing.PACK_CHUNKS_SQL,
         "train_shards": packing.TRAIN_SHARDS_SQL,
+        "token_balanced_shards": packing.TOKEN_BALANCED_SHARDS_SQL,
         "pii_scrub": webtext.PII_SCRUB_SQL,
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,
@@ -309,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": webtext.DEDUP_SPANS_SQL,
         "perplexity_buckets": webtext.PERPLEXITY_BUCKETS_SQL,
         "source_epochs": webtext.SOURCE_EPOCHS_SQL,
+        "normalize_text": webtext.NORMALIZE_TEXT_SQL,
         "page_links": webgraph.PAGE_LINKS_SQL,
         "link_stats": webgraph.LINK_STATS_SQL,
         "pagerank": webgraph.PAGERANK_SQL,

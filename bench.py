@@ -186,6 +186,8 @@ QUERY_SET = [
     "perplexity_buckets",
     "source_epochs",
     "hits_scores",
+    "token_balanced_shards",
+    "normalize_text",
 ]
 
 

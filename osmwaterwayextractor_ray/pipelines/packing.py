@@ -283,6 +283,97 @@ FROM h
 """
 
 
+# ---- token-balanced shard layout (wave 13) ----
+
+_TB_SHARDS = 8
+_TB_BUCKET_SHIFT = 4  # coarse rank bucket = n_tokens >> 4 (rank device)
+
+
+def token_balanced_shards(sf_dir: str):
+    """Static load balancing for heterogeneous document lengths: assign
+    docs to {_TB_SHARDS} shards so per-shard token totals stay balanced —
+    the layout step before batched inference / packing when doc sizes are
+    skewed. Deterministic snake (boustrophedon) assignment over the docs
+    sorted by (n_tokens DESC, doc_id): rank r goes to shard r%W on even
+    rounds and W-1-(r%W) on odd rounds, which bounds the shard-total
+    spread by one max-doc regardless of the length distribution.
+
+    The global rank is distributed (the train_shards device) with the
+    coarse bucket n_tokens >> {_TB_BUCKET_SHIFT}: bucket boundaries
+    respect the sort order (the shift is monotone), per-bucket counts —
+    O(occupied buckets) integers — form driver offsets, and each bucket
+    sorts locally. Only skinny (doc_id, n_tokens) rows move."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        nt = token_counts(texts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "__b": pa.array(nt >> _TB_BUCKET_SHIFT, type=pa.int64()),
+            }
+        )
+
+    rows = pin(
+        ds.map_batches(toks, batch_format="pyarrow", batch_size=8192),
+        "token_balanced_rows",
+    )
+
+    counts = grouped_agg(
+        rows.map_batches(
+            lambda b: pa.table(
+                {"__b": b["__b"], "one": pa.array(np.ones(len(b), dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["__b"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    # rank order is n_tokens DESC -> buckets consumed in DESC order
+    counts = counts.sort_values("__b", ascending=False)
+    c = counts["n"].to_numpy()
+    ex = np.cumsum(c) - c
+    offs = {int(b): int(o) for b, o in zip(counts["__b"].to_numpy(), ex)}
+
+    def assign(g: pa.Table) -> pa.Table:
+        b = int(g.column("__b")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        nt = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nt))
+        r = offs[b] + np.arange(len(ids), dtype=np.int64)
+        w = _TB_SHARDS
+        pos = r % w
+        shard = np.where((r // w) % 2 == 0, pos, w - 1 - pos)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "n_tokens": pa.array(nt[order], type=pa.int64()),
+                "shard": pa.array(shard, type=pa.int64()),
+            }
+        )
+
+    return rows.groupby("__b").map_groups(assign, batch_format="pyarrow")
+
+
+TOKEN_BALANCED_SHARDS_SQL = f"""
+WITH {_TOKS_CTE},
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(CASE WHEN (r // {_TB_SHARDS}) % 2 = 0 THEN r % {_TB_SHARDS}
+                 ELSE {_TB_SHARDS - 1} - (r % {_TB_SHARDS}) END AS BIGINT) AS shard
+FROM r
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

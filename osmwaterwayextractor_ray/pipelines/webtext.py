@@ -1262,6 +1262,51 @@ GROUP BY a.doc_id
 """
 
 
+# ---- canonical text normalization (wave 13) ----
+
+
+def normalize_text(sf_dir: str):
+    """The canonical preprocessing pass every curation chain starts
+    with: lowercase, collapse whitespace runs to single spaces, strip
+    leading/trailing whitespace. Stateless vectorized single pass
+    (pyarrow utf8 kernels, zero shuffles); clean_text is exact so the
+    oracle hash-compares it. Returns (doc_id, norm_text, n_chars_norm)."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        out = pc.utf8_trim(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t), r"[ \t\n\r\f\v]+", " "
+            ),
+            " ",
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "norm_text": out,
+                "n_chars_norm": pc.cast(pc.utf8_length(out), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=8192)
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f\v]+', ' ', 'g'), ' ')
+         AS norm_text,
+       CAST(length(trim(regexp_replace(lower(coalesce(text, '')), '[ \t\n\r\f\v]+', ' ', 'g'), ' '))
+            AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
 # ---- multi-epoch source upsampling (wave 12) ----
 
 _SE_HASH_MULT = 3266489917  # xxhash PRIME32_3 — decorrelated from the

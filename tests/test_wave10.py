@@ -320,3 +320,97 @@ def test_gopher_filter_oracle_on_fixture(ray_session, gf_dir):
         .astype("int64")
     )
     pd.testing.assert_frame_equal(res, ora[res.columns])
+
+
+# ---------------------------------------------------------------------------
+# token_balanced_shards (wave 13)
+# ---------------------------------------------------------------------------
+
+
+def test_token_balanced_shards_balance_and_rank(ray_session, chunk_dir):
+    res = packing.token_balanced_shards(chunk_dir).to_pandas()
+    # exact snake assignment vs an independent single-process reference
+    ref = res.sort_values(["n_tokens", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    w = packing._TB_SHARDS
+    r = np.arange(len(ref))
+    pos = r % w
+    want = np.where((r // w) % 2 == 0, pos, w - 1 - pos)
+    assert (ref["shard"].to_numpy() == want).all()
+    # balance: per-shard token totals spread bounded by one max doc
+    tot = res.groupby("shard")["n_tokens"].sum()
+    assert len(tot) == w
+    assert tot.max() - tot.min() <= res["n_tokens"].max()
+
+
+def test_token_balanced_shards_oracle_multichunk(ray_session, chunk_dir):
+    res = (
+        packing.token_balanced_shards(chunk_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{chunk_dir}/documents.parquet')"
+    )
+    ora = (
+        con.execute(packing.TOKEN_BALANCED_SHARDS_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(res, ora[res.columns])
+
+
+# ---------------------------------------------------------------------------
+# normalize_text edge cases (wave 13)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_edge_cases(ray_session, tmp_path):
+    from osmwaterwayextractor_ray.pipelines import webtext
+
+    cases = [
+        (0, "  Leading And   MIXED\tcase\n\nruns  ", "leading and mixed case runs"),
+        (1, "", ""),
+        (2, "\t \n", ""),
+        (3, "already clean", "already clean"),
+        (4, "A\fB\vC", "a b c"),
+        (5, None, ""),
+    ]
+    df = pd.DataFrame(
+        [(i, t) for i, t, _ in cases], columns=["doc_id", "text"]
+    )
+    df["lang"] = "en"
+    df["source"] = "s0"
+    df["n_chars"] = df["text"].str.len().fillna(0).astype(np.int64)
+    d = tmp_path / "norm"
+    d.mkdir()
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        webtext.normalize_text(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, _, want in cases:
+        row = got[got["doc_id"] == i].iloc[0]
+        assert row["norm_text"] == want, (i, row["norm_text"])
+        assert row["n_chars_norm"] == len(want)
+    # SQL twin agrees on the same edge cases
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    ora = (
+        con.execute(webtext.NORMALIZE_TEXT_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=False)

@@ -311,7 +311,8 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
     ["pii_scrub", "dup_span_stats", "bm25_search", "weighted_sample",
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
      "dsir_weights", "source_temperature_mix", "gopher_filter",
-     "dedup_spans", "perplexity_buckets", "source_epochs"],
+     "dedup_spans", "perplexity_buckets", "source_epochs",
+     "normalize_text"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
