@@ -135,7 +135,7 @@ def incremental_dedup(sf_dir: str, m_bits: int | None = None):
         .map_batches(fold, batch_format="pyarrow", batch_size=64)
         .take_all()
     )
-    bm = bloom_merge(np.asarray(r["bm"], dtype=np.uint8) for r in parts)
+    bm = bloom_merge((np.asarray(r["bm"], dtype=np.uint8) for r in parts), m_bits=mb)
     ref_bm = ray.put(bm)
 
     def direct_keep(batch: pa.Table) -> pa.Table:

@@ -182,8 +182,15 @@ def dup_span_stats(sf_dir: str):
             }
         )
 
-    post = _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        postings, batch_format="pyarrow", batch_size=8192
+    from osmwaterwayextractor_ray.stages.pin import pin as _pin
+
+    # pinned: the posting scan feeds the shared-gram pass AND the
+    # semi-join left side (A/B measured faster pinned, NOTES_r4)
+    post = _pin(
+        _read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            postings, batch_format="pyarrow", batch_size=8192
+        ),
+        "dup_span_stats_post",
     )
 
     # document frequency per gram in ONE gram-keyed shuffle: per-batch
@@ -1335,7 +1342,9 @@ def source_epochs(sf_dir: str):
         src = batch.column("source")
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        digits = pc.extract_regex(src, r"(?P<k>[0-9]+)$")
+        # bounded capture ({1,9} digits): the int64 cast can't overflow,
+        # and RE2 takes the LAST <=9 digits on both sides (same anchor)
+        digits = pc.extract_regex(src, r"(?P<k>[0-9]{1,9})$")
         k = (
             pc.cast(
                 pc.fill_null(pc.struct_field(digits, "k"), "0"), pa.int64()
@@ -1365,7 +1374,7 @@ def source_epochs(sf_dir: str):
 SOURCE_EPOCHS_SQL = f"""
 WITH s AS (
   SELECT doc_id, source,
-         4 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT), 0) % 5 AS num
+         4 + COALESCE(TRY_CAST(regexp_extract(source, '([0-9]{{1,9}})$', 1) AS BIGINT), 0) % 5 AS num
   FROM documents
 ), c AS (
   SELECT doc_id, source,
@@ -1543,6 +1552,7 @@ def dedup_spans(sf_dir: str):
     import pyarrow.compute as pc
 
     from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, cogroup, lookup_join
+    from osmwaterwayextractor_ray.stages.pin import pin
 
     num_parts = 16
     ds = _read_documents(sf_dir, ["doc_id", "text"])
@@ -1568,7 +1578,13 @@ def dedup_spans(sf_dir: str):
             "__part", pa.array(_bucket_tbl(t, ["gram"], num_parts), type=pa.int64())
         )
 
-    post = ds.map_batches(postings, batch_format="pyarrow", batch_size=8192)
+    # pinned: the per-word posting extraction (the op's costliest scan)
+    # feeds BOTH the shared-gram pass and the lookup_join left side —
+    # A/B measured faster pinned (NOTES_r4)
+    post = pin(
+        ds.map_batches(postings, batch_format="pyarrow", batch_size=8192),
+        "dedup_spans_post",
+    )
 
     def shared_grams(g: pa.Table) -> pa.Table:
         packed = pc.add(
@@ -1661,19 +1677,16 @@ def dedup_spans(sf_dir: str):
         keep = ~covered
         kept_words = all_words.filter(pa.array(keep))
         kept_per_doc = np.add.reduceat(keep.astype(np.int64), doc_off[:-1])
-        kept_per_doc[nw == 0] = 0  # reduceat quirk on empty rows (unreachable: nw>=1)
         offsets = np.r_[0, np.cumsum(kept_per_doc)]
         lst = pa.LargeListArray.from_arrays(
             pa.array(offsets, type=pa.int64()), kept_words
         )
-        import pyarrow.compute as pc2
-
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
                 "n_words": pa.array(nw, type=pa.int64()),
                 "n_removed_words": pa.array(nw - kept_per_doc, type=pa.int64()),
-                "clean_text": pc2.binary_join(lst, " "),
+                "clean_text": pc.binary_join(lst, " "),
             }
         )
 
@@ -1682,7 +1695,7 @@ def dedup_spans(sf_dir: str):
 
 DEDUP_SPANS_SQL = f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
 ), ex AS (
   SELECT doc_id, i, array_to_string(ws[i:i+{_SPAN_N - 1}], ' ') AS gram
   FROM w, UNNEST(range(1, greatest(len(ws) - {_SPAN_N - 2}, 1))) AS t(i)

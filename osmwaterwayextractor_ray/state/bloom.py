@@ -40,12 +40,13 @@ def bloom_partial(
     return bm
 
 
-def bloom_merge(bitmaps) -> np.ndarray:
-    """OR-fold partial bitmaps (order-independent)."""
+def bloom_merge(bitmaps, m_bits: int = M_BITS) -> np.ndarray:
+    """OR-fold partial bitmaps (order-independent). An empty iterable
+    (zero-block input) yields the empty filter, not None."""
     out = None
     for bm in bitmaps:
         out = bm.copy() if out is None else np.bitwise_or(out, bm)
-    return out
+    return out if out is not None else np.zeros(m_bits // 8, dtype=np.uint8)
 
 
 def bloom_contains(
