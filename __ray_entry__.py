@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
         "embed_topk_pq": embeddings.embed_topk_pq,
+        "embed_topk_ivfpq": embeddings.embed_topk_ivfpq,
         "kmeans_embeddings": embeddings.kmeans_embeddings,
         "cluster_label_mix": embeddings.cluster_label_mix,
         "label_centroid_sums": embeddings.label_centroid_sums,

@@ -188,6 +188,7 @@ QUERY_SET = [
     "hits_scores",
     "token_balanced_shards",
     "normalize_text",
+    "embed_topk_ivfpq",
 ]
 
 

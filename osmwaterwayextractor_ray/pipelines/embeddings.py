@@ -745,6 +745,131 @@ def embed_topk_pq(sf_dir: str):
     return partials.groupby("qid").map_groups(merge, batch_format="pandas")
 
 
+# ---- composed IVF-PQ ANN (the full 10^9-vector scale path) ----
+
+
+def embed_topk_ivfpq(sf_dir: str):
+    """The composed IVF-PQ plan both building blocks document: vectors
+    shuffle ONCE into coarse IVF buckets; each query searches only its
+    N_PROBE nearest buckets; inside a bucket, candidates are scored from
+    PQ codes (ADC table lookups — the memory-bound 16-bytes-per-vector
+    regime) and only the per-bucket ADC shortlist is reranked with exact
+    cosine. The global merge is batching-invariant by the same argument
+    as embed_topk_pq: ADC scores depend only on (vector, codebooks,
+    query), and buckets PARTITION the probed candidates, so per-bucket
+    top-R shortlists merge exactly to the global top-R.
+
+    At 10^9+ vectors this is the standard serving layout (IVF prunes to
+    N_PROBE/N_COARSE of the corpus, PQ cuts bytes-touched 16x, exact
+    math touches only the shortlist). Approximate by design -> rows-only
+    driver check; recall vs brute force pinned in tests."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max(PQ_TRAIN, N_COARSE, N_QUERIES))],
+    )
+    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    emb_col = qt.column("embedding")
+
+    def _rows(mask) -> np.ndarray:
+        sel = [int(i) for i in np.nonzero(mask)[0]]
+        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
+
+    coarse = _rows(ids_all < N_COARSE)
+    coarse_n = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
+    train = _rows(ids_all < PQ_TRAIN)
+    train_n = train / np.linalg.norm(train, axis=1, keepdims=True)
+    books = _pq_train(train_n)
+    sub = train.shape[1] // PQ_M
+
+    q_mat = _rows(ids_all < N_QUERIES)
+    q_ids = ids_all[ids_all < N_QUERIES]
+    qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_probe = np.argsort(-(qn @ coarse_n.T), axis=1)[:, :N_PROBE]
+    tabs = np.einsum("qmd,mkd->qmk", qn.reshape(len(q_ids), PQ_M, sub), books)
+    shared = ray.put((coarse_n, q_ids, qn, q_probe, tabs, books))
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        coarse_n_, _, _, _, _, _ = ray.get(shared)
+        ids, mat = _emb_matrix(batch)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        bucket = np.argmax(matn @ coarse_n_.T, axis=1).astype(np.int64)
+        offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embn": pa.ListArray.from_arrays(
+                    pa.array(offs, type=pa.int32()),
+                    pa.array(matn.ravel(), type=pa.float64()),
+                ),
+            }
+        )
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+    def search_bucket(g: pd.DataFrame) -> pa.Table:
+        _, q_ids_, qn_, q_probe_, tabs_, books_ = ray.get(shared)
+        b = int(g["bucket"].iloc[0])
+        probing = np.nonzero((q_probe_ == b).any(axis=1))[0]
+        empty = pa.table(
+            {
+                "qid": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "adc": pa.array([], type=pa.float64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(probing) == 0:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        matn = np.array(g["embn"].tolist(), dtype=np.float64)
+        xs = matn.reshape(len(ids), PQ_M, sub)
+        c2 = np.stack([(bk**2).sum(1) for bk in books_])
+        sims = np.zeros((len(probing), len(ids)))
+        for m in range(PQ_M):
+            codes = (c2[m][None, :] - 2.0 * xs[:, m, :] @ books_[m].T).argmin(1)
+            sims += tabs_[probing][:, m, codes]
+        out_q, out_v, out_a, out_s = [], [], [], []
+        for row, qi in enumerate(probing):
+            qid = int(q_ids_[qi])
+            cand = np.nonzero(ids != qid)[0]
+            short = cand[np.lexsort((ids[cand], -sims[row][cand]))][:PQ_RERANK]
+            out_q.append(np.full(len(short), qid, dtype=np.int64))
+            out_v.append(ids[short])
+            out_a.append(sims[row][short])
+            out_s.append(matn[short] @ qn_[qi])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), type=pa.float64()),
+                "cosine": pa.array(
+                    np.round(np.concatenate(out_s), 6), type=pa.float64()
+                ),
+            }
+        )
+
+    partials = bucketed.groupby("bucket").map_groups(
+        search_bucket, batch_format="pandas"
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        short = g.sort_values(["adc", "vec_id"], ascending=[False, True]).head(
+            PQ_RERANK
+        )
+        top = short.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(K)
+        return top[["qid", "vec_id", "cosine"]]
+
+    return partials.groupby("qid").map_groups(merge, batch_format="pandas")
+
+
 # ---- grouped vector aggregate (per-label centroid sums) ----
 
 
