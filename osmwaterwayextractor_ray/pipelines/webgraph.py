@@ -262,63 +262,83 @@ def pagerank(sf_dir: str, iters: int = _PR_ITERS):
         lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
     )
     pages_schema = pa.schema([("page_id", pa.int64())])
-    pr_schema = pa.schema([("page_id", pa.int64()), ("pr", pa.int64())])
 
     init = _PR_SCALE // n_docs
     base = (15 * _PR_SCALE) // (100 * n_docs)
 
-    pr = pin(
-        pages.map_batches(
-            lambda t: t.append_column(
-                "pr", pa.array(np.full(len(t), init, np.int64), type=pa.int64())
-            ),
-            batch_format="pyarrow",
-        ),
-        "webgraph_pr0",
-    )
+    # Intermediate state is the RAW per-page mass sums m_t (pinned; pages
+    # with no in-links are simply absent = 0): the damping affine
+    # pr_t = base + (85·m_t)//100 folds into the NEXT iteration's share
+    # map — bit-identical to materializing pr per page, but each
+    # iteration is ONE zero-fill attach over the edge list + ONE grouped
+    # sum + ONE pin (the former per-iteration pages-side zero-fill
+    # cogroup + damp pass + extra pin are gone). Iteration 0 skips the
+    # join entirely: pr_0 is the constant SCALE//N for every page.
+    sums_schema = pa.schema([("page_id", pa.int64()), ("m", pa.int64())])
+    sums = None
 
     for it in range(iters):
-        contrib = lookup_join(
-            ewd, pr, "src_page", "page_id", {"pr": "pr"},
-            num_parts=16, left_schema=ewd_schema, right_schema=pr_schema,
-        )
+        if sums is None:
+            def share0(t: pa.Table) -> pa.Table:
+                d = t.column("out_deg").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "page_id": t["dst_page"],
+                        "c": pa.array(init // d, type=pa.int64()),
+                    }
+                )
 
-        def share(t: pa.Table) -> pa.Table:
-            p = t.column("pr").to_numpy(zero_copy_only=False)
-            d = t.column("out_deg").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "page_id": t["dst_page"],
-                    "c": pa.array(p // d, type=pa.int64()),
-                }
+            contrib = ewd.map_batches(share0, batch_format="pyarrow")
+        else:
+            # LEFT-attach the previous sums onto the edge list (missing
+            # src -> m=0, i.e. pr = base), then damp inline
+            sums_as_src = sums.map_batches(
+                lambda t: t.rename_columns(["src_page", "m"]),
+                batch_format="pyarrow",
+            )
+            joined = _attach_zero_fill(
+                ewd, sums_as_src, key="src_page", value_cols=["m"],
+                left_schema=ewd_schema,
+                right_schema=pa.schema([("src_page", pa.int64()), ("m", pa.int64())]),
+                extra_cols=["dst_page", "out_deg"],
             )
 
-        sums = grouped_agg(
-            contrib.map_batches(share, batch_format="pyarrow"),
-            ["page_id"],
-            {"m": ("c", "sum")},
-            num_parts=16,
+            def share(t: pa.Table) -> pa.Table:
+                m = t.column("m").to_numpy(zero_copy_only=False)
+                d = t.column("out_deg").to_numpy(zero_copy_only=False)
+                p = base + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN
+                return pa.table(
+                    {
+                        "page_id": t["dst_page"],
+                        "c": pa.array(p // d, type=pa.int64()),
+                    }
+                )
+
+            contrib = joined.map_batches(share, batch_format="pyarrow")
+        sums = pin(
+            grouped_agg(contrib, ["page_id"], {"m": ("c", "sum")}, num_parts=16),
+            f"webgraph_pr_m{it + 1}",
         )
-        filled = _attach_zero_fill(
-            pages, sums, key="page_id", value_cols=["m"],
-            left_schema=pages_schema,
-            right_schema=pa.schema([("page_id", pa.int64()), ("m", pa.int64())]),
+
+    # final pr per page (zero-fill once so every page appears)
+    filled = _attach_zero_fill(
+        pages, sums, key="page_id", value_cols=["m"],
+        left_schema=pages_schema,
+        right_schema=sums_schema,
+    )
+
+    def damp(t: pa.Table) -> pa.Table:
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "pr": pa.array(
+                    base + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN, type=pa.int64()
+                ),
+            }
         )
 
-        def damp(t: pa.Table) -> pa.Table:
-            m = t.column("m").to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "page_id": t["page_id"],
-                    "pr": pa.array(
-                        base + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN, type=pa.int64()
-                    ),
-                }
-            )
-
-        pr = pin(filled.map_batches(damp, batch_format="pyarrow"), f"webgraph_pr{it + 1}")
-
-    return pr
+    return filled.map_batches(damp, batch_format="pyarrow")
 
 
 def _pagerank_sql(iters: int = _PR_ITERS) -> str:
@@ -1246,48 +1266,72 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
     )
     pages_schema = pa.schema([("page_id", pa.int64())])
 
-    def const_col(name, val):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                name, pa.array(np.full(len(t), val, np.int64), type=pa.int64())
+    # Intermediate scores stay RAW (pinned grouped sums + a driver max
+    # scalar): normalization applies per-score BEFORE the next summation,
+    # so the next half step folds (v·SCALE)//m into its share map —
+    # bit-identical to materializing normalized tables, but each half
+    # step is ONE lookup_join + ONE grouped_agg + ONE pin (no zero-fill
+    # cogroup, no extra normalize pass; pages missing from the sums
+    # would contribute 0 anyway). Zero-fill happens once per side at the
+    # END so the output covers every page. The very first half step
+    # skips the join entirely: h0 is the constant SCALE per page, so the
+    # first authority sums are SCALE·in_degree.
+    raw_schema = pa.schema([("page_id", pa.int64()), ("v", pa.int64())])
+
+    def _sums(scores, m, join_key, group_key, it):
+        """grouped sums of normalized scores over edges (scores=None ->
+        the constant-SCALE initial hubs)."""
+        if scores is None:
+            contrib = edges.map_batches(
+                lambda t: pa.table(
+                    {
+                        "page_id": t[group_key],
+                        "c": pa.array(
+                            np.full(len(t), _HITS_SCALE, np.int64), type=pa.int64()
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        else:
+            joined = lookup_join(
+                edges, scores, join_key, "page_id", {"v": "s"},
+                num_parts=16, left_schema=edge_schema, right_schema=raw_schema,
             )
 
-        return f
+            def share(t: pa.Table) -> pa.Table:
+                p = t.column("s").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "page_id": t[group_key],
+                        "c": pa.array((p * _HITS_SCALE) // m, type=pa.int64()),
+                    }
+                )
 
-    h = pin(
-        pages.map_batches(const_col("h", _HITS_SCALE), batch_format="pyarrow"),
-        "hits_h0",
-    )
-    a = None
+            contrib = joined.map_batches(share, batch_format="pyarrow")
+        pinned = pin(
+            grouped_agg(contrib, ["page_id"], {"v": ("c", "sum")}, num_parts=16),
+            f"hits_{group_key}_{it}",
+        )
+        mx = max(int(pinned.aggregate(Max("v", alias_name="m"))["m"]), 1)
+        return pinned, mx
 
-    def _half_step(scores, score_col, join_key, group_key, it):
-        """sum scores over edges joined on join_key, grouped by group_key,
-        then max-normalize to SCALE."""
-        score_schema = pa.schema([("page_id", pa.int64()), (score_col, pa.int64())])
-        contrib = lookup_join(
-            edges, scores, join_key, "page_id", {score_col: "s"},
-            num_parts=16, left_schema=edge_schema, right_schema=score_schema,
-        )
-        sums = grouped_agg(
-            contrib.map_batches(
-                lambda t: pa.table({"page_id": t[group_key], "v": t["s"]}),
-                batch_format="pyarrow",
-            ),
-            ["page_id"],
-            {"v": ("v", "sum")},
-            num_parts=16,
-        )
+    h, m_h = None, _HITS_SCALE
+    a, m_a = None, 1
+    for it in range(iters):
+        # authorities from hubs (sum over IN-edges), then hubs from
+        # authorities (sum over OUT-edges)
+        a, m_a = _sums(h, m_h, "src_page", "dst_page", it)
+        h, m_h = _sums(a, m_a, "dst_page", "src_page", it)
+
+    def _final(sums, m, out_name):
         filled = _attach_zero_fill(
             pages, sums, key="page_id", value_cols=["v"],
-            left_schema=pages_schema,
-            right_schema=pa.schema([("page_id", pa.int64()), ("v", pa.int64())]),
+            left_schema=pages_schema, right_schema=raw_schema,
         )
-        pinned = pin(filled, f"hits_{score_col}_{it}")
-        m = max(int(pinned.aggregate(Max("v", alias_name="m"))["m"]), 1)
 
         def norm(t: pa.Table) -> pa.Table:
             v = t.column("v").to_numpy(zero_copy_only=False)
-            out_name = "a" if group_key == "dst_page" else "h"
             return pa.table(
                 {
                     "page_id": t["page_id"],
@@ -1295,26 +1339,15 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
                 }
             )
 
-        return pin(pinned.map_batches(norm, batch_format="pyarrow"),
-                   f"hits_{score_col}n_{it}")
+        return filled.map_batches(norm, batch_format="pyarrow")
 
-    for it in range(iters):
-        # authorities from hubs (sum over IN-edges), then hubs from
-        # authorities (sum over OUT-edges)
-        a = _half_step(h, "h", "src_page", "dst_page", it)
-        h = _half_step(a, "a", "dst_page", "src_page", it)
-
-    a_schema = pa.schema([("page_id", pa.int64()), ("a", pa.int64())])
-    h_schema = pa.schema([("page_id", pa.int64()), ("h", pa.int64())])
-    out = lookup_join(
-        h, a, "page_id", "page_id", {"a": "auth"},
-        num_parts=16, left_schema=h_schema, right_schema=a_schema,
-    )
-    return out.map_batches(
-        lambda t: pa.table(
-            {"page_id": t["page_id"], "hub": t["h"], "auth": t["auth"]}
-        ),
-        batch_format="pyarrow",
+    h_final = _final(h, m_h, "hub")
+    a_final = _final(a, m_a, "auth")
+    out_h_schema = pa.schema([("page_id", pa.int64()), ("hub", pa.int64())])
+    out_a_schema = pa.schema([("page_id", pa.int64()), ("auth", pa.int64())])
+    return lookup_join(
+        h_final, a_final, "page_id", "page_id", {"auth": "auth"},
+        num_parts=16, left_schema=out_h_schema, right_schema=out_a_schema,
     )
 
 
@@ -1356,8 +1389,10 @@ HITS_SQL = _hits_sql()
 
 
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
-                      left_schema=None, right_schema=None, num_parts: int = 16):
-    """LEFT JOIN right (unique-keyed int64) onto left, missing -> 0."""
+                      left_schema=None, right_schema=None, num_parts: int = 16,
+                      extra_cols: list[str] | None = None):
+    """LEFT JOIN right (unique-keyed int64) onto left, missing -> 0.
+    ``extra_cols``: additional LEFT columns carried through unchanged."""
     grouped, split = cogroup(
         left, right, [key], num_parts=num_parts,
         left_schema=left_schema, right_schema=right_schema,
@@ -1373,6 +1408,8 @@ def _attach_zero_fill(left, right, key: str, value_cols: list[str],
         pos_c = np.clip(pos, 0, max(len(rk) - 1, 0))
         hit = (rk[pos_c] == lk) if len(rk) else np.zeros(len(lk), dtype=bool)
         cols = {key: lg[key]}
+        for c in extra_cols or []:
+            cols[c] = lg[c]
         for c in value_cols:
             v = np.zeros(len(lk), dtype=np.int64)
             if len(rk):
