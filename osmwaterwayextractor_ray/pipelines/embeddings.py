@@ -506,6 +506,48 @@ N_COARSE = 16   # coarse centroids (deterministic: the first N_COARSE vectors)
 N_PROBE = 4     # buckets searched per query
 
 
+def _prefix_rows(sf_dir: str, max_id: int):
+    """Broadcast-side loader shared by the ANN variants: reads ONLY the
+    vec_id < max_id prefix (predicate pushdown — the coarse-centroid /
+    training / query sides are tiny constant-size model artifacts) and
+    returns (ids, rows) where rows(mask) materializes the masked
+    embeddings as a float64 matrix in file order."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", max_id)],
+    )
+    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
+    emb_col = qt.column("embedding")
+
+    def rows(mask) -> np.ndarray:
+        sel = [int(i) for i in np.nonzero(mask)[0]]
+        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
+
+    return ids_all, rows
+
+
+def _bucket_table(batch: pa.Table, coarse_n: np.ndarray) -> pa.Table:
+    """IVF bucket assignment kernel (one matmul per batch): normalize,
+    argmax against the coarse centroids, emit (bucket, vec_id, embn)."""
+    ids, mat = _emb_matrix(batch)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bucket = np.argmax(matn @ coarse_n.T, axis=1).astype(np.int64)
+    offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embn": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(matn.ravel(), type=pa.float64()),
+            ),
+        }
+    )
+
+
 def embed_topk_ivf(sf_dir: str):
     """Approximate top-k: vectors are assigned to their nearest coarse
     centroid inside map_batches (one matmul per batch), shuffled once by
@@ -517,23 +559,8 @@ def embed_topk_ivf(sf_dir: str):
     Returns (qid, vec_id, cosine) like embed_topk; recall vs brute force
     is pinned by tests (approximate by design -> rows-only check)."""
     import ray
-    import ray.data as rd
-    import pyarrow.parquet as pq
 
-    # predicate pushdown: only the coarse-centroid/query id row groups
-    # leave storage (both are tiny broadcast sides)
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", max(N_COARSE, N_QUERIES))],
-    )
-    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
-    emb_col = qt.column("embedding")
-
-    def _rows(mask_ids) -> np.ndarray:
-        sel = [int(i) for i in np.nonzero(mask_ids)[0]]
-        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
-
+    ids_all, _rows = _prefix_rows(sf_dir, max(N_COARSE, N_QUERIES))
     coarse = _rows(ids_all < N_COARSE)
     coarse_n = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
     q_mat = _rows(ids_all < N_QUERIES)
@@ -546,28 +573,10 @@ def embed_topk_ivf(sf_dir: str):
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
-    class AssignBucket:
-        def __init__(self):
-            self.coarse_n, _, _, _ = ray.get(shared)
+    def assign(batch: pa.Table) -> pa.Table:
+        return _bucket_table(batch, ray.get(shared)[0])
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, mat = _emb_matrix(batch)
-            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            bucket = np.argmax(matn @ self.coarse_n.T, axis=1).astype(np.int64)
-            flat = matn.ravel()
-            offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
-            return pa.table(
-                {
-                    "bucket": pa.array(bucket, type=pa.int64()),
-                    "vec_id": pa.array(ids, type=pa.int64()),
-                    "embn": pa.ListArray.from_arrays(
-                        pa.array(offs, type=pa.int32()), pa.array(flat, type=pa.float64())
-                    ),
-                }
-            )
-
-    bucketed = ds.map_batches(lambda b: AssignBucket()(b), batch_format="pyarrow",
-                              batch_size=4096)
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
     def search_bucket(g: pd.DataFrame) -> pa.Table:
         coarse_n, q_ids, qn, q_probe = ray.get(shared)
@@ -641,6 +650,27 @@ def _pq_train(sample: np.ndarray, seed: int = 11) -> np.ndarray:
     return books
 
 
+def _pq_c2(books: np.ndarray) -> np.ndarray:
+    """||c||^2 per subspace centroid, for the encode argmin without the
+    (constant) ||x||^2 term. Query-independent — computed once driver-side
+    and shipped with the codebooks."""
+    return np.stack([(b**2).sum(1) for b in books])
+
+
+def _adc_sims(matn: np.ndarray, books: np.ndarray, c2: np.ndarray,
+              tabs_rows: np.ndarray) -> np.ndarray:
+    """ADC scan: encode each candidate row to its per-subspace nearest
+    centroid and sum the queries' inner-product table entries.
+    tabs_rows is (n_queries, PQ_M, PQ_K); returns (n_queries, n_rows)."""
+    sub = matn.shape[1] // PQ_M
+    xs = matn.reshape(len(matn), PQ_M, sub)
+    sims = np.zeros((tabs_rows.shape[0], len(matn)))
+    for m in range(PQ_M):
+        codes = (c2[m][None, :] - 2.0 * xs[:, m, :] @ books[m].T).argmin(1)
+        sims += tabs_rows[:, m, codes]
+    return sims
+
+
 def embed_topk_pq(sf_dir: str):
     """Approximate cosine top-k via product quantization: every vector is
     encoded to PQ_M uint8 codes (16 bytes at DIM=64 — 16x smaller than
@@ -660,22 +690,8 @@ def embed_topk_pq(sf_dir: str):
     Approximate by design -> rows-only driver check; recall vs the exact
     brute force and golden values are pinned in tests."""
     import ray
-    import ray.data as rd
 
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", max(PQ_TRAIN, N_QUERIES))],
-    )
-    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
-    emb_col = qt.column("embedding")
-
-    def _rows(mask) -> np.ndarray:
-        sel = [int(i) for i in np.nonzero(mask)[0]]
-        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
-
+    ids_all, _rows = _prefix_rows(sf_dir, max(PQ_TRAIN, N_QUERIES))
     train = _rows(ids_all < PQ_TRAIN)
     train_n = train / np.linalg.norm(train, axis=1, keepdims=True)
     books = _pq_train(train_n)
@@ -686,48 +702,35 @@ def embed_topk_pq(sf_dir: str):
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     # ADC inner-product tables: tabs[q, m, k] = q_sub(m) . books[m, k]
     tabs = np.einsum("qmd,mkd->qmk", qn.reshape(len(q_ids), PQ_M, sub), books)
-    shared = ray.put((q_ids, qn, tabs, books))
+    shared = ray.put((q_ids, qn, tabs, books, _pq_c2(books)))
 
-    class EncodeAndScore:
-        def __init__(self):
-            self.q_ids, self.qn, self.tabs, self.books = ray.get(shared)
-            # ||c||^2 per subspace centroid, for the argmin without the
-            # (constant) ||x||^2 term
-            self.c2 = np.stack([(b**2).sum(1) for b in self.books])
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, mat = _emb_matrix(batch)
-            matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            xs = matn.reshape(len(ids), PQ_M, sub)
-            sims = np.zeros((len(self.q_ids), len(ids)))
-            for m in range(PQ_M):
-                codes = (self.c2[m][None, :] - 2.0 * xs[:, m, :] @ self.books[m].T).argmin(1)
-                sims += self.tabs[:, m, codes]
-            out_q, out_v, out_a, out_s = [], [], [], []
-            for qi, qid in enumerate(self.q_ids.tolist()):
-                row = sims[qi]
-                cand = np.nonzero(ids != qid)[0]
-                short = cand[np.lexsort((ids[cand], -row[cand]))][:PQ_RERANK]
-                exact = matn[short] @ self.qn[qi]
-                out_q.append(np.full(len(short), qid, dtype=np.int64))
-                out_v.append(ids[short])
-                out_a.append(row[short])
-                out_s.append(exact)
-            return pa.table(
-                {
-                    "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
-                    "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
-                    "adc": pa.array(np.concatenate(out_a), type=pa.float64()),
-                    "cosine": pa.array(
-                        np.round(np.concatenate(out_s), 6), type=pa.float64()
-                    ),
-                }
-            )
+    def encode_fn(batch: pa.Table) -> pa.Table:
+        q_ids_, qn_, tabs_, books_, c2_ = ray.get(shared)
+        ids, mat = _emb_matrix(batch)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = _adc_sims(matn, books_, c2_, tabs_)
+        out_q, out_v, out_a, out_s = [], [], [], []
+        for qi, qid in enumerate(q_ids_.tolist()):
+            row = sims[qi]
+            cand = np.nonzero(ids != qid)[0]
+            short = cand[np.lexsort((ids[cand], -row[cand]))][:PQ_RERANK]
+            exact = matn[short] @ qn_[qi]
+            out_q.append(np.full(len(short), qid, dtype=np.int64))
+            out_v.append(ids[short])
+            out_a.append(row[short])
+            out_s.append(exact)
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "adc": pa.array(np.concatenate(out_a), type=pa.float64()),
+                "cosine": pa.array(
+                    np.round(np.concatenate(out_s), 6), type=pa.float64()
+                ),
+            }
+        )
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    def encode_fn(batch):
-        return EncodeAndScore()(batch)
-
     partials = ds.map_batches(encode_fn, batch_format="pyarrow", batch_size=4096)
 
     # Batching-invariant merge: the ADC score of a candidate depends only
@@ -765,20 +768,7 @@ def embed_topk_ivfpq(sf_dir: str):
     driver check; recall vs brute force pinned in tests."""
     import ray
 
-    import pyarrow.parquet as pq
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", max(PQ_TRAIN, N_COARSE, N_QUERIES))],
-    )
-    ids_all = qt.column("vec_id").to_numpy(zero_copy_only=False)
-    emb_col = qt.column("embedding")
-
-    def _rows(mask) -> np.ndarray:
-        sel = [int(i) for i in np.nonzero(mask)[0]]
-        return np.array([emb_col[i].as_py() for i in sel], dtype=np.float64)
-
+    ids_all, _rows = _prefix_rows(sf_dir, max(PQ_TRAIN, N_COARSE, N_QUERIES))
     coarse = _rows(ids_all < N_COARSE)
     coarse_n = coarse / np.linalg.norm(coarse, axis=1, keepdims=True)
     train = _rows(ids_all < PQ_TRAIN)
@@ -791,31 +781,17 @@ def embed_topk_ivfpq(sf_dir: str):
     qn = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_probe = np.argsort(-(qn @ coarse_n.T), axis=1)[:, :N_PROBE]
     tabs = np.einsum("qmd,mkd->qmk", qn.reshape(len(q_ids), PQ_M, sub), books)
-    shared = ray.put((coarse_n, q_ids, qn, q_probe, tabs, books))
+    shared = ray.put((coarse_n, q_ids, qn, q_probe, tabs, books, _pq_c2(books)))
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        coarse_n_, _, _, _, _, _ = ray.get(shared)
-        ids, mat = _emb_matrix(batch)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        bucket = np.argmax(matn @ coarse_n_.T, axis=1).astype(np.int64)
-        offs = np.arange(0, (len(ids) + 1) * DIM, DIM, dtype=np.int32)
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, type=pa.int64()),
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "embn": pa.ListArray.from_arrays(
-                    pa.array(offs, type=pa.int32()),
-                    pa.array(matn.ravel(), type=pa.float64()),
-                ),
-            }
-        )
+        return _bucket_table(batch, ray.get(shared)[0])
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
 
     def search_bucket(g: pd.DataFrame) -> pa.Table:
-        _, q_ids_, qn_, q_probe_, tabs_, books_ = ray.get(shared)
+        _, q_ids_, qn_, q_probe_, tabs_, books_, c2_ = ray.get(shared)
         b = int(g["bucket"].iloc[0])
         probing = np.nonzero((q_probe_ == b).any(axis=1))[0]
         empty = pa.table(
@@ -830,12 +806,7 @@ def embed_topk_ivfpq(sf_dir: str):
             return empty
         ids = g["vec_id"].to_numpy()
         matn = np.array(g["embn"].tolist(), dtype=np.float64)
-        xs = matn.reshape(len(ids), PQ_M, sub)
-        c2 = np.stack([(bk**2).sum(1) for bk in books_])
-        sims = np.zeros((len(probing), len(ids)))
-        for m in range(PQ_M):
-            codes = (c2[m][None, :] - 2.0 * xs[:, m, :] @ books_[m].T).argmin(1)
-            sims += tabs_[probing][:, m, codes]
+        sims = _adc_sims(matn, books_, c2_, tabs_[probing])
         out_q, out_v, out_a, out_s = [], [], [], []
         for row, qi in enumerate(probing):
             qid = int(q_ids_[qi])

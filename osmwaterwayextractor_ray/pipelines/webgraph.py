@@ -320,6 +320,18 @@ def pagerank(sf_dir: str, iters: int = _PR_ITERS):
             f"webgraph_pr_m{it + 1}",
         )
 
+    if sums is None:
+        # iters=0: pr_0 is the uniform constant — no sums to attach
+        def uniform(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "page_id": t["page_id"],
+                    "pr": pa.array(np.full(len(t), init, np.int64), type=pa.int64()),
+                }
+            )
+
+        return pages.map_batches(uniform, batch_format="pyarrow")
+
     # final pr per page (zero-fill once so every page appears)
     filled = _attach_zero_fill(
         pages, sums, key="page_id", value_cols=["m"],
@@ -1313,7 +1325,10 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
             grouped_agg(contrib, ["page_id"], {"v": ("c", "sum")}, num_parts=16),
             f"hits_{group_key}_{it}",
         )
-        mx = max(int(pinned.aggregate(Max("v", alias_name="m"))["m"]), 1)
+        # aggregate() returns None on an empty dataset (zero-link corpus:
+        # the grouped sums are empty) — all scores are then 0, max -> 1
+        agg = pinned.aggregate(Max("v", alias_name="m"))
+        mx = max(int(agg["m"]), 1) if agg and agg.get("m") is not None else 1
         return pinned, mx
 
     h, m_h = None, _HITS_SCALE

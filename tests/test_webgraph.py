@@ -91,6 +91,37 @@ def test_pagerank_bruteforce(ray_session, corpus_dir):
     assert got["pr"].sum() <= webgraph._PR_SCALE
 
 
+def test_pagerank_zero_iters(ray_session, corpus_dir):
+    # iters=0 must return the uniform pr_0 = SCALE // N (regression: the
+    # raw-sums fold crashed on sums=None before zero-fill)
+    got = webgraph.pagerank(corpus_dir, iters=0).to_pandas()
+    assert len(got) == N_DOCS
+    assert (got["pr"] == webgraph._PR_SCALE // N_DOCS).all()
+
+
+@pytest.fixture(scope="module")
+def zero_link_dir(tmp_path_factory):
+    # n_docs=1: every synthesized link target is (1*m+a) % 1 == 0 == doc_id,
+    # all self-links -> the distinct edge list is EMPTY
+    d = tmp_path_factory.mktemp("webgraph_nolinks")
+    _make_docs(1).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_hits_zero_link_corpus(ray_session, zero_link_dir):
+    # regression: Max over the empty grouped sums returned None -> TypeError
+    got = webgraph.hits_scores(zero_link_dir).to_pandas()
+    assert len(got) == 1
+    assert got["hub"].iloc[0] == 0 and got["auth"].iloc[0] == 0
+
+
+def test_pagerank_zero_link_corpus(ray_session, zero_link_dir):
+    got = webgraph.pagerank(zero_link_dir).to_pandas()
+    # one page, no in-links: pr = base = (15*SCALE)//(100*1)
+    assert len(got) == 1
+    assert got["pr"].iloc[0] == (15 * webgraph._PR_SCALE) // 100
+
+
 def _brute_hits(n=N_DOCS, iters=webgraph._HITS_ITERS):
     edges = _brute_edges(n)
     S = webgraph._HITS_SCALE
