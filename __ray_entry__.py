@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": textops.bpe_token_stats,
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
+        "tfidf_cosine_neardup": textops.tfidf_cosine_neardup,
         "dedup_clusters": textops.dedup_clusters,
         "neardup_triangles": textops.neardup_triangles,
         "curate_corpus": textops.curate_corpus,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": textops.DEDUP_EXACT_SQL,
         "incremental_dedup": textops.INCREMENTAL_DEDUP_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
+        "tfidf_cosine_neardup": textops.TFIDF_COSINE_SQL,
         "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
         "neardup_triangles": textops.NEARDUP_TRIANGLES_SQL,
         "curate_corpus": textops.CURATE_CORPUS_SQL,

@@ -136,6 +136,7 @@ QUERY_SET = [
     "contamination_check",
     "bpe_token_stats",
     "ngram_jaccard_neardup",
+    "tfidf_cosine_neardup",
     "minhash_neardup",
     "dedup_clusters",
     "neardup_triangles",

@@ -866,6 +866,221 @@ WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {threshold}
 NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
+# ---- TF-IDF cosine similarity join (sparse dot products) ----
+
+TFIDF_Q = 1000       # idf quantization: idf = floor(ln(N/df) * Q), int64
+TFIDF_TF_CAP = 255   # tf saturates (bounds the int64 weight budget)
+# vocabulary screen: a term survives iff df * DEN <= N * NUM — the
+# relative document-frequency stop-word cut (50% by default)
+TFIDF_DF_NUM, TFIDF_DF_DEN = 1, 2
+
+
+def tfidf_cosine_neardup(sf_dir: str, thr_num: int = 4, thr_den: int = 5):
+    """EXACT all-pairs TF-IDF cosine >= thr_num/thr_den over `documents`
+    — the weighted complement to ngram_jaccard_neardup (set overlap ->
+    vector-space similarity; Salton's VSM, the classic IR formulation).
+
+    Exactness device: weights are integers — w(d,t) = min(tf, 255) *
+    floor(ln(N/df) * 1000) — so dot products and squared norms are exact
+    int64 sums in any order (block-structure invariant), and the cosine
+    test runs as s^2 * den^2 >= num^2 * nn_a * nn_b in float64 with a
+    1e-9 certainty band, falling back to Python big ints inside the band
+    (the semdedup device). ln is IEEE libm in both numpy and DuckDB, so
+    the quantized idf agrees bit-for-bit (the lm_quality precedent).
+
+    Plan (the posting-product join — bucketed_pair_products emits one
+    (id_a, id_b, w_a*w_b) row per SHARED term per pair, and pair_sums'
+    grouped sum is the exact sparse dot product; no term lists are ever
+    shipped to a pair):
+
+      postings (map_batches: per-doc tf, term = xxh64(token))
+      -> df (grouped count) -> idf vocab, terms with df <= N/2 only
+      -> weighted postings (lookup_join, inner)
+      -> norms per doc (grouped sum of w^2)
+      -> per-term pair products -> grouped pair sums = dots
+      -> two skinny norm attaches -> integer threshold test.
+
+    The df <= N/2 vocabulary cut is the standard stop-word screen and
+    bounds the stop-band blow-up; the join remains quadratic in a
+    surviving term's df — for web-scale corpora the bounded-cost answers
+    are minhash_neardup / semdedup, same contract as ngram_jaccard.
+    Nothing is corpus-sized on the driver."""
+    from osmwaterwayextractor_ray.functions.hashing import xxh64
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pair_products,
+        grouped_agg,
+        lookup_join,
+        pair_sums,
+    )
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()  # O(1) driver scalar (pruned single column)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        t_out, d_out, tf_out = [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            cnt = Counter(tokenize(text or ""))
+            for tok, c in cnt.items():
+                t_out.append(xxh64(tok.encode("utf-8", "surrogatepass")))
+                d_out.append(did)
+                tf_out.append(min(c, TFIDF_TF_CAP))
+        return pa.table(
+            {
+                "t": pa.array(np.array(t_out, dtype=np.uint64).view(np.int64)),
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "tf": pa.array(tf_out, type=pa.int64()),
+            }
+        )
+
+    post_schema = pa.schema(
+        [("t", pa.int64()), ("doc_id", pa.int64()), ("tf", pa.int64())]
+    )
+    # small batches: the per-doc Counter loop is the one Python stage.
+    # Pinned: the posting scan feeds BOTH the df count and the weight
+    # join (Ray re-executes shared sub-plans per consumer; parquet spill
+    # at scale via WWX_PIN_MODE — the span-posting precedent).
+    post = pin(
+        docs.map_batches(postings, batch_format="pyarrow", batch_size=512),
+        "tfidf_postings",
+    )
+
+    df = grouped_agg(post, ["t"], {"df": ("doc_id", "count")}, num_parts=16)
+
+    def to_idf(batch: pa.Table) -> pa.Table:
+        t = batch.column("t").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        keep = dfv * TFIDF_DF_DEN <= n_docs * TFIDF_DF_NUM
+        t, dfv = t[keep], dfv[keep]
+        idf = np.floor(np.log(float(n_docs) / dfv) * TFIDF_Q).astype(np.int64)
+        pos = idf > 0
+        return pa.table(
+            {
+                "t": pa.array(t[pos], type=pa.int64()),
+                "idf": pa.array(idf[pos], type=pa.int64()),
+            }
+        )
+
+    vocab = df.map_batches(to_idf, batch_format="pyarrow")
+    vocab_schema = pa.schema([("t", pa.int64()), ("idf", pa.int64())])
+
+    wp = lookup_join(
+        post, vocab, "t", "t", {"idf": "idf"},
+        num_parts=16, left_schema=post_schema, right_schema=vocab_schema,
+    )
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        idf = batch.column("idf").to_numpy(zero_copy_only=False)
+        w = tf * idf
+        return pa.table(
+            {
+                "t": batch["t"],
+                "doc_id": batch["doc_id"],
+                "w": pa.array(w, type=pa.int64()),
+                "w2": pa.array(w * w, type=pa.int64()),
+            }
+        )
+
+    # pinned: feeds the norms aggregate AND the pair-product join
+    weighted = pin(wp.map_batches(weigh, batch_format="pyarrow"), "tfidf_weighted")
+
+    # pinned: attached twice (nn_a, nn_b); skinny O(docs) table
+    nn = pin(
+        grouped_agg(weighted, ["doc_id"], {"nn": ("w2", "sum")}, num_parts=16),
+        "tfidf_norms",
+    )
+    nn_schema = pa.schema([("doc_id", pa.int64()), ("nn", pa.int64())])
+
+    pairs = bucketed_pair_products(
+        weighted, ["t"], "doc_id", "w", "id_a", "id_b", "p", num_parts=32
+    )
+    dots = pair_sums(pairs, "id_a", "id_b", "p", sum_col="dot")
+    dots_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("dot", pa.int64())]
+    )
+
+    withna = lookup_join(
+        dots, nn, "id_a", "doc_id", {"nn": "nn_a"},
+        num_parts=16, left_schema=dots_schema, right_schema=nn_schema,
+    )
+    withna_schema = dots_schema.append(pa.field("nn_a", pa.int64()))
+    withnb = lookup_join(
+        withna, nn, "id_b", "doc_id", {"nn": "nn_b"},
+        num_parts=16, left_schema=withna_schema, right_schema=nn_schema,
+    )
+
+    num2 = float(thr_num * thr_num)
+    den2 = float(thr_den * thr_den)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("dot").to_numpy(zero_copy_only=False)
+        nu = batch.column("nn_a").to_numpy(zero_copy_only=False)
+        nv = batch.column("nn_b").to_numpy(zero_copy_only=False)
+        sf = s.astype(np.float64)
+        lhs = sf * sf * den2
+        rhs = num2 * nu.astype(np.float64) * nv.astype(np.float64)
+        hit = (s > 0) & (lhs >= rhs)
+        # certainty band: exact big-int test for pairs within float noise
+        near = (s > 0) & (
+            np.abs(lhs - rhs) <= 1e-9 * np.maximum(np.abs(lhs), np.abs(rhs))
+        )
+        for i in np.nonzero(near)[0]:
+            hit[i] = int(s[i]) ** 2 * thr_den * thr_den >= (
+                thr_num * thr_num * int(nu[i]) * int(nv[i])
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(batch.column("id_a").to_numpy(zero_copy_only=False)[hit], type=pa.int64()),
+                "id_b": pa.array(batch.column("id_b").to_numpy(zero_copy_only=False)[hit], type=pa.int64()),
+                "dot": pa.array(s[hit], type=pa.int64()),
+                "nn_a": pa.array(nu[hit], type=pa.int64()),
+                "nn_b": pa.array(nv[hit], type=pa.int64()),
+            }
+        )
+
+    return withnb.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
+def _tfidf_cosine_sql(thr_num: int = 4, thr_den: int = 5) -> str:
+    return rf"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t, LEAST(count(*), {TFIDF_TF_CAP}) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT t, CAST(floor(ln(CAST((SELECT n FROM n) AS DOUBLE) / df) * {TFIDF_Q}) AS BIGINT) AS idf
+  FROM df WHERE df * {TFIDF_DF_DEN} <= (SELECT n FROM n) * {TFIDF_DF_NUM}
+),
+w AS (
+  SELECT tf.doc_id, tf.t, tf.tf * idf.idf AS w
+  FROM tf JOIN idf USING (t) WHERE tf.tf * idf.idf > 0
+),
+nn AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nn FROM w GROUP BY 1),
+s AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.dot, na.nn AS nn_a, nb.nn AS nn_b
+FROM s JOIN nn na ON na.doc_id = s.id_a JOIN nn nb ON nb.doc_id = s.id_b
+WHERE s.dot > 0
+  AND CAST(s.dot AS HUGEINT) * s.dot * {thr_den * thr_den}
+      >= {thr_num * thr_num} * CAST(na.nn AS HUGEINT) * nb.nn
+"""
+
+
+TFIDF_COSINE_SQL = _tfidf_cosine_sql()
+
+
 # ---- near-dup clustering (distributed connected components) ----
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.5):

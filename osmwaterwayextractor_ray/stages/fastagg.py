@@ -206,6 +206,135 @@ def bucketed_pairs(
     return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
 
+def bucketed_pair_products(
+    ds,
+    group_keys: list[str],
+    id_col: str,
+    weight_col: str,
+    out_a: str,
+    out_b: str,
+    out_w: str,
+    max_group: int | None = None,
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """All unordered id pairs (a < b) within each fine group, each pair
+    row carrying the PRODUCT of the two rows' int64 weights — the sparse
+    dot-product primitive: one output row per shared key per pair, so a
+    grouped SUM downstream (``pair_sums``) is the exact dot product.
+    Caller contract: rows are distinct on (group_keys, id_col) and the
+    weights are int64 whose pairwise products fit int64. Same coarse
+    hash-bucket layout and run resolution as ``bucketed_pairs``; groups
+    larger than ``max_group`` rows are dropped (stop-key guard)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _bucket_tbl(batch, group_keys, num_parts)
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                out_a: pa.array([], type=pa.int64()),
+                out_b: pa.array([], type=pa.int64()),
+                out_w: pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        cols = group_keys + [id_col, weight_col]
+        arrs = {c: g.column(c).to_numpy(zero_copy_only=False) for c in cols}
+        # np.lexsort: LAST key is primary -> sort by group_keys, then id
+        # (ids unique per group -> total order, block-structure invariant)
+        order = np.lexsort([arrs[c] for c in [id_col] + group_keys[::-1]])
+        vals = arrs[id_col][order]
+        ws = arrs[weight_col][order]
+        change = np.zeros(g.num_rows, dtype=bool)
+        change[0] = True
+        for c in group_keys:
+            arr = arrs[c][order]
+            change[1:] |= arr[1:] != arr[:-1]
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.append(starts, g.num_rows))
+        keep = sizes >= 2
+        if max_group is not None:
+            keep &= sizes <= max_group
+        starts, sizes = starts[keep], sizes[keep]
+        if len(starts) == 0:
+            return empty
+        npairs = sizes * (sizes - 1) // 2
+        total = int(npairs.sum())
+        off = np.concatenate(([0], np.cumsum(npairs)[:-1]))
+        p_grp = np.repeat(np.arange(len(starts)), npairs)
+        p_loc = np.arange(total) - off[p_grp]
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * p_loc)) / 2.0).astype(np.int64)
+        j -= p_loc < j * (j - 1) // 2
+        j += p_loc >= j * (j + 1) // 2
+        i = p_loc - j * (j - 1) // 2
+        base = starts[p_grp]
+        return pa.table(
+            {
+                out_a: pa.array(vals[base + i], type=pa.int64()),
+                out_b: pa.array(vals[base + j], type=pa.int64()),
+                out_w: pa.array(ws[base + i] * ws[base + j], type=pa.int64()),
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+
+
+def pair_sums(
+    ds,
+    a_col: str,
+    b_col: str,
+    value_col: str,
+    sum_col: str = "s",
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """Grouped int64 SUM over an (a, b, value) pair stream — pair_counts'
+    summing twin (exact: integer addition in any order). One hash-bucket
+    shuffle; each bucket reduces runs with one lexsort + add.reduceat."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((a * np.uint64(1099511628211) + b) % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                a_col: batch[a_col],
+                b_col: batch[b_col],
+                value_col: batch[value_col],
+                "__part": pa.array(part, type=pa.int64()),
+            }
+        )
+
+    def sum_runs(g: pa.Table) -> pa.Table:
+        a = g.column(a_col).to_numpy(zero_copy_only=False)
+        b = g.column(b_col).to_numpy(zero_copy_only=False)
+        v = g.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        change = np.ones(len(a), dtype=bool)
+        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(v, starts) if len(starts) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                a_col: pa.array(a[starts], type=pa.int64()),
+                b_col: pa.array(b[starts], type=pa.int64()),
+                sum_col: pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("__part")
+        .map_groups(sum_runs, batch_format="pyarrow")
+    )
+
+
 def cogroup(
     left,
     right,
