@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_blocklist": webgraph.host_blocklist,
         "curate_web_corpus": webgraph.curate_web_corpus,
         "hits_scores": webgraph.hits_scores,
+        "label_prop_communities": webgraph.label_prop_communities,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "host_blocklist": webgraph.HOST_BLOCKLIST_SQL,
         "curate_web_corpus": webgraph.CURATE_WEB_CORPUS_SQL,
         "hits_scores": webgraph.HITS_SQL,
+        "label_prop_communities": webgraph.LPA_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

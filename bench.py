@@ -187,6 +187,7 @@ QUERY_SET = [
     "perplexity_buckets",
     "source_epochs",
     "hits_scores",
+    "label_prop_communities",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

@@ -1366,6 +1366,176 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
     )
 
 
+_LPA_ITERS = 4
+
+
+def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS):
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED link graph — the classic community-detection primitive
+    next to pagerank/HITS, exercising a grouped ARGMAX per iteration
+    instead of a grouped sum:
+
+      lab_0(v)     = v
+      lab_{t+1}(v) = the label l maximizing |{u ~ v : lab_t(u) = l}|,
+                     ties broken by smallest l; isolated v keeps lab_t(v).
+
+    Counts are exact ints and the (count desc, label asc) tie-break is a
+    total order, so the fixed-T result is bit-identical under any block
+    structure and the unrolled-CTE oracle agrees exactly.
+
+    Shape per iteration (the pagerank device, argmax flavor): one
+    zero-fill attach of the previous labels onto the undirected edge
+    list (missing u -> lab = u, so only CHANGED labels are ever stored),
+    one pair_counts shuffle for the (v, label) counts, one coarse-bucket
+    top-1 shuffle — all O(E) hash-partitioned rows, per-iteration re-pin
+    (parquet spill at 100 TB via WWX_PIN_MODE). The driver sees O(1).
+    Returns (page_id, community)."""
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, pair_counts
+
+    n_docs = _n_docs(sf_dir)
+    edges = _edge_list(sf_dir, n_docs)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src_page").to_numpy(zero_copy_only=False)
+        d = t.column("dst_page").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d]), type=pa.int64()),
+                "b": pa.array(np.concatenate([d, s]), type=pa.int64()),
+            }
+        )
+
+    und = pin(
+        distinct(
+            edges.map_batches(both_dirs, batch_format="pyarrow"),
+            ["a", "b"],
+            num_parts=16,
+        ),
+        "lpa_und",
+    )
+    und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    # labels ride +1 so the zero-fill's 0 means "absent -> label = own id"
+    best_schema = pa.schema([("b", pa.int64()), ("labp", pa.int64())])
+
+    def _top1(counts):
+        """per-v argmax by (count desc, label asc) — coarse hash buckets,
+        one lexsort + run-first per bucket (no per-group Python)."""
+
+        def tag(batch: pa.Table) -> pa.Table:
+            part = _bucket_tbl(batch, ["v"], 16)
+            return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+        def kernel(g: pa.Table) -> pa.Table:
+            v = g.column("v").to_numpy(zero_copy_only=False)
+            lab = g.column("lab").to_numpy(zero_copy_only=False)
+            c = g.column("c").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lab, -c, v))
+            v, lab = v[order], lab[order]
+            first = np.ones(len(v), dtype=bool)
+            first[1:] = v[1:] != v[:-1]
+            return pa.table(
+                {
+                    "b": pa.array(v[first], type=pa.int64()),
+                    "labp": pa.array(lab[first] + 1, type=pa.int64()),
+                }
+            )
+
+        return (
+            counts.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(kernel, batch_format="pyarrow")
+        )
+
+    best = None
+    for it in range(iters):
+        if best is None:
+            # lab_0(u) = u: the neighbor's label IS the neighbor id
+            contrib = und.map_batches(
+                lambda t: pa.table({"v": t["a"], "lab": t["b"]}),
+                batch_format="pyarrow",
+            )
+        else:
+            attached = _attach_zero_fill(
+                und, best, key="b", value_cols=["labp"],
+                left_schema=und_schema, right_schema=best_schema,
+                extra_cols=["a"],
+            )
+
+            def relabel(t: pa.Table) -> pa.Table:
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                labp = t.column("labp").to_numpy(zero_copy_only=False)
+                lab = np.where(labp > 0, labp - 1, b)
+                return pa.table(
+                    {"v": t["a"], "lab": pa.array(lab, type=pa.int64())}
+                )
+
+            contrib = attached.map_batches(relabel, batch_format="pyarrow")
+        counts = pair_counts(contrib, "v", "lab", "c", num_parts=16)
+        best = pin(_top1(counts), f"lpa_best{it + 1}")
+
+    pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+    )
+    filled = _attach_zero_fill(
+        pages,
+        best.map_batches(
+            lambda t: t.rename_columns(["page_id", "labp"]), batch_format="pyarrow"
+        ),
+        key="page_id", value_cols=["labp"],
+        left_schema=pa.schema([("page_id", pa.int64())]),
+        right_schema=pa.schema([("page_id", pa.int64()), ("labp", pa.int64())]),
+    ) if iters else None
+    if filled is None:
+        return pages.map_batches(
+            lambda t: pa.table({"page_id": t["page_id"], "community": t["page_id"]}),
+            batch_format="pyarrow",
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t.column("page_id").to_numpy(zero_copy_only=False)
+        labp = t.column("labp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "community": pa.array(
+                    np.where(labp > 0, labp - 1, p), type=pa.int64()
+                ),
+            }
+        )
+
+    return filled.map_batches(finish, batch_format="pyarrow")
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src_page AS a, dst_page AS b"
+        " FROM edges UNION ALL SELECT dst_page, src_page FROM edges))",
+        "l0 AS (SELECT doc_id AS page_id, doc_id AS lab FROM documents)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"cnt{t} AS (SELECT e.a AS page_id, l.lab, count(*) AS c"
+            f" FROM und e JOIN l{t} l ON l.page_id = e.b GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"best{t} AS (SELECT page_id, lab FROM (SELECT page_id, lab,"
+            f" row_number() OVER (PARTITION BY page_id ORDER BY c DESC, lab ASC)"
+            f" AS rn FROM cnt{t}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"l{t + 1} AS (SELECT l.page_id, COALESCE(b.lab, l.lab) AS lab"
+            f" FROM l{t} l LEFT JOIN best{t} b USING (page_id))"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT page_id, lab AS community FROM l{iters}"
+    )
+
+
+LPA_SQL = _lpa_sql()
+
+
 def _hits_sql(iters: int = _HITS_ITERS) -> str:
     S = _HITS_SCALE
     parts = [

@@ -153,6 +153,41 @@ def test_hits_bruteforce(ray_session, corpus_dir):
     assert got["auth"].max() == webgraph._HITS_SCALE
 
 
+def _brute_lpa(n=N_DOCS, iters=webgraph._LPA_ITERS):
+    dir_edges = _brute_edges(n)
+    und: dict[int, list[int]] = {v: [] for v in range(n)}
+    for s, d in dir_edges | {(b, a) for a, b in dir_edges}:
+        und[s].append(d)
+    lab = {v: v for v in range(n)}
+    for _ in range(iters):
+        new = {}
+        for v in range(n):
+            if not und[v]:
+                new[v] = lab[v]
+                continue
+            cnt: dict[int, int] = {}
+            for u in und[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    return lab
+
+
+def test_label_prop_bruteforce(ray_session, corpus_dir):
+    got = webgraph.label_prop_communities(corpus_dir).to_pandas()
+    want = _brute_lpa()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        assert row["community"] == want[row["page_id"]], row["page_id"]
+
+
+def test_label_prop_zero_link(ray_session, zero_link_dir):
+    # isolated node keeps its own label through every iteration
+    got = webgraph.label_prop_communities(zero_link_dir).to_pandas()
+    assert len(got) == 1
+    assert got["community"].iloc[0] == got["page_id"].iloc[0]
+
+
 def test_latest_snapshot_bruteforce(ray_session, corpus_dir):
     got = (
         webgraph.latest_snapshot(corpus_dir)
@@ -342,6 +377,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "host_blocklist",
         "curate_web_corpus",
         "hits_scores",
+        "label_prop_communities",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
