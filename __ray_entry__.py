@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": textops.minhash_neardup,
         "ngram_jaccard_neardup": textops.ngram_jaccard_neardup,
         "tfidf_cosine_neardup": textops.tfidf_cosine_neardup,
+        "token_pmi": textops.token_pmi,
         "dedup_clusters": textops.dedup_clusters,
         "neardup_triangles": textops.neardup_triangles,
         "curate_corpus": textops.curate_corpus,
@@ -202,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_web_corpus": webgraph.curate_web_corpus,
         "hits_scores": webgraph.hits_scores,
         "label_prop_communities": webgraph.label_prop_communities,
+        "adamic_adar": webgraph.adamic_adar,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": textops.INCREMENTAL_DEDUP_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
         "tfidf_cosine_neardup": textops.TFIDF_COSINE_SQL,
+        "token_pmi": textops.TOKEN_PMI_SQL,
         "dedup_clusters": textops.DEDUP_CLUSTERS_SQL,
         "neardup_triangles": textops.NEARDUP_TRIANGLES_SQL,
         "curate_corpus": textops.CURATE_CORPUS_SQL,
@@ -331,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_web_corpus": webgraph.CURATE_WEB_CORPUS_SQL,
         "hits_scores": webgraph.HITS_SQL,
         "label_prop_communities": webgraph.LPA_SQL,
+        "adamic_adar": webgraph.ADAMIC_ADAR_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

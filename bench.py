@@ -137,6 +137,7 @@ QUERY_SET = [
     "bpe_token_stats",
     "ngram_jaccard_neardup",
     "tfidf_cosine_neardup",
+    "token_pmi",
     "minhash_neardup",
     "dedup_clusters",
     "neardup_triangles",
@@ -188,6 +189,7 @@ QUERY_SET = [
     "source_epochs",
     "hits_scores",
     "label_prop_communities",
+    "adamic_adar",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

@@ -1081,6 +1081,189 @@ WHERE s.dot > 0
 TFIDF_COSINE_SQL = _tfidf_cosine_sql()
 
 
+# ---- windowed co-occurrence PMI (the word-embedding-era primitive) ----
+
+PMI_W = 2          # forward co-occurrence window (i < j <= i + W)
+PMI_MIN_CNT = 5    # pairs below this corpus count are noise — dropped
+PMI_Q = 10**6      # PMI quantization: floor(pmi * Q) micro-nats
+
+
+def token_pmi(sf_dir: str):
+    """Pointwise mutual information over windowed token co-occurrences
+    (Church & Hanks 1990) — the count table word2vec/GloVe-era embedding
+    training starts from. For each unordered token pair within a forward
+    window of PMI_W:
+
+      pmi(a,b) = ln( (c_ab / P) / ((c_a / T) * (c_b / T)) )
+
+    quantized to floor(pmi * 1e6) — the exact float expression shape is
+    shared with the SQL oracle (IEEE ops in the same order + libm ln, the
+    lm_quality device), so int64 results agree bit-for-bit. Pairs are
+    canonicalized (a, b) = (min, max) by UTF-8 order, where Python and
+    DuckDB binary collation agree (the bpe_train precedent).
+
+    Scale shape: per-batch Counter partials compress the pair stream to
+    distinct-pairs-per-batch before ONE grouped-sum shuffle (O(distinct
+    co-occurring pairs) — the standard co-occurrence-matrix layout);
+    unigram counts are a skinny O(vocab) lookup side attached twice; the
+    driver sees two O(1) totals. Returns (tok_a, tok_b, c_ab, pmi_q)
+    for pairs with c_ab >= PMI_MIN_CNT."""
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        pc: Counter = Counter()
+        uc: Counter = Counter()
+        tot_t = 0
+        tot_p = 0
+        for text in batch.column("text").to_pylist():
+            toks = tokenize(text or "")
+            uc.update(toks)
+            tot_t += len(toks)
+            n = len(toks)
+            for i in range(n):
+                for d in range(1, PMI_W + 1):
+                    j = i + d
+                    if j >= n:
+                        break
+                    a, b = toks[i], toks[j]
+                    if b < a:
+                        a, b = b, a
+                    pc[(a, b)] += 1
+                    tot_p += 1
+        # kind 0: pair counts; kind 1: unigram counts; kind 2: totals
+        ka, kb, kc, kk = [], [], [], []
+        for (a, b), c in pc.items():
+            ka.append(a); kb.append(b); kc.append(c); kk.append(0)
+        for a, c in uc.items():
+            ka.append(a); kb.append(""); kc.append(c); kk.append(1)
+        ka += ["", ""]; kb += ["t", "p"]; kc += [tot_t, tot_p]; kk += [2, 2]
+        return pa.table(
+            {
+                "kind": pa.array(kk, type=pa.int64()),
+                "tok_a": pa.array(ka, type=pa.string()),
+                "tok_b": pa.array(kb, type=pa.string()),
+                "c": pa.array(kc, type=pa.int64()),
+            }
+        )
+
+    counts = pin(
+        grouped_agg(
+            docs.map_batches(partials, batch_format="pyarrow", batch_size=512),
+            ["kind", "tok_a", "tok_b"],
+            {"c": ("c", "sum")},
+            num_parts=16,
+        ),
+        "pmi_counts",
+    )
+    counts_schema = pa.schema(
+        [("kind", pa.int64()), ("tok_a", pa.string()),
+         ("tok_b", pa.string()), ("c", pa.int64())]
+    )
+
+    import pyarrow.compute as pc_
+
+    # the two corpus totals: O(1) rows to the driver
+    totals = {
+        r["tok_b"]: r["c"]
+        for r in counts.map_batches(
+            lambda t: t.filter(pc_.equal(t["kind"], 2)).select(["tok_b", "c"]),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    T, P = int(totals["t"]), int(totals["p"])
+
+    pairs = counts.map_batches(
+        lambda t: t.filter(pc_.equal(t["kind"], 0)).select(["tok_a", "tok_b", "c"]),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.rename_columns(["tok_a", "tok_b", "c_ab"]),
+        batch_format="pyarrow",
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc_.greater_equal(t["c_ab"], PMI_MIN_CNT)),
+        batch_format="pyarrow",
+    )
+    pairs_schema = pa.schema(
+        [("tok_a", pa.string()), ("tok_b", pa.string()), ("c_ab", pa.int64())]
+    )
+
+    uni = counts.map_batches(
+        lambda t: t.filter(pc_.equal(t["kind"], 1)).select(["tok_a", "c"]),
+        batch_format="pyarrow",
+    )
+    uni_schema = pa.schema([("tok_a", pa.string()), ("c", pa.int64())])
+
+    withca = lookup_join(
+        pairs, uni, "tok_a", "tok_a", {"c": "c_a"},
+        num_parts=16, left_schema=pairs_schema, right_schema=uni_schema,
+    )
+    withca_schema = pairs_schema.append(pa.field("c_a", pa.int64()))
+    uni_b = uni.map_batches(
+        lambda t: t.rename_columns(["tok_b", "c"]), batch_format="pyarrow"
+    )
+    withcb = lookup_join(
+        withca, uni_b, "tok_b", "tok_b", {"c": "c_b"},
+        num_parts=16, left_schema=withca_schema,
+        right_schema=pa.schema([("tok_b", pa.string()), ("c", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cab = t.column("c_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = t.column("c_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("c_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        # expression shape shared with the SQL oracle — do not reorder
+        pmi = np.floor(np.log((cab / P) / ((ca / T) * (cb / T))) * PMI_Q)
+        return pa.table(
+            {
+                "tok_a": t["tok_a"],
+                "tok_b": t["tok_b"],
+                "c_ab": t["c_ab"],
+                "pmi_q": pa.array(pmi.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return withcb.map_batches(finish, batch_format="pyarrow")
+
+
+TOKEN_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS sp
+  FROM documents
+),
+pairs AS (
+  SELECT least(sp[i], sp[i + d]) AS tok_a, greatest(sp[i], sp[i + d]) AS tok_b
+  FROM toks,
+       LATERAL UNNEST(generate_series(1, len(sp))) AS t(i),
+       LATERAL UNNEST(generate_series(1, {PMI_W})) AS w(d)
+  WHERE i + d <= len(sp)
+),
+cab AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY 1, 2),
+uni AS (
+  SELECT u AS tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT UNNEST(sp) AS u FROM toks) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(len(sp)) AS BIGINT) AS t FROM toks),
+ptot AS (SELECT CAST(count(*) AS BIGINT) AS p FROM pairs)
+SELECT cab.tok_a, cab.tok_b, cab.c_ab,
+       CAST(floor(ln((CAST(cab.c_ab AS DOUBLE) / ptot.p)
+                     / ((CAST(ca.c AS DOUBLE) / tot.t)
+                        * (CAST(cb.c AS DOUBLE) / tot.t))) * {PMI_Q}) AS BIGINT)
+         AS pmi_q
+FROM cab
+JOIN uni ca ON ca.tok = cab.tok_a
+JOIN uni cb ON cb.tok = cab.tok_b
+CROSS JOIN tot CROSS JOIN ptot
+WHERE cab.c_ab >= {PMI_MIN_CNT}
+"""
+
+
 # ---- near-dup clustering (distributed connected components) ----
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.5):

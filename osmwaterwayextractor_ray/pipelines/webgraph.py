@@ -1366,6 +1366,31 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
     )
 
 
+def _und_edges(sf_dir: str, pin_name: str):
+    """Distinct UNDIRECTED (a, b) edge rows (both directions present),
+    pinned — the base table of the undirected-graph operators."""
+    edges = _edge_list(sf_dir, _n_docs(sf_dir))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t.column("src_page").to_numpy(zero_copy_only=False)
+        d = t.column("dst_page").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([s, d]), type=pa.int64()),
+                "b": pa.array(np.concatenate([d, s]), type=pa.int64()),
+            }
+        )
+
+    return pin(
+        distinct(
+            edges.map_batches(both_dirs, batch_format="pyarrow"),
+            ["a", "b"],
+            num_parts=16,
+        ),
+        pin_name,
+    )
+
+
 _LPA_ITERS = 4
 
 
@@ -1392,27 +1417,7 @@ def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS):
     Returns (page_id, community)."""
     from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, pair_counts
 
-    n_docs = _n_docs(sf_dir)
-    edges = _edge_list(sf_dir, n_docs)
-
-    def both_dirs(t: pa.Table) -> pa.Table:
-        s = t.column("src_page").to_numpy(zero_copy_only=False)
-        d = t.column("dst_page").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate([s, d]), type=pa.int64()),
-                "b": pa.array(np.concatenate([d, s]), type=pa.int64()),
-            }
-        )
-
-    und = pin(
-        distinct(
-            edges.map_batches(both_dirs, batch_format="pyarrow"),
-            ["a", "b"],
-            num_parts=16,
-        ),
-        "lpa_und",
-    )
+    und = _und_edges(sf_dir, "lpa_und")
     und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     # labels ride +1 so the zero-fill's 0 means "absent -> label = own id"
     best_schema = pa.schema([("b", pa.int64()), ("labp", pa.int64())])
@@ -1534,6 +1539,115 @@ def _lpa_sql(iters: int = _LPA_ITERS) -> str:
 
 
 LPA_SQL = _lpa_sql()
+
+
+AA_Q = 10**6  # Adamic-Adar weight quantization: floor(Q / ln(deg))
+
+
+def adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    undirected link graph: for every NON-adjacent pair (x, y) with at
+    least one common neighbor,
+
+      aa(x, y) = Σ_{z ~ x, z ~ y} 1 / ln(deg(z))
+
+    quantized per center as w(z) = floor(AA_Q / ln(deg(z))) so the score
+    is an exact int64 sum (ln via libm in both numpy and DuckDB — the
+    shared-expression device; a common neighbor always has deg >= 2, so
+    ln > 0). Returns (id_a, id_b, n_common, aa_q).
+
+    Shape: the wedge join — per-center neighbor pairs from
+    ``fastagg.bucketed_pair_products`` in const-weight mode (one row per
+    common neighbor per pair, no neighbor lists shipped), ONE pair_sums
+    shuffle producing sum AND count together, then an anti_join against
+    the packed existing-edge keys. All hash-partitioned O(wedges) rows;
+    quadratic in a hub's degree like every wedge enumeration — the
+    triangle-counting contract. Pair keys pack as x * n_docs + y
+    (documented int64 bound: n_docs < 3e9)."""
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        anti_join,
+        bucketed_pair_products,
+        pair_sums,
+    )
+
+    n_docs = _n_docs(sf_dir)
+    und = _und_edges(sf_dir, "aa_und")
+    und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    deg = grouped_agg(und, ["a"], {"deg": ("b", "count")}, num_parts=16)
+
+    def to_w(t: pa.Table) -> pa.Table:
+        z = t.column("a").to_numpy(zero_copy_only=False)
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        keep = d >= 2
+        z, d = z[keep], d[keep]
+        # expression shape shared with the SQL oracle — do not reorder
+        w = np.floor(AA_Q / np.log(d.astype(np.float64))).astype(np.int64)
+        return pa.table(
+            {"z": pa.array(z, type=pa.int64()), "w": pa.array(w, type=pa.int64())}
+        )
+
+    wz = deg.map_batches(to_w, batch_format="pyarrow")
+    wz_schema = pa.schema([("z", pa.int64()), ("w", pa.int64())])
+
+    postings = lookup_join(
+        und, wz, "a", "z", {"w": "w"},
+        num_parts=16, left_schema=und_schema, right_schema=wz_schema,
+    )
+
+    wedges = bucketed_pair_products(
+        postings, ["a"], "b", "w", "id_a", "id_b", "w",
+        num_parts=32, weight_mode="const",
+    )
+    aa = pair_sums(wedges, "id_a", "id_b", "w", sum_col="aa_q", count_col="n_common")
+
+    def pack(t: pa.Table, x: str, y: str) -> pa.Table:
+        a = t.column(x).to_numpy(zero_copy_only=False)
+        b = t.column(y).to_numpy(zero_copy_only=False)
+        return t.append_column("key", pa.array(a * n_docs + b, type=pa.int64()))
+
+    aa_keyed = aa.map_batches(lambda t: pack(t, "id_a", "id_b"), batch_format="pyarrow")
+    edge_keys = und.map_batches(
+        lambda t: pack(t, "a", "b").select(["key"]), batch_format="pyarrow"
+    )
+    out = anti_join(
+        aa_keyed, edge_keys, "key", "key",
+        num_parts=16,
+        left_schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("aa_q", pa.int64()), ("n_common", pa.int64()), ("key", pa.int64())]
+        ),
+        right_schema=pa.schema([("key", pa.int64())]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["id_a", "id_b", "n_common", "aa_q"]),
+        batch_format="pyarrow",
+    )
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT DISTINCT a, b FROM (SELECT src_page AS a, dst_page AS b
+        FROM edges UNION ALL SELECT dst_page, src_page FROM edges)),
+deg AS (SELECT a AS z, count(*) AS deg FROM und GROUP BY 1),
+wz AS (
+  SELECT z, CAST(floor({AA_Q} / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w
+  FROM deg WHERE deg >= 2
+),
+wedge AS (
+  SELECT e1.b AS id_a, e2.b AS id_b, w.w
+  FROM und e1
+  JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN wz w ON w.z = e1.a
+),
+aa AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(w) AS BIGINT) AS aa_q
+  FROM wedge GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, aa_q FROM aa
+WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = aa.id_a AND u.b = aa.id_b)
+"""
 
 
 def _hits_sql(iters: int = _HITS_ITERS) -> str:

@@ -217,6 +217,7 @@ def bucketed_pair_products(
     max_group: int | None = None,
     num_parts: int = 32,
     batch_size: int = 65536,
+    weight_mode: str = "product",
 ):
     """All unordered id pairs (a < b) within each fine group, each pair
     row carrying the PRODUCT of the two rows' int64 weights — the sparse
@@ -225,7 +226,11 @@ def bucketed_pair_products(
     Caller contract: rows are distinct on (group_keys, id_col) and the
     weights are int64 whose pairwise products fit int64. Same coarse
     hash-bucket layout and run resolution as ``bucketed_pairs``; groups
-    larger than ``max_group`` rows are dropped (stop-key guard)."""
+    larger than ``max_group`` rows are dropped (stop-key guard).
+
+    ``weight_mode="const"``: the weight is a GROUP-constant (equal on
+    every row of a group — e.g. a per-wedge-center score); each pair then
+    carries that constant instead of a product."""
 
     def tag(batch: pa.Table) -> pa.Table:
         part = _bucket_tbl(batch, group_keys, num_parts)
@@ -273,11 +278,12 @@ def bucketed_pair_products(
         j += p_loc >= j * (j + 1) // 2
         i = p_loc - j * (j - 1) // 2
         base = starts[p_grp]
+        w_out = ws[base + i] if weight_mode == "const" else ws[base + i] * ws[base + j]
         return pa.table(
             {
                 out_a: pa.array(vals[base + i], type=pa.int64()),
                 out_b: pa.array(vals[base + j], type=pa.int64()),
-                out_w: pa.array(ws[base + i] * ws[base + j], type=pa.int64()),
+                out_w: pa.array(w_out, type=pa.int64()),
             }
         )
 
@@ -292,10 +298,13 @@ def pair_sums(
     sum_col: str = "s",
     num_parts: int = 32,
     batch_size: int = 65536,
+    count_col: str | None = None,
 ):
     """Grouped int64 SUM over an (a, b, value) pair stream — pair_counts'
     summing twin (exact: integer addition in any order). One hash-bucket
-    shuffle; each bucket reduces runs with one lexsort + add.reduceat."""
+    shuffle; each bucket reduces runs with one lexsort + add.reduceat.
+    ``count_col``: also emit the run multiplicities from the same pass
+    (sum + count in ONE shuffle)."""
 
     def tag(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -320,13 +329,15 @@ def pair_sums(
         change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.flatnonzero(change)
         sums = np.add.reduceat(v, starts) if len(starts) else np.empty(0, np.int64)
-        return pa.table(
-            {
-                a_col: pa.array(a[starts], type=pa.int64()),
-                b_col: pa.array(b[starts], type=pa.int64()),
-                sum_col: pa.array(sums, type=pa.int64()),
-            }
-        )
+        cols = {
+            a_col: pa.array(a[starts], type=pa.int64()),
+            b_col: pa.array(b[starts], type=pa.int64()),
+            sum_col: pa.array(sums, type=pa.int64()),
+        }
+        if count_col is not None:
+            counts = np.diff(np.append(starts, len(a)))
+            cols[count_col] = pa.array(counts, type=pa.int64())
+        return pa.table(cols)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)

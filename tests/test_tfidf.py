@@ -115,6 +115,81 @@ def test_exact_equality_threshold(ray_session, corpus_dir):
                 assert (a, b) in kept
 
 
+def test_token_pmi_bruteforce(ray_session, corpus_dir):
+    texts = _texts()
+    pc: Counter = Counter()
+    uc: Counter = Counter()
+    T = P = 0
+    for tx in texts:
+        toks = tx.split()
+        uc.update(toks)
+        T += len(toks)
+        for i in range(len(toks)):
+            for d in range(1, textops.PMI_W + 1):
+                if i + d >= len(toks):
+                    break
+                a, b = sorted((toks[i], toks[i + d]))
+                pc[(a, b)] += 1
+                P += 1
+    rows = []
+    for (a, b), cab in pc.items():
+        if cab < textops.PMI_MIN_CNT:
+            continue
+        pmi = math.floor(
+            math.log((cab / P) / ((uc[a] / T) * (uc[b] / T))) * textops.PMI_Q
+        )
+        rows.append((a, b, cab, pmi))
+    want = (
+        pd.DataFrame(rows, columns=["tok_a", "tok_b", "c_ab", "pmi_q"])
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    got = (
+        textops.token_pmi(corpus_dir)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_pmi_block_invariance(ray_session, corpus_dir, monkeypatch):
+    base = (
+        textops.token_pmi(corpus_dir)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    real = textops._read_documents
+
+    def spread(sf_dir, columns):
+        import pyarrow as pa
+
+        ds = real(sf_dir, columns)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column(columns[0]).to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__blk", pa.array((ids * 2654435761) % 7, type=pa.int64())
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .sort("__blk")
+            .map_batches(lambda t: t.drop_columns(["__blk"]), batch_format="pyarrow")
+        )
+
+    monkeypatch.setattr(textops, "_read_documents", spread)
+    alt = (
+        textops.token_pmi(corpus_dir)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, base)
+
+
 def test_block_invariance(ray_session, corpus_dir, monkeypatch):
     base = _run(corpus_dir)
     real = textops._read_documents

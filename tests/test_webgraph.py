@@ -188,6 +188,34 @@ def test_label_prop_zero_link(ray_session, zero_link_dir):
     assert got["community"].iloc[0] == got["page_id"].iloc[0]
 
 
+def test_adamic_adar_bruteforce(ray_session, corpus_dir):
+    import math
+
+    n = N_DOCS
+    dir_edges = _brute_edges(n)
+    und = dir_edges | {(b, a) for a, b in dir_edges}
+    nbrs: dict[int, set[int]] = {v: set() for v in range(n)}
+    for a, b in und:
+        nbrs[a].add(b)
+    want: dict[tuple[int, int], tuple[int, int]] = {}
+    for x in range(n):
+        for y in range(x + 1, n):
+            if y in nbrs[x]:
+                continue
+            common = nbrs[x] & nbrs[y]
+            if not common:
+                continue
+            aa = sum(
+                math.floor(webgraph.AA_Q / math.log(len(nbrs[z]))) for z in common
+            )
+            want[(x, y)] = (len(common), aa)
+    got = webgraph.adamic_adar(corpus_dir).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        k = (row["id_a"], row["id_b"])
+        assert want[k] == (row["n_common"], row["aa_q"]), k
+
+
 def test_latest_snapshot_bruteforce(ray_session, corpus_dir):
     got = (
         webgraph.latest_snapshot(corpus_dir)
@@ -378,6 +406,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "curate_web_corpus",
         "hits_scores",
         "label_prop_communities",
+        "adamic_adar",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
