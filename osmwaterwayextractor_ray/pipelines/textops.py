@@ -904,7 +904,14 @@ def tfidf_cosine_neardup(sf_dir: str, thr_num: int = 4, thr_den: int = 5):
     bounds the stop-band blow-up; the join remains quadratic in a
     surviving term's df — for web-scale corpora the bounded-cost answers
     are minhash_neardup / semdedup, same contract as ngram_jaccard.
-    Nothing is corpus-sized on the driver."""
+    Nothing is corpus-sized on the driver.
+
+    Oracle bound (fails LOUD, never silently wrong): the SQL twin runs
+    the threshold test in HUGEINT (int128), which overflows — DuckDB
+    raises Out of Range — once dot > ~8.2e17 or nn_a*nn_b > ~1e37; the
+    engine's big-int fallback has no such bound. Within the int64 weight
+    budget that needs docs with >~1e5 surviving distinct terms, far past
+    any tested corpus."""
     from osmwaterwayextractor_ray.functions.hashing import xxh64
     from osmwaterwayextractor_ray.functions.text import tokenize
     from osmwaterwayextractor_ray.stages.fastagg import (
@@ -996,8 +1003,14 @@ def tfidf_cosine_neardup(sf_dir: str, thr_num: int = 4, thr_den: int = 5):
     )
     nn_schema = pa.schema([("doc_id", pa.int64()), ("nn", pa.int64())])
 
+    # project w2 off before the pair shuffle — the O(postings) pair
+    # generation is the pipeline's largest input shuffle and only needs
+    # (t, doc_id, w)
     pairs = bucketed_pair_products(
-        weighted, ["t"], "doc_id", "w", "id_a", "id_b", "p", num_parts=32
+        weighted.map_batches(
+            lambda t: t.select(["t", "doc_id", "w"]), batch_format="pyarrow"
+        ),
+        ["t"], "doc_id", "w", "id_a", "id_b", "p", num_parts=32,
     )
     dots = pair_sums(pairs, "id_a", "id_b", "p", sum_col="dot")
     dots_schema = pa.schema(
@@ -1192,9 +1205,13 @@ def token_pmi(sf_dir: str):
         [("tok_a", pa.string()), ("tok_b", pa.string()), ("c_ab", pa.int64())]
     )
 
-    uni = counts.map_batches(
-        lambda t: t.filter(pc_.equal(t["kind"], 1)).select(["tok_a", "c"]),
-        batch_format="pyarrow",
+    # pinned: attached twice (c_a, c_b); skinny O(vocab) table
+    uni = pin(
+        counts.map_batches(
+            lambda t: t.filter(pc_.equal(t["kind"], 1)).select(["tok_a", "c"]),
+            batch_format="pyarrow",
+        ),
+        "pmi_uni",
     )
     uni_schema = pa.schema([("tok_a", pa.string()), ("c", pa.int64())])
 

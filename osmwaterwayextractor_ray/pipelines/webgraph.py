@@ -1366,10 +1366,10 @@ def hits_scores(sf_dir: str, iters: int = _HITS_ITERS):
     )
 
 
-def _und_edges(sf_dir: str, pin_name: str):
+def _und_edges(sf_dir: str, pin_name: str, n_docs: int | None = None):
     """Distinct UNDIRECTED (a, b) edge rows (both directions present),
     pinned — the base table of the undirected-graph operators."""
-    edges = _edge_list(sf_dir, _n_docs(sf_dir))
+    edges = _edge_list(sf_dir, _n_docs(sf_dir) if n_docs is None else n_docs)
 
     def both_dirs(t: pa.Table) -> pa.Table:
         s = t.column("src_page").to_numpy(zero_copy_only=False)
@@ -1410,10 +1410,13 @@ def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS):
 
     Shape per iteration (the pagerank device, argmax flavor): one
     zero-fill attach of the previous labels onto the undirected edge
-    list (missing u -> lab = u, so only CHANGED labels are ever stored),
-    one pair_counts shuffle for the (v, label) counts, one coarse-bucket
-    top-1 shuffle — all O(E) hash-partitioned rows, per-iteration re-pin
-    (parquet spill at 100 TB via WWX_PIN_MODE). The driver sees O(1).
+    list, one pair_counts shuffle for the (v, label) counts, one
+    coarse-bucket top-1 shuffle — all O(E) hash-partitioned rows,
+    per-iteration re-pin (parquet spill at 100 TB via WWX_PIN_MODE).
+    The per-iteration label table covers every NON-ISOLATED node
+    (changed or not); the zero-fill's lab=u fallback fires only for
+    isolated nodes, and only in the final page attach — edge endpoints
+    are never isolated. The driver sees O(1).
     Returns (page_id, community)."""
     from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, pair_counts
 
@@ -1571,7 +1574,7 @@ def adamic_adar(sf_dir: str):
     )
 
     n_docs = _n_docs(sf_dir)
-    und = _und_edges(sf_dir, "aa_und")
+    und = _und_edges(sf_dir, "aa_und", n_docs=n_docs)
     und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
     deg = grouped_agg(und, ["a"], {"deg": ("b", "count")}, num_parts=16)

@@ -132,24 +132,27 @@ def distinct(ds, keys: list[str], num_parts: int = 32, batch_size: int = 65536):
     return partials.groupby("__part").map_groups(combine, batch_format="pyarrow")
 
 
-def bucketed_pairs(
+def _bucketed_pairs_impl(
     ds,
     group_keys: list[str],
     id_col: str,
+    weight_col: str | None,
     out_a: str,
     out_b: str,
-    max_group: int | None = None,
-    num_parts: int = 32,
-    batch_size: int = 65536,
+    out_w: str | None,
+    max_group: int | None,
+    num_parts: int,
+    batch_size: int,
+    weight_mode: str,
+    dedupe: bool,
 ):
-    """All unordered id pairs (a < b) within each fine group — the LSH
-    candidate-pair step — emitted from P coarse hash buckets with ONE
-    vectorized kernel per bucket. A naive ``groupby(fine_keys).map_groups``
-    pays Ray's per-group Python finalize (~130 µs/group) which dominates at
-    10^4+ LSH buckets; here the fine groups are resolved with numpy inside
-    each of the P bucket tasks. Groups with fewer than 2 distinct ids emit
-    nothing; groups larger than ``max_group`` distinct ids are dropped
-    (stop-band guard, same semantics as the previous per-group code)."""
+    """Shared kernel behind bucketed_pairs / bucketed_pair_products: all
+    unordered id pairs (a < b) within each fine group, from P coarse hash
+    buckets with ONE vectorized kernel per bucket (fine groups resolved
+    with numpy — no per-group Python finalize). ``dedupe`` collapses
+    duplicate (group, id) rows first (the LSH path); the weighted path
+    instead relies on the caller's distinctness contract so each row's
+    weight survives."""
 
     def tag(batch: pa.Table) -> pa.Table:
         part = _bucket_tbl(batch, group_keys, num_parts)
@@ -158,26 +161,32 @@ def bucketed_pairs(
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
 
     def kernel(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {out_a: pa.array([], type=pa.int64()), out_b: pa.array([], type=pa.int64())}
-        )
-        cols = group_keys + [id_col]
-        # distinct rows via the C++ hash aggregate (row order is
-        # irrelevant — the lexsort below imposes a total order)
-        df = g.select(cols).group_by(cols, use_threads=False).aggregate([])
-        if df.num_rows < 2:
+        empty_cols = {
+            out_a: pa.array([], type=pa.int64()),
+            out_b: pa.array([], type=pa.int64()),
+        }
+        if weight_col is not None:
+            empty_cols[out_w] = pa.array([], type=pa.int64())
+        empty = pa.table(empty_cols)
+        cols = group_keys + [id_col] + ([weight_col] if weight_col else [])
+        if dedupe:
+            # distinct rows via the C++ hash aggregate (row order is
+            # irrelevant — the lexsort below imposes a total order)
+            g = g.select(cols).group_by(cols, use_threads=False).aggregate([])
+        if g.num_rows < 2:
             return empty
-        arrs = {c: df.column(c).to_numpy(zero_copy_only=False) for c in cols}
+        arrs = {c: g.column(c).to_numpy(zero_copy_only=False) for c in cols}
         # np.lexsort: LAST key is primary -> sort by group_keys, then id
+        # (ids unique per group -> total order, block-structure invariant)
         order = np.lexsort([arrs[c] for c in [id_col] + group_keys[::-1]])
         vals = arrs[id_col][order]
-        change = np.zeros(df.num_rows, dtype=bool)
+        change = np.zeros(g.num_rows, dtype=bool)
         change[0] = True
         for c in group_keys:
             arr = arrs[c][order]
             change[1:] |= arr[1:] != arr[:-1]
         starts = np.flatnonzero(change)
-        sizes = np.diff(np.append(starts, df.num_rows))
+        sizes = np.diff(np.append(starts, g.num_rows))
         keep = sizes >= 2
         if max_group is not None:
             keep &= sizes <= max_group
@@ -196,14 +205,39 @@ def bucketed_pairs(
         j += p_loc >= j * (j + 1) // 2
         i = p_loc - j * (j - 1) // 2
         base = starts[p_grp]
-        return pa.table(
-            {
-                out_a: pa.array(vals[base + i], type=pa.int64()),
-                out_b: pa.array(vals[base + j], type=pa.int64()),
-            }
-        )
+        out_cols = {
+            out_a: pa.array(vals[base + i], type=pa.int64()),
+            out_b: pa.array(vals[base + j], type=pa.int64()),
+        }
+        if weight_col is not None:
+            ws = arrs[weight_col][order]
+            w_out = (
+                ws[base + i] if weight_mode == "const" else ws[base + i] * ws[base + j]
+            )
+            out_cols[out_w] = pa.array(w_out, type=pa.int64())
+        return pa.table(out_cols)
 
     return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+
+
+def bucketed_pairs(
+    ds,
+    group_keys: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    max_group: int | None = None,
+    num_parts: int = 32,
+    batch_size: int = 65536,
+):
+    """All unordered id pairs (a < b) within each fine group — the LSH
+    candidate-pair step. Duplicate (group, id) rows are collapsed first.
+    Groups with fewer than 2 distinct ids emit nothing; groups larger
+    than ``max_group`` distinct ids are dropped (stop-band guard)."""
+    return _bucketed_pairs_impl(
+        ds, group_keys, id_col, None, out_a, out_b, None,
+        max_group, num_parts, batch_size, "product", dedupe=True,
+    )
 
 
 def bucketed_pair_products(
@@ -223,71 +257,17 @@ def bucketed_pair_products(
     row carrying the PRODUCT of the two rows' int64 weights — the sparse
     dot-product primitive: one output row per shared key per pair, so a
     grouped SUM downstream (``pair_sums``) is the exact dot product.
-    Caller contract: rows are distinct on (group_keys, id_col) and the
-    weights are int64 whose pairwise products fit int64. Same coarse
-    hash-bucket layout and run resolution as ``bucketed_pairs``; groups
-    larger than ``max_group`` rows are dropped (stop-key guard).
+    Caller contract: rows are DISTINCT on (group_keys, id_col) and the
+    weights are int64 whose pairwise products fit int64. Groups larger
+    than ``max_group`` rows are dropped (stop-key guard).
 
     ``weight_mode="const"``: the weight is a GROUP-constant (equal on
     every row of a group — e.g. a per-wedge-center score); each pair then
     carries that constant instead of a product."""
-
-    def tag(batch: pa.Table) -> pa.Table:
-        part = _bucket_tbl(batch, group_keys, num_parts)
-        return batch.append_column("__part", pa.array(part, type=pa.int64()))
-
-    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
-
-    def kernel(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                out_a: pa.array([], type=pa.int64()),
-                out_b: pa.array([], type=pa.int64()),
-                out_w: pa.array([], type=pa.int64()),
-            }
-        )
-        if g.num_rows < 2:
-            return empty
-        cols = group_keys + [id_col, weight_col]
-        arrs = {c: g.column(c).to_numpy(zero_copy_only=False) for c in cols}
-        # np.lexsort: LAST key is primary -> sort by group_keys, then id
-        # (ids unique per group -> total order, block-structure invariant)
-        order = np.lexsort([arrs[c] for c in [id_col] + group_keys[::-1]])
-        vals = arrs[id_col][order]
-        ws = arrs[weight_col][order]
-        change = np.zeros(g.num_rows, dtype=bool)
-        change[0] = True
-        for c in group_keys:
-            arr = arrs[c][order]
-            change[1:] |= arr[1:] != arr[:-1]
-        starts = np.flatnonzero(change)
-        sizes = np.diff(np.append(starts, g.num_rows))
-        keep = sizes >= 2
-        if max_group is not None:
-            keep &= sizes <= max_group
-        starts, sizes = starts[keep], sizes[keep]
-        if len(starts) == 0:
-            return empty
-        npairs = sizes * (sizes - 1) // 2
-        total = int(npairs.sum())
-        off = np.concatenate(([0], np.cumsum(npairs)[:-1]))
-        p_grp = np.repeat(np.arange(len(starts)), npairs)
-        p_loc = np.arange(total) - off[p_grp]
-        j = ((1.0 + np.sqrt(1.0 + 8.0 * p_loc)) / 2.0).astype(np.int64)
-        j -= p_loc < j * (j - 1) // 2
-        j += p_loc >= j * (j + 1) // 2
-        i = p_loc - j * (j - 1) // 2
-        base = starts[p_grp]
-        w_out = ws[base + i] if weight_mode == "const" else ws[base + i] * ws[base + j]
-        return pa.table(
-            {
-                out_a: pa.array(vals[base + i], type=pa.int64()),
-                out_b: pa.array(vals[base + j], type=pa.int64()),
-                out_w: pa.array(w_out, type=pa.int64()),
-            }
-        )
-
-    return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+    return _bucketed_pairs_impl(
+        ds, group_keys, id_col, weight_col, out_a, out_b, out_w,
+        max_group, num_parts, batch_size, weight_mode, dedupe=False,
+    )
 
 
 def pair_sums(
@@ -305,35 +285,53 @@ def pair_sums(
     shuffle; each bucket reduces runs with one lexsort + add.reduceat.
     ``count_col``: also emit the run multiplicities from the same pass
     (sum + count in ONE shuffle)."""
+    return _pair_reduce(
+        ds, a_col, b_col, value_col, sum_col, count_col, num_parts, batch_size
+    )
+
+
+def _pair_reduce(
+    ds,
+    a_col: str,
+    b_col: str,
+    value_col: str | None,
+    sum_col: str | None,
+    count_col: str | None,
+    num_parts: int,
+    batch_size: int,
+):
+    """Shared reduce behind pair_counts / pair_sums: FNV-tag the (a, b)
+    keys into hash buckets (the value column ships only when summing),
+    then per bucket one lexsort + run-boundary diff resolves every group
+    — no per-group Python. Keys are nearly unique (LSH band collisions,
+    shared-posting pairs), so a per-batch partial can't compress them."""
 
     def tag(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         part = ((a * np.uint64(1099511628211) + b) % np.uint64(num_parts)).astype(np.int64)
-        return pa.table(
-            {
-                a_col: batch[a_col],
-                b_col: batch[b_col],
-                value_col: batch[value_col],
-                "__part": pa.array(part, type=pa.int64()),
-            }
-        )
+        cols = {a_col: batch[a_col], b_col: batch[b_col]}
+        if value_col is not None:
+            cols[value_col] = batch[value_col]
+        cols["__part"] = pa.array(part, type=pa.int64())
+        return pa.table(cols)
 
-    def sum_runs(g: pa.Table) -> pa.Table:
+    def reduce_runs(g: pa.Table) -> pa.Table:
         a = g.column(a_col).to_numpy(zero_copy_only=False)
         b = g.column(b_col).to_numpy(zero_copy_only=False)
-        v = g.column(value_col).to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
-        a, b, v = a[order], b[order], v[order]
+        a, b = a[order], b[order]
         change = np.ones(len(a), dtype=bool)
         change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.flatnonzero(change)
-        sums = np.add.reduceat(v, starts) if len(starts) else np.empty(0, np.int64)
         cols = {
             a_col: pa.array(a[starts], type=pa.int64()),
             b_col: pa.array(b[starts], type=pa.int64()),
-            sum_col: pa.array(sums, type=pa.int64()),
         }
+        if value_col is not None:
+            v = g.column(value_col).to_numpy(zero_copy_only=False)[order]
+            sums = np.add.reduceat(v, starts) if len(starts) else np.empty(0, np.int64)
+            cols[sum_col] = pa.array(sums, type=pa.int64())
         if count_col is not None:
             counts = np.diff(np.append(starts, len(a)))
             cols[count_col] = pa.array(counts, type=pa.int64())
@@ -342,7 +340,7 @@ def pair_sums(
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
         .groupby("__part")
-        .map_groups(sum_runs, batch_format="pyarrow")
+        .map_groups(reduce_runs, batch_format="pyarrow")
     )
 
 
@@ -587,45 +585,10 @@ def pair_counts(
     batch_size: int = 65536,
 ):
     """Grouped COUNT over an (a, b) pair stream: one output row per
-    distinct pair with its multiplicity. The keys are nearly unique
-    (LSH band collisions, shared-shingle postings), so a per-batch
-    pandas-groupby partial can't compress them — rows go straight to
-    hash buckets and each bucket counts runs with one lexsort +
-    run-length diff (no per-group Python)."""
-
-    def tag(batch: pa.Table) -> pa.Table:
-        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((a * np.uint64(1099511628211) + b) % np.uint64(num_parts)).astype(np.int64)
-        return pa.table(
-            {
-                a_col: batch[a_col],
-                b_col: batch[b_col],
-                "__part": pa.array(part, type=pa.int64()),
-            }
-        )
-
-    def count_runs(g: pa.Table) -> pa.Table:
-        a = g.column(a_col).to_numpy(zero_copy_only=False)
-        b = g.column(b_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        change = np.ones(len(a), dtype=bool)
-        change[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.append(starts, len(a)))
-        return pa.table(
-            {
-                a_col: pa.array(a[starts], type=pa.int64()),
-                b_col: pa.array(b[starts], type=pa.int64()),
-                count_col: pa.array(counts, type=pa.int64()),
-            }
-        )
-
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("__part")
-        .map_groups(count_runs, batch_format="pyarrow")
+    distinct pair with its multiplicity — ``_pair_reduce`` with no value
+    column (nothing extra ships through the shuffle)."""
+    return _pair_reduce(
+        ds, a_col, b_col, None, None, count_col, num_parts, batch_size
     )
 
 
