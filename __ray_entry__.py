@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": webtext.pii_scrub,
         "dup_span_stats": webtext.dup_span_stats,
         "bm25_search": webtext.bm25_search,
+        "phrase_search": webtext.phrase_search,
         "weighted_sample": webtext.weighted_sample,
         "lm_quality": webtext.lm_quality,
         "line_dedup": webtext.line_dedup,
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": webtext.PII_SCRUB_SQL,
         "dup_span_stats": webtext.DUP_SPAN_STATS_SQL,
         "bm25_search": webtext.BM25_SEARCH_SQL,
+        "phrase_search": webtext.PHRASE_SEARCH_SQL,
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
         "lm_quality": webtext.LM_QUALITY_SQL,
         "line_dedup": webtext.LINE_DEDUP_SQL,

@@ -157,6 +157,7 @@ QUERY_SET = [
     "pii_scrub",
     "dup_span_stats",
     "bm25_search",
+    "phrase_search",
     "weighted_sample",
     "page_links",
     "link_stats",

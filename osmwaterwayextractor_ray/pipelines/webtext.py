@@ -18,6 +18,9 @@ All four operators are oracle-checked (exact DuckDB SQL in __ray_entry__):
                       cannot change the ordering, so both sides rank by
                       the tf/length component only, computed with the
                       IDENTICAL float64 expression.
+  * phrase_search   — exact positional phrase retrieval (wave 17): the
+                      k-way positional-posting intersect as ONE
+                      pair_counts shuffle (see its docstring).
   * weighted_sample — deterministic weighted Bernoulli sampling
                       (p ∝ n_chars) via an integer hash-threshold
                       comparison — no floats anywhere, exactly
@@ -471,6 +474,89 @@ SELECT term, rank, doc_id, tf, dl FROM (
 
 
 BM25_SEARCH_SQL = _bm25_sql()
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (inverted positional-index intersect)
+# ---------------------------------------------------------------------------
+
+PHRASE = ("big", "data")  # default phrase query (k tokens, adjacency exact)
+
+
+def phrase_search(sf_dir: str, phrase: tuple[str, ...] = PHRASE):
+    """Exact phrase retrieval — docs containing the adjacent token
+    sequence, with occurrence counts: the positional-posting plan every
+    search engine runs, expressed distributed.
+
+    Plan: the scan emits a posting (doc_id, base = pos - j) for every
+    position ``pos`` where token == phrase[j] (only phrase terms leave
+    the scan — the pruned-read discipline). A full match at base b needs
+    every slot j to contribute, and slots are distinct by construction,
+    so ONE ``pair_counts`` shuffle over (doc_id, base) + a count==k
+    filter IS the k-way positional intersect — no per-term join chain,
+    repeated-word phrases included. A final grouped count per doc yields
+    n_occurrences. O(phrase-term postings) rows total; driver sees
+    nothing. Returns (doc_id, n_occurrences), n >= 1."""
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, pair_counts
+
+    k = len(phrase)
+    slot = {}
+    for j, w in enumerate(phrase):
+        slot.setdefault(w, []).append(j)
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        d_out, b_out = [], []
+        for did, text in zip(ids.tolist(), texts):
+            for pos, tok in enumerate(tokenize(text or "")):
+                for j in slot.get(tok, ()):
+                    d_out.append(did)
+                    b_out.append(pos - j)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "base": pa.array(b_out, type=pa.int64()),
+            }
+        )
+
+    post = ds.map_batches(postings, batch_format="pyarrow", batch_size=2048)
+    counted = pair_counts(post, "doc_id", "base", "c", num_parts=16)
+
+    import pyarrow.compute as pc
+
+    matches = counted.map_batches(
+        lambda t: t.filter(pc.equal(t["c"], k)).select(["doc_id", "base"]),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        matches, ["doc_id"], {"n_occurrences": ("base", "count")}, num_parts=16
+    )
+
+
+def _phrase_sql(phrase: tuple[str, ...] = PHRASE) -> str:
+    k = len(phrase)
+    conds = " AND ".join(f"sp[i + {j}] = '{w}'" for j, w in enumerate(phrase))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS sp
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, i
+  FROM toks, LATERAL UNNEST(generate_series(1, len(sp) - {k - 1})) AS t(i)
+  WHERE {conds}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences FROM occ GROUP BY 1
+"""
+
+
+PHRASE_SEARCH_SQL = _phrase_sql()
 
 
 # ---------------------------------------------------------------------------

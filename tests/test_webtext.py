@@ -303,6 +303,90 @@ def test_line_dedup_bruteforce(ray_session, corpus_dir):
 
 
 # ---------------------------------------------------------------------------
+# positional phrase search — brute force + overlaps + repeated-word phrase
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def phrase_dir(tmp_path_factory):
+    rows = [
+        (0, "big data big data big"),        # two occurrences of "big data"
+        (1, "big big data"),                 # one, after a decoy prefix
+        (2, "data big"),                     # reversed -> none
+        (3, "big\tdata"),                    # tab separator still tokenizes
+        (4, ""),                             # empty
+        (5, "the the the"),                  # repeated-word phrase target
+        (6, "the the"),                      # exactly one "the the" pair? two tokens -> one occurrence
+        (7, "big data"),                     # minimal hit
+        (8, "bigdata big"),                  # concatenated decoy -> none
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["source"] = "s0"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df["lang"] = "en"
+    d = tmp_path_factory.mktemp("phrase_docs")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d), {i: t for i, t in rows}
+
+
+def _brute_phrase(texts: dict[int, str], phrase: tuple[str, ...]) -> dict[int, int]:
+    out = {}
+    k = len(phrase)
+    for did, tx in texts.items():
+        toks = tx.split()
+        n = sum(
+            1
+            for i in range(len(toks) - k + 1)
+            if tuple(toks[i : i + k]) == phrase
+        )
+        if n:
+            out[did] = n
+    return out
+
+
+@pytest.mark.parametrize("phrase", [("big", "data"), ("the", "the"), ("big", "data", "big")])
+def test_phrase_search_bruteforce(ray_session, phrase_dir, phrase):
+    d, texts = phrase_dir
+    got = {
+        int(r["doc_id"]): int(r["n_occurrences"])
+        for r in webtext.phrase_search(d, phrase=phrase).take_all()
+    }
+    want = _brute_phrase(texts, phrase)
+    assert want, phrase  # each parametrized phrase must actually hit
+    assert got == want
+
+
+def test_phrase_search_block_invariance(ray_session, phrase_dir, monkeypatch):
+    d, _ = phrase_dir
+    base = sorted(
+        map(tuple, webtext.phrase_search(d).to_pandas().to_numpy().tolist())
+    )
+    real = webtext._read_documents
+
+    def spread(sf_dir, columns):
+        import pyarrow as pa
+
+        ds = real(sf_dir, columns)
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column(columns[0]).to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__blk", pa.array((ids * 2654435761) % 4, type=pa.int64())
+            )
+
+        return (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .sort("__blk")
+            .map_batches(lambda t: t.drop_columns(["__blk"]), batch_format="pyarrow")
+        )
+
+    monkeypatch.setattr(webtext, "_read_documents", spread)
+    alt = sorted(
+        map(tuple, webtext.phrase_search(d).to_pandas().to_numpy().tolist())
+    )
+    assert alt == base
+
+
+# ---------------------------------------------------------------------------
 # block-structure invariance: 7 shuffled blocks == 1 block
 # ---------------------------------------------------------------------------
 
