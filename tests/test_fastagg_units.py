@@ -116,3 +116,56 @@ def test_joined_schema_matches_actual_join(ray_session):
     assert predicted.names == actual.names
     for f in predicted:
         assert actual.field(f.name).type == f.type, f.name
+
+
+def test_pair_products_and_sums_contract(ray_session):
+    """bucketed_pair_products (product + const modes) and pair_sums
+    (sum + count in one pass) against a hand-computed reference."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pair_products,
+        pair_sums,
+    )
+
+    # two groups: g=1 has ids 1,2,3 (w 10,20,30); g=2 has ids 2,5 (w 7,11)
+    t = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "id": pa.array([3, 1, 2, 5, 2], type=pa.int64()),
+            "w": pa.array([30, 10, 20, 11, 7], type=pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    prod = bucketed_pair_products(ds, ["g"], "id", "w", "a", "b", "p").take_all()
+    got = sorted((r["a"], r["b"], r["p"]) for r in prod)
+    assert got == [(1, 2, 200), (1, 3, 300), (2, 3, 600), (2, 5, 77)]
+
+    # const mode: w must be group-constant
+    t2 = pa.table(
+        {
+            "g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+            "id": pa.array([3, 1, 2, 5, 2], type=pa.int64()),
+            "w": pa.array([4, 4, 4, 9, 9], type=pa.int64()),
+        }
+    )
+    cst = bucketed_pair_products(
+        rd.from_arrow(t2), ["g"], "id", "w", "a", "b", "p", weight_mode="const"
+    ).take_all()
+    got = sorted((r["a"], r["b"], r["p"]) for r in cst)
+    assert got == [(1, 2, 4), (1, 3, 4), (2, 3, 4), (2, 5, 9)]
+
+    # pair_sums: duplicate keys reduce; count rides the same pass
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "b": pa.array([2, 2, 3, 3], type=pa.int64()),
+            "v": pa.array([5, 7, 1, 9], type=pa.int64()),
+        }
+    )
+    red = pair_sums(
+        rd.from_arrow(pairs), "a", "b", "v", sum_col="s", count_col="n"
+    ).take_all()
+    got = sorted((r["a"], r["b"], r["s"], r["n"]) for r in red)
+    assert got == [(1, 2, 12, 2), (1, 3, 1, 1), (2, 3, 9, 1)]
