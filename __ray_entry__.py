@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": webgraph.hits_scores,
         "label_prop_communities": webgraph.label_prop_communities,
         "adamic_adar": webgraph.adamic_adar,
+        "k_core": webgraph.k_core,
+        "clustering_coeff": webgraph.clustering_coeff,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -337,6 +339,8 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": webgraph.HITS_SQL,
         "label_prop_communities": webgraph.LPA_SQL,
         "adamic_adar": webgraph.ADAMIC_ADAR_SQL,
+        "k_core": webgraph.K_CORE_SQL,
+        "clustering_coeff": webgraph.CLUSTERING_COEFF_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -1690,6 +1690,222 @@ def _hits_sql(iters: int = _HITS_ITERS) -> str:
 HITS_SQL = _hits_sql()
 
 
+_KCORE_K = 3
+_KCORE_ITERS = 8
+
+
+def k_core(sf_dir: str, k: int = _KCORE_K, iters: int = _KCORE_ITERS):
+    """k-core decomposition membership (Seidman 1983) by iterative
+    peeling over the UNDIRECTED link graph: repeatedly drop every node
+    whose (current) degree is < k, for at most ``iters`` rounds; return
+    the surviving nodes with their within-core degree (page_id, deg).
+
+    Exactly ``iters`` peel rounds (fixed T, the pagerank/LPA device) so
+    the unrolled-CTE oracle agrees; the engine early-exits when the
+    active-node COUNT stops shrinking, which is sound because the active
+    set shrinks monotonically (act_{t+1} ⊆ nodes(e_t) ⊆ act_t — equal
+    counts therefore mean equal sets, and every later round is the
+    identity). All-integer, so bit-identical under any block structure.
+
+    Shape per round (100 TB bar): one partial-aggregated grouped count
+    over the surviving edges, a filter, and two partitioned hash
+    SEMI-joins (the active table is unique-keyed, so inner join == semi
+    join) to drop edges with a dead endpoint — all O(E) hash-partitioned
+    rows, never a broadcast of the O(nodes) active set; surviving edges
+    re-pinned per round (parquet spill at scale via WWX_PIN_MODE). The
+    driver sees only the O(1) per-round count used for the early exit."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    e_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    act_schema = pa.schema([("a", pa.int64())])
+    actb_schema = pa.schema([("b", pa.int64())])
+
+    edges = _und_edges(sf_dir, "kcore_und")
+    n_prev = None
+    for t in range(iters):
+        deg = grouped_agg(edges, ["a"], {"deg": ("a", "count")}, num_parts=16)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.greater_equal(batch["deg"], k)).select(["a"])
+
+        act = pin(deg.map_batches(keep, batch_format="pyarrow"), f"kcore_act{t + 1}")
+        n_act = act.count()
+        if n_prev is not None and n_act == n_prev:
+            break  # converged: every later round is the identity
+        n_prev = n_act
+        if n_act == 0:
+            # empty core; skip the join plumbing (result is empty either way)
+            edges = edges.limit(0)
+            break
+        e1 = hash_join(
+            edges, act, on=["a"], num_parts=16,
+            left_schema=e_schema, right_schema=act_schema,
+        )
+        act_b = act.map_batches(
+            lambda t: t.rename_columns(["b"]), batch_format="pyarrow"
+        )
+        edges = pin(
+            hash_join(
+                e1, act_b, on=["b"], num_parts=16,
+                left_schema=e_schema, right_schema=actb_schema,
+            ).map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+            f"kcore_e{t + 1}",
+        )
+
+    out = grouped_agg(edges, ["a"], {"deg": ("a", "count")}, num_parts=16)
+    return out.map_batches(
+        lambda t: t.rename_columns(["page_id", "deg"]), batch_format="pyarrow"
+    )
+
+
+def _kcore_sql(k: int = _KCORE_K, iters: int = _KCORE_ITERS) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src_page AS a, dst_page AS b"
+        " FROM edges UNION ALL SELECT dst_page, src_page FROM edges))",
+        "e0 AS (SELECT a, b FROM und)",
+    ]
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one three times -> 3^iters expansions
+    # of the base scan (fd exhaustion before it's even slow)
+    for t in range(iters):
+        parts.append(
+            f"deg{t} AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS deg"
+            f" FROM e{t} GROUP BY 1)"
+        )
+        parts.append(f"act{t + 1} AS (SELECT a FROM deg{t} WHERE deg >= {k})")
+        parts.append(
+            f"e{t + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{t} e"
+            f" JOIN act{t + 1} x ON x.a = e.a JOIN act{t + 1} y ON y.a = e.b)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT a AS page_id, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM e{iters} GROUP BY 1"
+    )
+
+
+K_CORE_SQL = _kcore_sql()
+
+
+LCC_Q = 10**6  # local-clustering-coefficient quantization grid
+
+
+def clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient (Watts & Strogatz 1998) over
+    the undirected link graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)),
+    where T(v) counts triangles through v. Reported on the exact integer
+    grid lcc_q = (2·T·LCC_Q) // (deg·(deg−1)) so engine and SQL agree
+    bit-for-bit. Returns (page_id, deg, tri, lcc_q) for every node with
+    at least one edge.
+
+    Per-node triangle counts come from the wedge-closure identity: the
+    neighbor pairs x<z of center v (``bucketed_pair_products`` in
+    group-const mode, the pair primitive — each wedge row carries its
+    center) close iff (x, z) is an edge — one partitioned co-group
+    against the canonical a<b edge list with a packed-key np.isin kernel
+    that emits PER-BUCKET partial counts per center, combined by one
+    small grouped sum. No all-pairs: work is O(Σ deg²) wedge rows, the
+    standard triangle-count bound, hash-partitioned end to end.
+    int64 bound: 2·T·LCC_Q needs T < 4.6e12 — any real per-node count."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pair_products,
+        cogroup,
+        grouped_agg,
+    )
+
+    und = _und_edges(sf_dir, "lcc_und")
+
+    # wedges: all neighbor pairs x<z per center v, carrying v (group-const)
+    wedges = bucketed_pair_products(
+        und, ["a"], "b", "a", "x", "z", "v", num_parts=16, weight_mode="const"
+    )
+    canon = und.map_batches(
+        lambda t: t.filter(pc.less(t["a"], t["b"])), batch_format="pyarrow"
+    )
+    wedge_schema = pa.schema([("x", pa.int64()), ("z", pa.int64()), ("v", pa.int64())])
+    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    grouped, split = cogroup(
+        wedges, canon, ["x", "z"], right_on=["a", "b"], num_parts=16,
+        left_schema=wedge_schema, right_schema=canon_schema,
+    )
+
+    def close_per_center(g: pa.Table) -> pa.Table:
+        lg, rg = split(g)
+        wx = lg.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
+        wz = lg.column("z").to_numpy(zero_copy_only=False).astype(np.uint64)
+        wv = lg.column("v").to_numpy(zero_copy_only=False)
+        ea = rg.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        eb = rg.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        closed = np.isin(
+            wx << np.uint64(32) | wz, ea << np.uint64(32) | eb
+        )
+        centers, counts = np.unique(wv[closed], return_counts=True)
+        return pa.table(
+            {
+                "page_id": pa.array(centers, type=pa.int64()),
+                "tri_p": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    tri = grouped_agg(
+        grouped.map_groups(close_per_center, batch_format="pyarrow"),
+        ["page_id"], {"tri": ("tri_p", "sum")}, num_parts=16,
+    )
+    deg = grouped_agg(und, ["a"], {"deg": ("a", "count")}, num_parts=16).map_batches(
+        lambda t: t.rename_columns(["page_id", "deg"]), batch_format="pyarrow"
+    )
+    filled = _attach_zero_fill(
+        deg, tri, key="page_id", value_cols=["tri"],
+        left_schema=pa.schema([("page_id", pa.int64()), ("deg", pa.int64())]),
+        right_schema=pa.schema([("page_id", pa.int64()), ("tri", pa.int64())]),
+        extra_cols=["deg"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        tr = t.column("tri").to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        lcc = np.where(d >= 2, (2 * tr * LCC_Q) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "deg": t["deg"],
+                "tri": t["tri"],
+                "lcc_q": pa.array(lcc, type=pa.int64()),
+            }
+        )
+
+    return filled.map_batches(finish, batch_format="pyarrow")
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH {_EDGES_CTE},
+und AS (SELECT DISTINCT a, b FROM (SELECT src_page AS a, dst_page AS b
+        FROM edges UNION ALL SELECT dst_page, src_page FROM edges)),
+canon AS (SELECT a, b FROM und WHERE a < b),
+deg AS (SELECT a AS page_id, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+wedges AS (
+  SELECT u1.a AS v, u1.b AS x, u2.b AS z
+  FROM und u1 JOIN und u2 ON u2.a = u1.a AND u2.b > u1.b
+),
+tri AS (
+  SELECT w.v AS page_id, CAST(count(*) AS BIGINT) AS tri
+  FROM wedges w JOIN canon e ON e.a = w.x AND e.b = w.z
+  GROUP BY 1
+)
+SELECT d.page_id, d.deg, COALESCE(t.tri, CAST(0 AS BIGINT)) AS tri,
+       CASE WHEN d.deg >= 2
+            THEN (2 * COALESCE(t.tri, 0) * {LCC_Q}) // (d.deg * (d.deg - 1))
+            ELSE CAST(0 AS BIGINT) END AS lcc_q
+FROM deg d LEFT JOIN tri t USING (page_id)
+"""
+
+
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
                       left_schema=None, right_schema=None, num_parts: int = 16,
                       extra_cols: list[str] | None = None):

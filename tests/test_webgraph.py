@@ -407,6 +407,8 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "hits_scores",
         "label_prop_communities",
         "adamic_adar",
+        "k_core",
+        "clustering_coeff",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
@@ -565,3 +567,111 @@ def test_curate_web_corpus_bruteforce(ray_session, tmp_path_factory):
     assert len(mixed) < len(surv)  # mix downsampled
     assert (want["host_rank"] == webgraph._CWC_CAP).any()  # quota hit the cap
     assert len(set(thr.values())) > 1  # distinct mix rates
+
+
+# ---------------------------------------------------------------------------
+# k-core + clustering coefficient (wave 18)
+# ---------------------------------------------------------------------------
+
+
+def _brute_und_nbrs(n) -> dict[int, set[int]]:
+    dir_edges = _brute_edges(n)
+    und = dir_edges | {(b, a) for a, b in dir_edges}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+    return nbrs
+
+
+def _brute_kcore(n: int, k: int, iters: int = 8) -> dict[int, int]:
+    """Independent dict/set peel: at most `iters` rounds, early fixpoint."""
+    nbrs = _brute_und_nbrs(n)
+    act = set(nbrs)
+    for _ in range(iters):
+        deg = {v: sum(1 for u in nbrs[v] if u in act) for v in act}
+        new = {v for v in act if deg[v] >= k}
+        if new == act:
+            break
+        act = new
+    out = {}
+    for v in act:
+        d = sum(1 for u in nbrs[v] if u in act)
+        if d > 0:
+            out[v] = d
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus77_dir(tmp_path_factory):
+    # n=77: the k=6 peel cascades over 2 rounds (77 -> 10 nodes) and the
+    # k=5 peel also takes 2 rounds — exercises the iteration, not just
+    # the initial degree filter
+    d = tmp_path_factory.mktemp("webgraph_docs77")
+    _make_docs(77).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def corpus53_dir(tmp_path_factory):
+    # n=53: the synthesized circulant graph actually has triangles
+    d = tmp_path_factory.mktemp("webgraph_docs53")
+    _make_docs(53).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "n,k,fixture",
+    [
+        (N_DOCS, 3, "corpus_dir"),  # default k: nothing peels (all deg >= 3)
+        (77, 5, "corpus77_dir"),  # 2-round cascade, large surviving core
+        (77, 6, "corpus77_dir"),  # 2-round cascade, 77 -> 10 nodes
+    ],
+)
+def test_k_core_bruteforce(ray_session, request, n, k, fixture):
+    d = request.getfixturevalue(fixture)
+    want = _brute_kcore(n, k)
+    got = webgraph.k_core(d, k=k).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[row["page_id"]] == row["deg"], row["page_id"]
+
+
+def test_k_core_cascade_bites(ray_session, corpus77_dir):
+    # the k=6 peel must actually remove nodes across >1 round on n=77
+    want = _brute_kcore(77, 6)
+    assert 0 < len(want) < 77
+    first_round = {
+        v for v, nb in _brute_und_nbrs(77).items() if len(nb) >= 6
+    }
+    assert set(want) < first_round  # round 2+ removed more than round 1
+
+
+def test_clustering_coeff_bruteforce(ray_session, corpus53_dir):
+    nbrs = _brute_und_nbrs(53)
+    want = {}
+    for v, nb in nbrs.items():
+        deg = len(nb)
+        nbl = sorted(nb)
+        tri = sum(
+            1
+            for i in range(len(nbl))
+            for j in range(i + 1, len(nbl))
+            if nbl[j] in nbrs[nbl[i]]
+        )
+        lcc = (2 * tri * webgraph.LCC_Q) // (deg * (deg - 1)) if deg >= 2 else 0
+        want[v] = (deg, tri, lcc)
+    assert any(t > 0 for _, t, _ in want.values())  # triangles exist here
+    got = webgraph.clustering_coeff(corpus53_dir).to_pandas()
+    assert len(got) == len(want)
+    for _, row in got.iterrows():
+        assert want[row["page_id"]] == (
+            row["deg"], row["tri"], row["lcc_q"],
+        ), row["page_id"]
+
+
+def test_clustering_coeff_zero_triangles(ray_session, corpus_dir):
+    # n=60 has no triangles: every tri/lcc_q must be exactly 0
+    got = webgraph.clustering_coeff(corpus_dir).to_pandas()
+    assert len(got) == N_DOCS
+    assert (got["tri"] == 0).all() and (got["lcc_q"] == 0).all()
+    assert (got["deg"] >= 3).all()
