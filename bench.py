@@ -191,6 +191,8 @@ QUERY_SET = [
     "hits_scores",
     "label_prop_communities",
     "adamic_adar",
+    "k_core",
+    "clustering_coeff",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",
