@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": webgraph.adamic_adar,
         "k_core": webgraph.k_core,
         "clustering_coeff": webgraph.clustering_coeff,
+        "crawl_depth": webgraph.crawl_depth,
+        "random_walks": webgraph.random_walks,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -341,6 +343,8 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": webgraph.ADAMIC_ADAR_SQL,
         "k_core": webgraph.K_CORE_SQL,
         "clustering_coeff": webgraph.CLUSTERING_COEFF_SQL,
+        "crawl_depth": webgraph.CRAWL_DEPTH_SQL,
+        "random_walks": webgraph.RANDOM_WALKS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

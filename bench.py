@@ -193,6 +193,8 @@ QUERY_SET = [
     "adamic_adar",
     "k_core",
     "clustering_coeff",
+    "crawl_depth",
+    "random_walks",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

@@ -1906,6 +1906,279 @@ FROM deg d LEFT JOIN tri t USING (page_id)
 """
 
 
+_CRAWL_SEED_MOD = 17
+_CRAWL_MAX_DEPTH = 4
+
+
+def crawl_depth(sf_dir: str, max_depth: int = _CRAWL_MAX_DEPTH,
+                seed_mod: int = _CRAWL_SEED_MOD):
+    """Multi-source BFS hop distance over the DIRECTED link graph — the
+    crawl-frontier primitive (how many hops from the seed list does the
+    crawler need to reach each page). Seeds are doc_id % seed_mod == 0;
+    returns (page_id, depth) for every page reached within ``max_depth``
+    hops, depth = the minimum hop count.
+
+    Shape per level (100 TB bar): one partitioned hash semi-join
+    (edges ⋈ frontier on src), one distinct on the reached targets, one
+    anti-join against the visited set — all O(E)/O(V) hash-partitioned
+    rows, frontier and visited re-pinned per level (parquet spill at
+    scale via WWX_PIN_MODE); the driver sees only the O(1) per-level
+    frontier count used for the early exit. Frontier expansion with a
+    min-combine is exactly the iterative-semi-join primitive the
+    pagerank/LPA family doesn't cover. Fixed max_depth, so the unrolled
+    MATERIALIZED-CTE oracle agrees exactly; an empty frontier makes all
+    later levels identity, so the early break is sound."""
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        anti_join,
+        distinct,
+        hash_join,
+    )
+
+    edges = pin(_edge_list(sf_dir, _n_docs(sf_dir)), "crawl_edges")
+    e_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    key_schema = pa.schema([("page_id", pa.int64())])
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"page_id": pa.array(ids[ids % seed_mod == 0], type=pa.int64())}
+        )
+
+    seeds = pin(
+        _read_documents(sf_dir, ["doc_id"]).map_batches(
+            pick_seeds, batch_format="pyarrow"
+        ),
+        "crawl_seeds",
+    )
+
+    def with_depth(keys, d: int):
+        return keys.map_batches(
+            lambda t: pa.table(
+                {
+                    "page_id": t["page_id"],
+                    "depth": pa.array(
+                        np.full(t.num_rows, d, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    levels = [with_depth(seeds, 0)]
+    visited = [seeds]  # list of pinned key tables; union = the visited set
+    frontier = seeds
+    for t in range(1, max_depth + 1):
+        fr_src = frontier.map_batches(
+            lambda t: t.rename_columns(["src_page"]), batch_format="pyarrow"
+        )
+        reached = distinct(
+            hash_join(
+                edges, fr_src, on=["src_page"], num_parts=16,
+                left_schema=e_schema,
+                right_schema=pa.schema([("src_page", pa.int64())]),
+            ).map_batches(
+                lambda t: pa.table({"page_id": t["dst_page"]}),
+                batch_format="pyarrow",
+            ),
+            ["page_id"], num_parts=16,
+        )
+        seen = visited[0] if len(visited) == 1 else visited[0].union(*visited[1:])
+        new = pin(
+            anti_join(
+                reached, seen, left_key="page_id", right_key="page_id",
+                num_parts=16, left_schema=key_schema, right_schema=key_schema,
+            ),
+            f"crawl_f{t}",
+        )
+        if new.count() == 0:
+            break
+        levels.append(with_depth(new, t))
+        visited.append(new)
+        frontier = new
+
+    out = levels[0] if len(levels) == 1 else levels[0].union(*levels[1:])
+    return out
+
+
+def _crawl_depth_sql(max_depth: int = _CRAWL_MAX_DEPTH,
+                     seed_mod: int = _CRAWL_SEED_MOD) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        f"v0 AS MATERIALIZED (SELECT doc_id AS page_id,"
+        f" CAST(0 AS BIGINT) AS depth FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0)",
+        "f0 AS (SELECT page_id FROM v0)",
+    ]
+    for t in range(1, max_depth + 1):
+        parts.append(
+            f"f{t} AS MATERIALIZED (SELECT DISTINCT e.dst_page AS page_id"
+            f" FROM edges e JOIN f{t - 1} f ON f.page_id = e.src_page"
+            f" WHERE NOT EXISTS (SELECT 1 FROM v{t - 1} v"
+            f" WHERE v.page_id = e.dst_page))"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT page_id, depth FROM v{t - 1}"
+            f" UNION ALL SELECT page_id, CAST({t} AS BIGINT) FROM f{t})"
+        )
+    return ",\n".join(parts) + f"\nSELECT page_id, depth FROM v{max_depth}"
+
+
+CRAWL_DEPTH_SQL = _crawl_depth_sql()
+
+
+_WALK_STEPS = 4
+_WALK_START_MOD = 13
+# deterministic next-hop choice: idx = ((w*C1 + t*C2 + v*C3) % P) % out_deg
+_WALK_C1, _WALK_C2, _WALK_C3, _WALK_P = 1000003, 10007, 101, 1000000007
+
+
+def random_walks(sf_dir: str, steps: int = _WALK_STEPS,
+                 start_mod: int = _WALK_START_MOD):
+    """Deterministic graph random walks (the DeepWalk/node2vec sampling
+    primitive) over the directed link graph: one walk per page with
+    doc_id % start_mod == 0, ``steps`` hops; at node v on step t of walk
+    w, the next hop is out-neighbor number
+    ((w·C1 + t·C2 + v·C3) % P) % out_deg(v) of v's neighbors sorted by
+    id — a shared integer expression, so numpy and DuckDB agree
+    bit-for-bit and the result is block-structure-invariant. A walk that
+    reaches a dangling node (no out-links — the synthesized graph really
+    has them: any d with 6d ≡ −1 mod n has only self-links) just stops.
+    Returns (walk_id, step, node) including the step-0 starts.
+
+    Shape (100 TB bar): the indexed edge table (src, dst, idx-within-src,
+    out_deg) is built by one coarse-bucket shuffle + per-bucket lexsort
+    run resolution and pinned once; each step is ONE partitioned hash
+    join of the O(walks) position table against it plus a vectorized
+    filter — no per-row Python, positions re-pinned per step (parquet
+    spill at scale via WWX_PIN_MODE)."""
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, hash_join
+
+    edges = _edge_list(sf_dir, _n_docs(sf_dir))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _bucket_tbl(batch, ["src_page"], 16)
+        return batch.append_column("__part", pa.array(part, type=pa.int64()))
+
+    def index_runs(g: pa.Table) -> pa.Table:
+        s = g.column("src_page").to_numpy(zero_copy_only=False)
+        d = g.column("dst_page").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        change = np.ones(len(s), dtype=bool)
+        change[1:] = s[1:] != s[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, len(s)))
+        idx = np.arange(len(s)) - np.repeat(starts, counts)
+        deg = np.repeat(counts, counts)
+        return pa.table(
+            {
+                "cur": pa.array(s, type=pa.int64()),
+                "nxt": pa.array(d, type=pa.int64()),
+                "idx": pa.array(idx, type=pa.int64()),
+                "deg": pa.array(deg, type=pa.int64()),
+            }
+        )
+
+    ie = pin(
+        edges.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(index_runs, batch_format="pyarrow"),
+        "walk_indexed_edges",
+    )
+    ie_schema = pa.schema(
+        [("cur", pa.int64()), ("nxt", pa.int64()),
+         ("idx", pa.int64()), ("deg", pa.int64())]
+    )
+    pos_schema = pa.schema([("walk_id", pa.int64()), ("cur", pa.int64())])
+
+    def pick_starts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % start_mod == 0]
+        arr = pa.array(ids, type=pa.int64())
+        return pa.table({"walk_id": arr, "cur": arr})
+
+    pos = pin(
+        _read_documents(sf_dir, ["doc_id"]).map_batches(
+            pick_starts, batch_format="pyarrow"
+        ),
+        "walk_pos0",
+    )
+
+    def emit(p, step: int):
+        return p.map_batches(
+            lambda t: pa.table(
+                {
+                    "walk_id": t["walk_id"],
+                    "step": pa.array(
+                        np.full(t.num_rows, step, dtype=np.int64),
+                        type=pa.int64(),
+                    ),
+                    "node": t["cur"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = [emit(pos, 0)]
+    for t in range(1, steps + 1):
+        joined = hash_join(
+            pos, ie, on=["cur"], num_parts=16,
+            left_schema=pos_schema, right_schema=ie_schema,
+        )
+
+        def step_filter(b: pa.Table, _t=t) -> pa.Table:
+            w = b.column("walk_id").to_numpy(zero_copy_only=False)
+            v = b.column("cur").to_numpy(zero_copy_only=False)
+            idx = b.column("idx").to_numpy(zero_copy_only=False)
+            deg = b.column("deg").to_numpy(zero_copy_only=False)
+            want = ((w * _WALK_C1 + _t * _WALK_C2 + v * _WALK_C3)
+                    % _WALK_P) % deg
+            keep = idx == want
+            return pa.table(
+                {
+                    "walk_id": pa.array(w[keep], type=pa.int64()),
+                    "cur": b.column("nxt").filter(pa.array(keep)),
+                }
+            )
+
+        pos = pin(
+            joined.map_batches(step_filter, batch_format="pyarrow"),
+            f"walk_pos{t}",
+        )
+        if pos.count() == 0:
+            break
+        out.append(emit(pos, t))
+
+    return out[0] if len(out) == 1 else out[0].union(*out[1:])
+
+
+def _random_walks_sql(steps: int = _WALK_STEPS,
+                      start_mod: int = _WALK_START_MOD) -> str:
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        "ie AS MATERIALIZED (SELECT src_page, dst_page,"
+        " row_number() OVER (PARTITION BY src_page ORDER BY dst_page) - 1"
+        " AS idx, count(*) OVER (PARTITION BY src_page) AS deg FROM edges)",
+        f"w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents"
+        f" WHERE doc_id % {start_mod} = 0)",
+    ]
+    for t in range(1, steps + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT w.walk_id, e.dst_page AS node"
+            f" FROM w{t - 1} w JOIN ie e ON e.src_page = w.node"
+            f" AND e.idx = ((w.walk_id * {_WALK_C1} + {t} * {_WALK_C2}"
+            f" + w.node * {_WALK_C3}) % {_WALK_P}) % e.deg)"
+        )
+    selects = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(steps + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+RANDOM_WALKS_SQL = _random_walks_sql()
+
+
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
                       left_schema=None, right_schema=None, num_parts: int = 16,
                       extra_cols: list[str] | None = None):

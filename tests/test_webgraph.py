@@ -409,6 +409,8 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "adamic_adar",
         "k_core",
         "clustering_coeff",
+        "crawl_depth",
+        "random_walks",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
@@ -675,3 +677,66 @@ def test_clustering_coeff_zero_triangles(ray_session, corpus_dir):
     assert len(got) == N_DOCS
     assert (got["tri"] == 0).all() and (got["lcc_q"] == 0).all()
     assert (got["deg"] >= 3).all()
+
+
+# ---------------------------------------------------------------------------
+# crawl depth (multi-source BFS) + deterministic random walks (wave 19)
+# ---------------------------------------------------------------------------
+
+
+def _brute_adj(n) -> dict[int, list[int]]:
+    adj: dict[int, list[int]] = {}
+    for s, d in _brute_edges(n):
+        adj.setdefault(s, []).append(d)
+    return {v: sorted(t) for v, t in adj.items()}
+
+
+def test_crawl_depth_bruteforce(ray_session, corpus_dir):
+    n = N_DOCS
+    adj = _brute_adj(n)
+    seeds = [v for v in range(n) if v % webgraph._CRAWL_SEED_MOD == 0]
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for depth in range(1, webgraph._CRAWL_MAX_DEPTH + 1):
+        nxt = {d for s in frontier for d in adj.get(s, [])} - set(dist)
+        for v in nxt:
+            dist[v] = depth
+        frontier = nxt
+        if not nxt:
+            break
+    got = webgraph.crawl_depth(corpus_dir).to_pandas()
+    assert len(got) == len(dist)
+    for _, row in got.iterrows():
+        assert dist[row["page_id"]] == row["depth"], row["page_id"]
+    # the BFS really expands over multiple levels on this corpus
+    assert got["depth"].max() >= 2
+    assert (got["depth"] == 0).sum() == len(seeds)
+
+
+def test_random_walks_bruteforce_and_dangling_stop(ray_session, corpus53_dir):
+    n = 53
+    adj = _brute_adj(n)
+    # node 44 has 6*44 = 264 = -1 mod 53, so ALL its link targets are
+    # itself -> dangling after self-link removal
+    assert 44 not in adj
+    start_mod = 11  # starts 0,11,22,33,44 — one walk starts dangling
+    C1, C2, C3, P = (
+        webgraph._WALK_C1, webgraph._WALK_C2, webgraph._WALK_C3, webgraph._WALK_P,
+    )
+    want = set()
+    for w in range(0, n, start_mod):
+        cur = w
+        want.add((w, 0, w))
+        for t in range(1, webgraph._WALK_STEPS + 1):
+            outs = adj.get(cur, [])
+            if not outs:
+                break
+            cur = outs[((w * C1 + t * C2 + cur * C3) % P) % len(outs)]
+            want.add((w, t, cur))
+    got = webgraph.random_walks(corpus53_dir, start_mod=start_mod).to_pandas()
+    got_set = set(map(tuple, got[["walk_id", "step", "node"]].to_numpy().tolist()))
+    assert got_set == want
+    # the dangling walk stopped at step 0; at least one walk ran full length
+    per_walk = got.groupby("walk_id")["step"].max()
+    assert per_walk[44] == 0
+    assert (per_walk == webgraph._WALK_STEPS).any()
