@@ -1928,11 +1928,7 @@ def crawl_depth(sf_dir: str, max_depth: int = _CRAWL_MAX_DEPTH,
     pagerank/LPA family doesn't cover. Fixed max_depth, so the unrolled
     MATERIALIZED-CTE oracle agrees exactly; an empty frontier makes all
     later levels identity, so the early break is sound."""
-    from osmwaterwayextractor_ray.stages.fastagg import (
-        anti_join,
-        distinct,
-        hash_join,
-    )
+    from osmwaterwayextractor_ray.stages.fastagg import cogroup, hash_join
 
     edges = pin(_edge_list(sf_dir, _n_docs(sf_dir)), "crawl_edges")
     e_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
@@ -1971,24 +1967,32 @@ def crawl_depth(sf_dir: str, max_depth: int = _CRAWL_MAX_DEPTH,
         fr_src = frontier.map_batches(
             lambda t: t.rename_columns(["src_page"]), batch_format="pyarrow"
         )
-        reached = distinct(
-            hash_join(
-                edges, fr_src, on=["src_page"], num_parts=16,
-                left_schema=e_schema,
-                right_schema=pa.schema([("src_page", pa.int64())]),
-            ).map_batches(
-                lambda t: pa.table({"page_id": t["dst_page"]}),
-                batch_format="pyarrow",
-            ),
-            ["page_id"], num_parts=16,
+        reached = hash_join(
+            edges, fr_src, on=["src_page"], num_parts=16,
+            left_schema=e_schema,
+            right_schema=pa.schema([("src_page", pa.int64())]),
+        ).map_batches(
+            lambda t: pa.table({"page_id": t["dst_page"]}),
+            batch_format="pyarrow",
         )
         seen = visited[0] if len(visited) == 1 else visited[0].union(*visited[1:])
+        # fused distinct + anti-join: both hash-partition on page_id, so
+        # one cogroup resolves them (unique left keys minus right keys)
+        grouped, split = cogroup(
+            reached, seen, ["page_id"], num_parts=16,
+            left_schema=key_schema, right_schema=key_schema,
+        )
+
+        def minus(g: pa.Table) -> pa.Table:
+            lg, rg = split(g)
+            lk = np.unique(lg.column("page_id").to_numpy(zero_copy_only=False))
+            rk = rg.column("page_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"page_id": pa.array(lk[~np.isin(lk, rk)], type=pa.int64())}
+            )
+
         new = pin(
-            anti_join(
-                reached, seen, left_key="page_id", right_key="page_id",
-                num_parts=16, left_schema=key_schema, right_schema=key_schema,
-            ),
-            f"crawl_f{t}",
+            grouped.map_groups(minus, batch_format="pyarrow"), f"crawl_f{t}"
         )
         if new.count() == 0:
             break
