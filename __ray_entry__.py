@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": webtext.bm25_search,
         "phrase_search": webtext.phrase_search,
         "weighted_sample": webtext.weighted_sample,
+        "data_split": webtext.data_split,
+        "sentence_stats": webtext.sentence_stats,
+        "parse_quarantine": webtext.parse_quarantine,
         "lm_quality": webtext.lm_quality,
         "line_dedup": webtext.line_dedup,
         "host_quota": webtext.host_quota,
@@ -315,6 +318,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": webtext.BM25_SEARCH_SQL,
         "phrase_search": webtext.PHRASE_SEARCH_SQL,
         "weighted_sample": webtext.WEIGHTED_SAMPLE_SQL,
+        "data_split": webtext.DATA_SPLIT_SQL,
+        "sentence_stats": webtext.SENTENCE_STATS_SQL,
+        "parse_quarantine": webtext.PARSE_QUARANTINE_SQL,
         "lm_quality": webtext.LM_QUALITY_SQL,
         "line_dedup": webtext.LINE_DEDUP_SQL,
         "host_quota": webtext.HOST_QUOTA_SQL,

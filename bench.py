@@ -195,6 +195,9 @@ QUERY_SET = [
     "clustering_coeff",
     "crawl_depth",
     "random_walks",
+    "data_split",
+    "sentence_stats",
+    "parse_quarantine",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

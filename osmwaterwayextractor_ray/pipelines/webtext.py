@@ -1919,6 +1919,258 @@ WHERE n_words BETWEEN {_GF_MIN_WORDS} AND {_GF_MAX_WORDS}
 """
 
 
+# ---------------------------------------------------------------------------
+# train/val/test split, sentence segmentation, parse quarantine (wave 20)
+# ---------------------------------------------------------------------------
+
+# xxhash PRIME32_3 — decorrelated from the weighted_sample / temperature-mix
+# hash multipliers so the eval split is independent of those samples
+_SPLIT_MULT = 3266489917
+_SPLIT_COARSE = 24  # coarse bucket = h >> 24 (256 buckets per stratum)
+
+
+def data_split(sf_dir: str):
+    """Deterministic stratified train/val/test split — the universal
+    eval-holdout primitive: within every (lang, source) stratum, rank
+    docs by the total order (h, doc_id) with h = (doc_id·PRIME32_3) mod
+    2³², then the first n//10 are 'val', the next n//10 'test', the rest
+    'train'. EXACT per-stratum proportions (a plain hash threshold only
+    hits 10% in expectation), bit-reproducible, no RNG state.
+
+    The per-stratum rank is fully distributed (the perplexity_buckets
+    device): rows bucket by (lang, source, h >> {_SPLIT_COARSE}); the
+    driver sees only O(strata × occupied buckets) count integers to form
+    exclusive offsets; each bucket sorts locally and adds its offset.
+    Only skinny (doc_id, lang, source, h) rows ever shuffle."""
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = (ids * _SPLIT_MULT) % 4294967296
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "h": pa.array(h, type=pa.int64()),
+                "__b": pa.array(h >> _SPLIT_COARSE, type=pa.int64()),
+            }
+        )
+
+    rows = pin(
+        _read_documents(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+            keyed, batch_format="pyarrow", batch_size=65536
+        ),
+        "data_split_rows",
+    )
+
+    counts = grouped_agg(
+        rows.map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b["lang"],
+                    "source": b["source"],
+                    "__b": b["__b"],
+                    "one": pa.array(np.ones(len(b), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=65536,
+        ),
+        ["lang", "source", "__b"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    counts = counts.sort_values(["lang", "source", "__b"])
+    n_stratum = counts.groupby(["lang", "source"])["n"].sum().to_dict()
+    offs: dict[tuple[str, str, int], int] = {}
+    for (lang, src), grp in counts.groupby(["lang", "source"]):
+        c = grp["n"].to_numpy()
+        ex = np.cumsum(c) - c
+        for b, o in zip(grp["__b"].to_numpy(), ex):
+            offs[(lang, src, int(b))] = int(o)
+
+    def assign(g: pa.Table) -> pa.Table:
+        lang = g.column("lang")[0].as_py()
+        src = g.column("source")[0].as_py()
+        b = int(g.column("__b")[0].as_py())
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        rn = offs[(lang, src, b)] + np.arange(len(ids), dtype=np.int64)
+        n = n_stratum[(lang, src)]
+        tenth = n // 10
+        labels = np.where(
+            rn < tenth, "val", np.where(rn < 2 * tenth, "test", "train")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], type=pa.int64()),
+                "lang": pa.array(np.full(len(ids), lang, dtype=object)),
+                "source": pa.array(np.full(len(ids), src, dtype=object)),
+                "split": pa.array(labels.astype(object)),
+            }
+        )
+
+    return rows.groupby(["lang", "source", "__b"]).map_groups(
+        assign, batch_format="pyarrow"
+    )
+
+
+DATA_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+         (doc_id * {_SPLIT_MULT}) % 4294967296 AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY lang, source) AS n
+  FROM h
+)
+SELECT doc_id, lang, source,
+       CASE WHEN rn < n // 10 THEN 'val'
+            WHEN rn < 2 * (n // 10) THEN 'test'
+            ELSE 'train' END AS split
+FROM r
+"""
+
+
+_SENT_RE = re.compile(r"[.!?]+")
+_SENT_STRIP = " \t\n\r"
+
+
+def sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation stats (the CCNet/quality-filter
+    preprocessing step): split on runs of sentence-ending punctuation
+    ([.!?]+), trim each segment, and report the count of non-empty
+    sentences plus total/max trimmed sentence length — all exact
+    integers, with the segmentation semantics shared verbatim with the
+    DuckDB twin (regexp_split_to_array + the same trim set). Stateless
+    compiled-regex map_batches, no shuffle."""
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_sent, total, mx = [], [], []
+        for t in texts:
+            segs = [s.strip(_SENT_STRIP) for s in _SENT_RE.split(t or "")]
+            lens = [len(s) for s in segs if s]
+            n_sent.append(len(lens))
+            total.append(sum(lens))
+            mx.append(max(lens) if lens else 0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_sentences": pa.array(n_sent, type=pa.int64()),
+                "total_sent_chars": pa.array(total, type=pa.int64()),
+                "max_sent_chars": pa.array(mx, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=4096)
+
+
+SENTENCE_STATS_SQL = r"""
+WITH segs AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_split_to_array(COALESCE(text, ''), '[.!?]+'),
+           s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))
+         ) AS parts
+  FROM documents
+),
+kept AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(parts, s -> length(s) > 0), s -> length(s)
+         ) AS lens
+  FROM segs
+)
+SELECT doc_id,
+       CAST(len(lens) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(lens), 0) AS BIGINT) AS total_sent_chars,
+       CAST(COALESCE(list_max(lens), 0) AS BIGINT) AS max_sent_chars
+FROM kept
+"""
+
+
+_PQ_RE = re.compile(r"views=([0-9a-z/]+)")
+
+
+def _plant_meta(ids: np.ndarray) -> list[str]:
+    """Deterministic semi-structured metadata plant (the PII-plant
+    device): most docs carry a well-formed views counter, doc_id % 7 == 3
+    carries a non-numeric value, doc_id % 11 == 5 omits the field."""
+    out = []
+    for d in ids.tolist():
+        if d % 11 == 5:
+            out.append("src=web")
+        elif d % 7 == 3:
+            out.append("src=web;views=n/a")
+        else:
+            out.append(f"src=web;views={(d * 37) % 100000}")
+    return out
+
+
+def parse_quarantine(sf_dir: str):
+    """Typed field extraction with a dead-letter quarantine path — the
+    ingestion pattern every production pipeline needs: parse a
+    semi-structured metadata string, route rows whose field is missing
+    ('missing') or non-numeric ('bad_value') to quarantine with a reason
+    code instead of crashing or silently dropping, views = -1 sentinel
+    for both (keeps the schema non-null for exact hash comparison).
+    Stateless compiled-regex map_batches; the oracle reproduces the
+    plant arithmetically and parses with regexp_extract + TRY_CAST."""
+    ds = _read_documents(sf_dir, ["doc_id"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        metas = _plant_meta(ids)
+        status, views = [], []
+        for m in metas:
+            hit = _PQ_RE.search(m)
+            if hit is None:
+                status.append("missing")
+                views.append(-1)
+            elif hit.group(1).isdigit():
+                status.append("ok")
+                views.append(int(hit.group(1)))
+            else:
+                status.append("bad_value")
+                views.append(-1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "status": pa.array(status, type=pa.string()),
+                "views": pa.array(views, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=65536)
+
+
+PARSE_QUARANTINE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN 'src=web'
+              WHEN doc_id % 7 = 3 THEN 'src=web;views=n/a'
+              ELSE 'src=web;views=' || CAST((doc_id * 37) % 100000 AS VARCHAR)
+         END AS meta
+  FROM documents
+),
+p AS (SELECT doc_id, regexp_extract(meta, 'views=([0-9a-z/]+)', 1) AS v FROM m)
+SELECT doc_id,
+       CASE WHEN v = '' THEN 'missing'
+            WHEN TRY_CAST(v AS BIGINT) IS NULL THEN 'bad_value'
+            ELSE 'ok' END AS status,
+       COALESCE(TRY_CAST(v AS BIGINT), -1) AS views
+FROM p
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

@@ -396,7 +396,7 @@ def test_phrase_search_block_invariance(ray_session, phrase_dir, monkeypatch):
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
      "dsir_weights", "source_temperature_mix", "gopher_filter",
      "dedup_spans", "perplexity_buckets", "source_epochs",
-     "normalize_text"],
+     "normalize_text", "data_split", "sentence_stats", "parse_quarantine"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -684,3 +684,121 @@ def test_source_epochs_copy_counts(ray_session, corpus_dir):
     # epoch_idx is a clean 0..copies-1 sequence per doc
     for did, g in got.groupby("doc_id"):
         assert sorted(g["epoch_idx"]) == list(range(len(g)))
+
+
+# ---------------------------------------------------------------------------
+# data_split / sentence_stats / parse_quarantine (wave 20)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def strata_dir(tmp_path_factory):
+    # 2 langs x 2 sources with deliberately uneven stratum sizes
+    # (37 / 23 / 11 / 9) so the exact n//10 allocations differ per stratum
+    rows = []
+    sizes = {("en", "web"): 37, ("en", "books"): 23, ("de", "web"): 11,
+             ("de", "books"): 9}
+    i = 0
+    for (lang, src), n in sizes.items():
+        for _ in range(n):
+            rows.append((i, f"text {i}", lang, src))
+            i += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    d = tmp_path_factory.mktemp("webtext_strata")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d), sizes
+
+
+def test_data_split_bruteforce(ray_session, strata_dir):
+    d, sizes = strata_dir
+    got = webtext.data_split(d).to_pandas()
+    assert len(got) == sum(sizes.values())
+    # pandas reference: rank by (h, doc_id) within each stratum
+    df = pd.read_parquet(f"{d}/documents.parquet")
+    df["h"] = (df["doc_id"].to_numpy() * webtext._SPLIT_MULT) % 4294967296
+    df = df.sort_values(["lang", "source", "h", "doc_id"])
+    df["rn"] = df.groupby(["lang", "source"]).cumcount()
+    want = {}
+    for _, r in df.iterrows():
+        n = sizes[(r["lang"], r["source"])]
+        tenth = n // 10
+        want[r["doc_id"]] = (
+            "val" if r["rn"] < tenth else ("test" if r["rn"] < 2 * tenth else "train")
+        )
+    for _, row in got.iterrows():
+        assert want[row["doc_id"]] == row["split"], row["doc_id"]
+    # exact per-stratum proportions, not just in expectation
+    cnt = got.groupby(["lang", "source", "split"]).size()
+    for (lang, src), n in sizes.items():
+        assert cnt.get((lang, src, "val"), 0) == n // 10
+        assert cnt.get((lang, src, "test"), 0) == n // 10
+        assert cnt.get((lang, src, "train"), 0) == n - 2 * (n // 10)
+
+
+SENTENCE_EDGE_CASES = [
+    "",  # empty
+    "!!!",  # punctuation only -> 0 sentences
+    "no terminator at all",  # 1 sentence (the whole text)
+    "One. Two! Three?",  # plain 3
+    "a.b",  # terminator mid-token splits: 'a' + 'b'
+    "Hi...   spaced out ?!  ",  # runs collapse; trailing empty segment
+    "tabs\tand\nnewlines. \t\n second.",  # trim set beyond plain space
+    "café rules. ok",  # non-ASCII char counts as ONE char both sides
+    ". leading",  # leading empty segment
+]
+
+
+def test_sentence_stats_edge_cases_vs_duckdb(ray_session, tmp_path_factory):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("webtext_sentences")
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(SENTENCE_EDGE_CASES), dtype=np.int64),
+            "text": SENTENCE_EDGE_CASES,
+        }
+    )
+    df["lang"] = "en"
+    df["source"] = "s0"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(d / "documents.parquet", index=False)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(webtext.SENTENCE_STATS_SQL).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    got = (
+        webtext.sentence_stats(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want[got.columns].astype("int64")
+    )
+    # hand-pinned expectations for the load-bearing rows
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "n_sentences"] == 0  # empty
+    assert by_id.loc[1, "n_sentences"] == 0  # "!!!"
+    assert by_id.loc[2, "n_sentences"] == 1  # no terminator
+    assert by_id.loc[3, "n_sentences"] == 3
+    assert by_id.loc[4, "n_sentences"] == 2  # "a.b"
+    assert by_id.loc[7, "max_sent_chars"] == len("café rules")
+
+
+def test_parse_quarantine_statuses(ray_session, corpus_dir):
+    got = webtext.parse_quarantine(corpus_dir).to_pandas()
+    for _, row in got.iterrows():
+        d = row["doc_id"]
+        if d % 11 == 5:
+            assert (row["status"], row["views"]) == ("missing", -1), d
+        elif d % 7 == 3:
+            assert (row["status"], row["views"]) == ("bad_value", -1), d
+        else:
+            assert (row["status"], row["views"]) == ("ok", (d * 37) % 100000), d
+    # every path of the dead-letter routing fires on this corpus
+    assert set(got["status"]) == {"ok", "bad_value", "missing"}
