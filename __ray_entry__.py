@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waterway_tiles": _tiles,
         # --- training-data text ops ---
         "dedup_exact": textops.dedup_exact,
+        "corpus_datasheet": textops.corpus_datasheet,
         "incremental_dedup": textops.incremental_dedup,
         "doc_quality": textops.doc_quality,
         "lang_doc_stats": textops.lang_doc_stats,
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_pages, CAST(0 AS BIGINT) AS n_mismatches FROM documents"
         ),
         "dedup_exact": textops.DEDUP_EXACT_SQL,
+        "corpus_datasheet": textops.CORPUS_DATASHEET_SQL,
         "incremental_dedup": textops.INCREMENTAL_DEDUP_SQL,
         "ngram_jaccard_neardup": textops.NGRAM_JACCARD_SQL,
         "tfidf_cosine_neardup": textops.TFIDF_COSINE_SQL,

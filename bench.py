@@ -198,6 +198,7 @@ QUERY_SET = [
     "data_split",
     "sentence_stats",
     "parse_quarantine",
+    "corpus_datasheet",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

@@ -1873,3 +1873,102 @@ FROM g JOIN bench USING (gram)
 WHERE g.doc_id % {_CONTAM_MOD} <> 0
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet (wave 21)
+# ---------------------------------------------------------------------------
+
+
+def corpus_datasheet(sf_dir: str):
+    """One-row corpus dataset card ("Datasheets for Datasets", Gebru et
+    al. 2021) — the summary every training-data release ships: doc and
+    empty-doc counts, char/token totals and max, exact distinct-text
+    count (xxh64 content hash standing in for text equality, the
+    dedup_exact convention) and lang/source cardinalities. All exact
+    int64.
+
+    Scale shape (100 TB bar): ONE text scan computes the skinny per-doc
+    row (hash, token count, flags), pinned; the scalar reductions are
+    per-block single-row partials (the driver sees O(blocks) rows) and
+    the three distinct counts run over the pinned skinny table — the
+    only O(docs) shuffle ships 8-byte hashes."""
+    from osmwaterwayextractor_ray.stages.fastagg import distinct
+
+    ds = _read_documents(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        h = text_hash64(texts).view(np.int64)
+        nt = token_counts(texts)
+        empty = np.fromiter(
+            (1 if t == "" else 0 for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "h": pa.array(h, type=pa.int64()),
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "n_chars": batch["n_chars"],
+                "n_tokens": pa.array(nt, type=pa.int64()),
+                "is_empty": pa.array(empty, type=pa.int64()),
+            }
+        )
+
+    rows = pin(
+        ds.map_batches(skinny, batch_format="pyarrow", batch_size=8192),
+        "datasheet_rows",
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        em = batch.column("is_empty").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(nc)], type=pa.int64()),
+                "n_empty": pa.array([int(em.sum())], type=pa.int64()),
+                "sum_chars": pa.array([int(nc.sum())], type=pa.int64()),
+                "max_chars": pa.array([int(nc.max()) if len(nc) else 0], type=pa.int64()),
+                "sum_tokens": pa.array([int(nt.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = rows.map_batches(part, batch_format="pyarrow", batch_size=65536).take_all()
+    n_distinct = distinct(rows, ["h"], num_parts=16).count()
+    n_langs = distinct(rows, ["lang"], num_parts=4).count()
+    n_sources = distinct(rows, ["source"], num_parts=4).count()
+
+    return pa.table(
+        {
+            "n_docs": pa.array([sum(p["n"] for p in parts)], type=pa.int64()),
+            "n_empty": pa.array([sum(p["n_empty"] for p in parts)], type=pa.int64()),
+            "total_chars": pa.array(
+                [sum(p["sum_chars"] for p in parts)], type=pa.int64()
+            ),
+            "max_chars": pa.array(
+                [max((p["max_chars"] for p in parts), default=0)], type=pa.int64()
+            ),
+            "total_tokens": pa.array(
+                [sum(p["sum_tokens"] for p in parts)], type=pa.int64()
+            ),
+            "n_distinct_texts": pa.array([n_distinct], type=pa.int64()),
+            "n_langs": pa.array([n_langs], type=pa.int64()),
+            "n_sources": pa.array([n_sources], type=pa.int64()),
+        }
+    )
+
+
+CORPUS_DATASHEET_SQL = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(len(list_filter(string_split_regex(COALESCE(text, ''),
+            '[ \t\n\r\f\v]+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_distinct_texts,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+"""

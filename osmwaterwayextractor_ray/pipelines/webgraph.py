@@ -1736,9 +1736,18 @@ def k_core(sf_dir: str, k: int = _KCORE_K, iters: int = _KCORE_ITERS):
             break  # converged: every later round is the identity
         n_prev = n_act
         if n_act == 0:
-            # empty core; skip the join plumbing (result is empty either way)
-            edges = edges.limit(0)
-            break
+            # empty core: return a TYPED empty table (a zero-block lazy
+            # dataset would lose the schema the oracle compare needs)
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "page_id": pa.array([], type=pa.int64()),
+                        "deg": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
         e1 = hash_join(
             edges, act, on=["a"], num_parts=16,
             left_schema=e_schema, right_schema=act_schema,

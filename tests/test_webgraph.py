@@ -740,3 +740,12 @@ def test_random_walks_bruteforce_and_dangling_stop(ray_session, corpus53_dir):
     per_walk = got.groupby("walk_id")["step"].max()
     assert per_walk[44] == 0
     assert (per_walk == webgraph._WALK_STEPS).any()
+
+
+def test_k_core_empty_core(ray_session, corpus_dir, zero_link_dir):
+    # k above the max degree -> typed empty result, not a schema-less one
+    # (ray's to_pandas() drops columns on any empty dataset, so the typed
+    # contract is pinned via .schema())
+    for ds in (webgraph.k_core(corpus_dir, k=100), webgraph.k_core(zero_link_dir)):
+        assert ds.count() == 0
+        assert ds.schema().names == ["page_id", "deg"]

@@ -802,3 +802,45 @@ def test_parse_quarantine_statuses(ray_session, corpus_dir):
             assert (row["status"], row["views"]) == ("ok", (d * 37) % 100000), d
     # every path of the dead-letter routing fires on this corpus
     assert set(got["status"]) == {"ok", "bad_value", "missing"}
+
+
+def test_corpus_datasheet_adversarial(ray_session, tmp_path_factory):
+    # nulls, empties, exact dups, multiple langs/sources — the cases the
+    # sf corpora don't exercise
+    from osmwaterwayextractor_ray.pipelines import textops
+
+    texts = [None, "", "dup text", "dup text", "a b  c", "one.two", "x"]
+    langs = ["en", "en", "de", "de", "en", "fr", "en"]
+    srcs = ["s0", "s1", "s0", "s0", "s1", "s2", "s0"]
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": srcs,
+        }
+    )
+    df["n_chars"] = df["text"].fillna("").str.len().astype(np.int64)
+    d = tmp_path_factory.mktemp("webtext_datasheet")
+    df.to_parquet(d / "documents.parquet", index=False)
+
+    got = textops.corpus_datasheet(str(d)).to_pandas().iloc[0]
+    assert got["n_docs"] == 7
+    assert got["n_empty"] == 2  # None and "" both count
+    assert got["total_chars"] == sum(len(t or "") for t in texts)
+    assert got["max_chars"] == len("dup text")
+    # whitespace tokens: dup(2)+dup(2)+abc(3)+one.two(1)+x(1)
+    assert got["total_tokens"] == 9
+    assert got["n_distinct_texts"] == 5  # None=="" collapse, dups collapse
+    assert got["n_langs"] == 3 and got["n_sources"] == 3
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(textops.CORPUS_DATASHEET_SQL).df().iloc[0]
+    con.close()
+    for c in got.index:
+        assert int(got[c]) == int(want[c]), c
