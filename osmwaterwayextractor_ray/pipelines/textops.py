@@ -1678,12 +1678,14 @@ def neardup_triangles(sf_dir: str, threshold: float = 0.5):
     )
 
     def close_count(g: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.stages.fastagg import pack_ids32
+
         lg, rg = split(g)
-        wb = lg.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        wc = lg.column("id_c").to_numpy(zero_copy_only=False).astype(np.uint64)
-        eb = rg.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ec = rg.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        closed = np.isin(wb << np.uint64(32) | wc, eb << np.uint64(32) | ec)
+        wb = lg.column("id_b").to_numpy(zero_copy_only=False)
+        wc = lg.column("id_c").to_numpy(zero_copy_only=False)
+        eb = rg.column("id_a").to_numpy(zero_copy_only=False)
+        ec = rg.column("id_b").to_numpy(zero_copy_only=False)
+        closed = np.isin(pack_ids32(wb, wc), pack_ids32(eb, ec))
         return pa.table(
             {
                 "k": pa.array([0], type=pa.int64()),
@@ -1889,10 +1891,10 @@ def corpus_datasheet(sf_dir: str):
     int64.
 
     Scale shape (100 TB bar): ONE text scan computes the skinny per-doc
-    row (hash, token count, flags), pinned; the scalar reductions are
-    per-block single-row partials (the driver sees O(blocks) rows) and
-    the three distinct counts run over the pinned skinny table — the
-    only O(docs) shuffle ships 8-byte hashes."""
+    row (hash, token count, flags), pinned; the scalar reductions AND the
+    tiny lang/source cardinalities ride one per-block partial pass (the
+    driver sees O(blocks × cardinality) rows); only the distinct-text
+    count shuffles, and it ships 8-byte hashes."""
     from osmwaterwayextractor_ray.stages.fastagg import distinct
 
     ds = _read_documents(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"])
@@ -1924,6 +1926,10 @@ def corpus_datasheet(sf_dir: str):
         nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
         nt = batch.column("n_tokens").to_numpy(zero_copy_only=False)
         em = batch.column("is_empty").to_numpy(zero_copy_only=False)
+        # per-block distinct lang/source sets ride the same partial; NULLs
+        # are excluded to match SQL count(DISTINCT col) semantics
+        langs = sorted({v for v in batch.column("lang").to_pylist() if v is not None})
+        srcs = sorted({v for v in batch.column("source").to_pylist() if v is not None})
         return pa.table(
             {
                 "n": pa.array([len(nc)], type=pa.int64()),
@@ -1931,13 +1937,15 @@ def corpus_datasheet(sf_dir: str):
                 "sum_chars": pa.array([int(nc.sum())], type=pa.int64()),
                 "max_chars": pa.array([int(nc.max()) if len(nc) else 0], type=pa.int64()),
                 "sum_tokens": pa.array([int(nt.sum())], type=pa.int64()),
+                "langs": pa.array([langs], type=pa.list_(pa.string())),
+                "sources": pa.array([srcs], type=pa.list_(pa.string())),
             }
         )
 
     parts = rows.map_batches(part, batch_format="pyarrow", batch_size=65536).take_all()
     n_distinct = distinct(rows, ["h"], num_parts=16).count()
-    n_langs = distinct(rows, ["lang"], num_parts=4).count()
-    n_sources = distinct(rows, ["source"], num_parts=4).count()
+    n_langs = len({v for p in parts for v in p["langs"]})
+    n_sources = len({v for p in parts for v in p["sources"]})
 
     return pa.table(
         {
@@ -1961,12 +1969,12 @@ def corpus_datasheet(sf_dir: str):
 
 CORPUS_DATASHEET_SQL = r"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_empty,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(max(n_chars) AS BIGINT) AS max_chars,
-       CAST(sum(len(list_filter(string_split_regex(COALESCE(text, ''),
-            '[ \t\n\r\f\v]+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(COALESCE(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0
+            END), 0) AS BIGINT) AS n_empty,
+       CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS total_chars,
+       CAST(COALESCE(max(n_chars), 0) AS BIGINT) AS max_chars,
+       CAST(COALESCE(sum(len(list_filter(string_split_regex(COALESCE(text, ''),
+            '[ \t\n\r\f\v]+'), x -> x <> ''))), 0) AS BIGINT) AS total_tokens,
        CAST(count(DISTINCT COALESCE(text, '')) AS BIGINT) AS n_distinct_texts,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources

@@ -1844,15 +1844,15 @@ def clustering_coeff(sf_dir: str):
     )
 
     def close_per_center(g: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.stages.fastagg import pack_ids32
+
         lg, rg = split(g)
-        wx = lg.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
-        wz = lg.column("z").to_numpy(zero_copy_only=False).astype(np.uint64)
+        wx = lg.column("x").to_numpy(zero_copy_only=False)
+        wz = lg.column("z").to_numpy(zero_copy_only=False)
         wv = lg.column("v").to_numpy(zero_copy_only=False)
-        ea = rg.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        eb = rg.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        closed = np.isin(
-            wx << np.uint64(32) | wz, ea << np.uint64(32) | eb
-        )
+        ea = rg.column("a").to_numpy(zero_copy_only=False)
+        eb = rg.column("b").to_numpy(zero_copy_only=False)
+        closed = np.isin(pack_ids32(wx, wz), pack_ids32(ea, eb))
         centers, counts = np.unique(wv[closed], return_counts=True)
         return pa.table(
             {

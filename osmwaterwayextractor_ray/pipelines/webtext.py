@@ -1938,20 +1938,25 @@ def data_split(sf_dir: str):
     hits 10% in expectation), bit-reproducible, no RNG state.
 
     The per-stratum rank is fully distributed (the perplexity_buckets
-    device): rows bucket by (lang, source, h >> {_SPLIT_COARSE}); the
+    device): rows bucket by (lang, source, h >> _SPLIT_COARSE = 24); the
     driver sees only O(strata × occupied buckets) count integers to form
     exclusive offsets; each bucket sorts locally and adds its offset.
-    Only skinny (doc_id, lang, source, h) rows ever shuffle."""
+    Only skinny (doc_id, lang, source, h) rows ever shuffle. NULL lang or
+    source coalesces to '' on BOTH sides (grouped_agg drops null keys, and
+    merging NULL with '' is the documented stratum semantics)."""
+    import pyarrow.compute as pc
+
     from osmwaterwayextractor_ray.stages.pin import pin
 
     def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         h = (ids * _SPLIT_MULT) % 4294967296
+        empty = pa.scalar("", type=pa.string())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "lang": batch["lang"],
-                "source": batch["source"],
+                "lang": pc.coalesce(batch["lang"], empty),
+                "source": pc.coalesce(batch["source"], empty),
                 "h": pa.array(h, type=pa.int64()),
                 "__b": pa.array(h >> _SPLIT_COARSE, type=pa.int64()),
             }
@@ -2019,7 +2024,7 @@ def data_split(sf_dir: str):
 
 DATA_SPLIT_SQL = f"""
 WITH h AS (
-  SELECT doc_id, lang, source,
+  SELECT doc_id, COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
          (doc_id * {_SPLIT_MULT}) % 4294967296 AS h
   FROM documents
 ),

@@ -220,6 +220,20 @@ def _bucketed_pairs_impl(
     return tagged.groupby("__part").map_groups(kernel, batch_format="pyarrow")
 
 
+def pack_ids32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two id arrays into one uint64 key (a << 32 | b) for np.isin
+    membership tests. FAIL-LOUD if any id needs more than 32 bits — a
+    silent wrap would corrupt the membership result (e.g. wedge (2^32, 5)
+    would alias edge (0, 5))."""
+    a = a.astype(np.uint64)
+    b = b.astype(np.uint64)
+    if len(a) and int(a.max()) >> 32:
+        raise ValueError("pack_ids32: id exceeds 32 bits; widen the key")
+    if len(b) and int(b.max()) >> 32:
+        raise ValueError("pack_ids32: id exceeds 32 bits; widen the key")
+    return a << np.uint64(32) | b
+
+
 def bucketed_pairs(
     ds,
     group_keys: list[str],

@@ -844,3 +844,68 @@ def test_corpus_datasheet_adversarial(ray_session, tmp_path_factory):
     con.close()
     for c in got.index:
         assert int(got[c]) == int(want[c]), c
+
+
+def test_corpus_datasheet_empty_corpus(ray_session, tmp_path_factory):
+    # DuckDB sum()/max() over zero rows return NULL — the twin COALESCEs
+    from osmwaterwayextractor_ray.pipelines import textops
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("webtext_datasheet_empty")
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "text": pa.array([], type=pa.string()),
+            "lang": pa.array([], type=pa.string()),
+            "source": pa.array([], type=pa.string()),
+            "n_chars": pa.array([], type=pa.int64()),
+        }
+    )
+    pq.write_table(empty, d / "documents.parquet")
+    got = textops.corpus_datasheet(str(d)).to_pandas().iloc[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = con.execute(textops.CORPUS_DATASHEET_SQL).df().iloc[0]
+    con.close()
+    for c in got.index:
+        assert int(got[c]) == int(want[c]) == 0 or c == "n_docs", c
+    assert int(got["n_docs"]) == 0
+
+
+def test_data_split_null_strata(ray_session, tmp_path_factory):
+    # NULL lang/source coalesce to '' on both sides (regression: the
+    # null-key drop in grouped_agg crashed assign with a KeyError)
+    import duckdb
+
+    d = tmp_path_factory.mktemp("webtext_split_nulls")
+    n = 30
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["t"] * n,
+            "lang": [None if i % 3 == 0 else "en" for i in range(n)],
+            "source": [None if i % 5 == 0 else "web" for i in range(n)],
+        }
+    )
+    df["n_chars"] = np.int64(1)
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        webtext.data_split(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(got) == n
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(webtext.DATA_SPLIT_SQL).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want[got.columns])
