@@ -17,7 +17,11 @@ def _canon(res) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "qname",
     ["minhash_neardup", "simhash_neardup", "curate_corpus", "neardup_triangles",
-     "embed_neardup"],
+     "embed_neardup",
+     # the per-iteration-re-pin graph family (waves 18-19): parquet mode is
+     # their between-iteration checkpoint story at 100 TB
+     "k_core", "crawl_depth", "random_walks", "clustering_coeff",
+     "corpus_datasheet"],
 )
 def test_pin_mode_invariance(qname, monkeypatch, tmp_path):
     import __ray_entry__ as em
