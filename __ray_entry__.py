@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": webgraph.clustering_coeff,
         "crawl_depth": webgraph.crawl_depth,
         "random_walks": webgraph.random_walks,
+        "rank_agreement": webgraph.rank_agreement,
+        "host_keywords": webtext.host_keywords,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -353,6 +355,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": webgraph.CLUSTERING_COEFF_SQL,
         "crawl_depth": webgraph.CRAWL_DEPTH_SQL,
         "random_walks": webgraph.RANDOM_WALKS_SQL,
+        "rank_agreement": webgraph.RANK_AGREEMENT_SQL,
+        "host_keywords": webtext.HOST_KEYWORDS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -199,6 +199,8 @@ QUERY_SET = [
     "sentence_stats",
     "parse_quarantine",
     "corpus_datasheet",
+    "rank_agreement",
+    "host_keywords",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

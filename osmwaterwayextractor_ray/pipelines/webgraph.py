@@ -2192,6 +2192,106 @@ def _random_walks_sql(steps: int = _WALK_STEPS,
 RANDOM_WALKS_SQL = _random_walks_sql()
 
 
+_RA_K = 20
+
+
+def _driver_topk(ds, score_col: str, k: int):
+    """Exact distributed top-k by (score desc, page_id asc): per-block
+    partial top-k rows (sound — page ids are unique), O(blocks × k) rows
+    to the driver, final merge there. Returns [(page_id, score), ...]."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        sc = t.column(score_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                "page_id": pa.array(ids[order], type=pa.int64()),
+                "s": pa.array(sc[order], type=pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: (-r["s"], r["page_id"]))
+    return rows[:k]
+
+
+def rank_agreement(sf_dir: str, k: int = _RA_K):
+    """Ranking-agreement audit between the two link-authority scores —
+    the eval-metric composition every ranking pipeline needs (did the
+    cheap score order the same pages as the expensive one?). Takes the
+    exact top-k of PageRank and of HITS authority (ties broken by
+    page_id — both totals), and reports: overlap size, and Kendall
+    concordant/discordant pair counts over the SHARED pages' positions
+    in the two top-k lists. One row, all exact int64.
+
+    Scale shape: both rankings stay distributed; only per-block partial
+    top-k rows (O(blocks × k)) reach the driver, and the O(k²) pair
+    count runs on ≤ k rows there. SQL twin composes both unrolled-CTE
+    programs as materialized subqueries."""
+    pr_top = _driver_topk(
+        pagerank(sf_dir).map_batches(
+            lambda t: t.select(["page_id", "pr"]), batch_format="pyarrow"
+        ),
+        "pr", k,
+    )
+    ht_top = _driver_topk(
+        hits_scores(sf_dir).map_batches(
+            lambda t: t.select(["page_id", "auth"]), batch_format="pyarrow"
+        ),
+        "auth", k,
+    )
+    rp = {r["page_id"]: i + 1 for i, r in enumerate(pr_top)}
+    rh = {r["page_id"]: i + 1 for i, r in enumerate(ht_top)}
+    common = sorted(set(rp) & set(rh))
+    conc = disc = 0
+    for i in range(len(common)):
+        for j in range(i + 1, len(common)):
+            s = (rp[common[i]] - rp[common[j]]) * (rh[common[i]] - rh[common[j]])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "n_overlap": pa.array([len(common)], type=pa.int64()),
+            "n_concordant": pa.array([conc], type=pa.int64()),
+            "n_discordant": pa.array([disc], type=pa.int64()),
+        }
+    )
+
+
+def _rank_agreement_sql(k: int = _RA_K) -> str:
+    return f"""
+WITH pr AS MATERIALIZED (SELECT * FROM ({PAGERANK_SQL})),
+ht AS MATERIALIZED (SELECT * FROM ({HITS_SQL})),
+topp AS (
+  SELECT page_id, row_number() OVER (ORDER BY pr DESC, page_id) AS rp
+  FROM pr QUALIFY rp <= {k}
+),
+toph AS (
+  SELECT page_id, row_number() OVER (ORDER BY auth DESC, page_id) AS rh
+  FROM ht QUALIFY rh <= {k}
+),
+shared AS (SELECT page_id, rp, rh FROM topp JOIN toph USING (page_id)),
+pairs AS (
+  SELECT (a.rp - b.rp) * (a.rh - b.rh) AS s
+  FROM shared a JOIN shared b ON a.page_id < b.page_id
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST((SELECT count(*) FROM shared) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_concordant,
+       CAST(COALESCE(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_discordant
+FROM pairs
+"""
+
+
+RANK_AGREEMENT_SQL = _rank_agreement_sql()
+
+
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
                       left_schema=None, right_schema=None, num_parts: int = 16,
                       extra_cols: list[str] | None = None):

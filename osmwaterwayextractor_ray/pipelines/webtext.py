@@ -2176,6 +2176,194 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# per-source TF-IDF keywords (wave 22)
+# ---------------------------------------------------------------------------
+
+_KW_K = 5
+_KW_Q = 10**6
+
+
+def host_keywords(sf_dir: str, k: int = _KW_K):
+    """Per-source top-k TF-IDF keywords — the corpus-slice summarization
+    primitive (what characterizes each crawl source). Scores are exact
+    int64: score = tf(source, tok) · idf_q(tok) with
+    idf_q = floor(ln(N / df) · 1e6) — N/df as float64 division + libm ln,
+    the shared-float-expression device (token_pmi precedent), so numpy
+    and DuckDB agree bit-for-bit. Ties break by token (UTF-8 order, where
+    Python and DuckDB binary collation agree). Returns
+    (source, tok, tf, idf_q, score, rank), rank 1..k per source.
+
+    Scale shape (100 TB bar): per-batch Counter partials compress to
+    distinct (source, tok) / per-doc-distinct df rows before ONE
+    grouped-sum shuffle; the O(vocab) df side attaches by partitioned
+    lookup; per-block partial top-k per source (sound: each (source, tok)
+    row is unique after the join) cuts the final per-source shuffle to
+    O(blocks · k · sources) rows. The driver sees one O(1) count."""
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        _bucket_tbl,
+        grouped_agg,
+        lookup_join,
+    )
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    docs = _read_documents(sf_dir, ["doc_id", "text", "source"])
+    n_docs = _read_documents(sf_dir, ["doc_id"]).count()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        tf: Counter = Counter()
+        df: Counter = Counter()
+        srcs = batch.column("source").to_pylist()
+        for src, text in zip(srcs, batch.column("text").to_pylist()):
+            toks = tokenize(text or "")
+            for t in toks:
+                tf[(src, t)] += 1
+            df.update(set(toks))
+        ks, kt, kc, kk = [], [], [], []
+        for (s, t), c in tf.items():
+            ks.append(s); kt.append(t); kc.append(c); kk.append(0)
+        for t, c in df.items():
+            ks.append(""); kt.append(t); kc.append(c); kk.append(1)
+        return pa.table(
+            {
+                "kind": pa.array(kk, type=pa.int64()),
+                "source": pa.array(ks, type=pa.string()),
+                "tok": pa.array(kt, type=pa.string()),
+                "c": pa.array(kc, type=pa.int64()),
+            }
+        )
+
+    counts = pin(
+        grouped_agg(
+            docs.map_batches(partials, batch_format="pyarrow", batch_size=512),
+            ["kind", "source", "tok"],
+            {"c": ("c", "sum")},
+            num_parts=16,
+        ),
+        "kw_counts",
+    )
+
+    import pyarrow.compute as pc_
+
+    tf_tbl = counts.map_batches(
+        lambda t: t.filter(pc_.equal(t["kind"], 0)).select(["source", "tok", "c"]),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.rename_columns(["source", "tok", "tf"]), batch_format="pyarrow"
+    )
+    df_tbl = counts.map_batches(
+        lambda t: t.filter(pc_.equal(t["kind"], 1)).select(["tok", "c"]),
+        batch_format="pyarrow",
+    )
+    tf_schema = pa.schema(
+        [("source", pa.string()), ("tok", pa.string()), ("tf", pa.int64())]
+    )
+    joined = lookup_join(
+        tf_tbl, df_tbl, "tok", "tok", {"c": "df"},
+        num_parts=16, left_schema=tf_schema,
+        right_schema=pa.schema([("tok", pa.string()), ("c", pa.int64())]),
+    )
+
+    def score_and_partial_topk(t: pa.Table) -> pa.Table:
+        dfv = t.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False)
+        # expression shape shared with the SQL oracle — do not reorder
+        idf = np.floor(np.log(np.float64(n_docs) / dfv) * _KW_Q).astype(np.int64)
+        score = tfv * idf
+        srcs = np.asarray(t.column("source").to_pylist(), dtype=object)
+        toks = np.asarray(t.column("tok").to_pylist(), dtype=object)
+        order = np.lexsort((toks, -score, srcs))
+        first = np.ones(len(order), dtype=bool)
+        s_sorted = srcs[order]
+        first[1:] = s_sorted[1:] != s_sorted[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(order)), 0)
+        )
+        keep = (np.arange(len(order)) - grp_start) < k
+        sel = order[keep]
+        out = pa.table(
+            {
+                "source": pa.array(srcs[sel], type=pa.string()),
+                "tok": pa.array(toks[sel], type=pa.string()),
+                "tf": pa.array(tfv[sel], type=pa.int64()),
+                "idf_q": pa.array(idf[sel], type=pa.int64()),
+                "score": pa.array(score[sel], type=pa.int64()),
+            }
+        )
+        return out.append_column(
+            "__part", pa.array(_bucket_tbl(out, ["source"], 8), type=pa.int64())
+        )
+
+    cands = joined.map_batches(
+        score_and_partial_topk, batch_format="pyarrow", batch_size=65536
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        srcs = np.asarray(g.column("source").to_pylist(), dtype=object)
+        toks = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        tfv = g.column("tf").to_numpy(zero_copy_only=False)
+        idf = g.column("idf_q").to_numpy(zero_copy_only=False)
+        score = g.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -score, srcs))
+        s_sorted = srcs[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = s_sorted[1:] != s_sorted[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(order)), 0)
+        )
+        rank = np.arange(len(order)) - grp_start + 1
+        keep = rank <= k
+        sel = order[keep]
+        return pa.table(
+            {
+                "source": pa.array(srcs[sel], type=pa.string()),
+                "tok": pa.array(toks[sel], type=pa.string()),
+                "tf": pa.array(tfv[sel], type=pa.int64()),
+                "idf_q": pa.array(idf[sel], type=pa.int64()),
+                "score": pa.array(score[sel], type=pa.int64()),
+                "rank": pa.array(rank[keep], type=pa.int64()),
+            }
+        )
+
+    return cands.groupby("__part").map_groups(final_topk, batch_format="pyarrow")
+
+
+HOST_KEYWORDS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(COALESCE(text, ''),
+                     '[ \t\n\r\f\v]+'), x -> x <> '') AS sp
+  FROM documents
+),
+tf AS (
+  SELECT source, u AS tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT source, UNNEST(sp) AS u FROM toks) GROUP BY 1, 2
+),
+df AS (
+  SELECT u AS tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, UNNEST(sp) AS u FROM toks) GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT tf.source, tf.tok, tf.tf,
+         CAST(floor(ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+              * {_KW_Q}) AS BIGINT) AS idf_q
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT source, tok, tf, idf_q, tf * idf_q AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tf * idf_q DESC, tok) AS rank
+  FROM sc
+)
+SELECT source, tok, tf, idf_q, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_KW_K}
+"""
+
+
 def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 

@@ -749,3 +749,25 @@ def test_k_core_empty_core(ray_session, corpus_dir, zero_link_dir):
     for ds in (webgraph.k_core(corpus_dir, k=100), webgraph.k_core(zero_link_dir)):
         assert ds.count() == 0
         assert ds.schema().names == ["page_id", "deg"]
+
+
+def test_rank_agreement_bruteforce(ray_session, corpus_dir):
+    k = webgraph._RA_K
+    pr = _brute_pagerank()
+    hub, auth = _brute_hits()
+    top_pr = sorted(pr, key=lambda v: (-pr[v], v))[:k]
+    top_ht = sorted(auth, key=lambda v: (-auth[v], v))[:k]
+    rp = {v: i + 1 for i, v in enumerate(top_pr)}
+    rh = {v: i + 1 for i, v in enumerate(top_ht)}
+    common = sorted(set(rp) & set(rh))
+    conc = disc = 0
+    for i in range(len(common)):
+        for j in range(i + 1, len(common)):
+            s = (rp[common[i]] - rp[common[j]]) * (rh[common[i]] - rh[common[j]])
+            conc += s > 0
+            disc += s < 0
+    got = webgraph.rank_agreement(corpus_dir).to_pandas().iloc[0]
+    assert (got["k"], got["n_overlap"], got["n_concordant"], got["n_discordant"]) \
+        == (k, len(common), conc, disc)
+    # the metric is non-degenerate on this corpus
+    assert got["n_overlap"] > 0 and got["n_concordant"] + got["n_discordant"] > 0

@@ -396,7 +396,8 @@ def test_phrase_search_block_invariance(ray_session, phrase_dir, monkeypatch):
      "lm_quality", "line_dedup", "host_quota", "doc_length_hist",
      "dsir_weights", "source_temperature_mix", "gopher_filter",
      "dedup_spans", "perplexity_buckets", "source_epochs",
-     "normalize_text", "data_split", "sentence_stats", "parse_quarantine"],
+     "normalize_text", "data_split", "sentence_stats", "parse_quarantine",
+     "host_keywords"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -909,3 +910,36 @@ def test_data_split_null_strata(ray_session, tmp_path_factory):
     )
     con.close()
     pd.testing.assert_frame_equal(got, want[got.columns])
+
+
+def test_host_keywords_bruteforce(ray_session, corpus_dir):
+    import math
+
+    df = _make_corpus()
+    n = len(df)
+    tf = {}
+    dfc = {}
+    for _, r in df.iterrows():
+        toks = [t for t in (r["text"] or "").split() if t]
+        for t in toks:
+            tf[(r["source"], t)] = tf.get((r["source"], t), 0) + 1
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+    rows = []
+    for (src, tok), c in tf.items():
+        idf = math.floor(math.log(n / dfc[tok]) * webtext._KW_Q)
+        rows.append((src, tok, c, idf, c * idf))
+    ref = pd.DataFrame(rows, columns=["source", "tok", "tf", "idf_q", "score"])
+    ref = ref.sort_values(["source", "score", "tok"], ascending=[True, False, True])
+    ref["rank"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["rank"] <= webtext._KW_K].reset_index(drop=True)
+
+    got = (
+        webtext.host_keywords(corpus_dir).to_pandas()
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, ref.sort_values(["source", "rank"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert got.groupby("source")["rank"].max().min() == webtext._KW_K
