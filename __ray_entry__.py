@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": webgraph.random_walks,
         "rank_agreement": webgraph.rank_agreement,
         "host_keywords": webtext.host_keywords,
+        "community_modularity": webgraph.community_modularity,
+        "readability": webtext.readability,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -357,6 +359,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": webgraph.RANDOM_WALKS_SQL,
         "rank_agreement": webgraph.RANK_AGREEMENT_SQL,
         "host_keywords": webtext.HOST_KEYWORDS_SQL,
+        "community_modularity": webgraph.COMMUNITY_MODULARITY_SQL,
+        "readability": webtext.READABILITY_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

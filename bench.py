@@ -201,6 +201,8 @@ QUERY_SET = [
     "corpus_datasheet",
     "rank_agreement",
     "host_keywords",
+    "community_modularity",
+    "readability",
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",

@@ -2292,6 +2292,164 @@ FROM pairs
 RANK_AGREEMENT_SQL = _rank_agreement_sql()
 
 
+def community_modularity(sf_dir: str):
+    """Exact-integer Newman modularity of the LPA partition — the
+    standard quality metric for a community detection run:
+
+      Q = Σ_c ( e_c / m  −  (d_c / 2m)² )
+        = q_num / (4 m²),   q_num = Σ_c (4·m·e_c − d_c²)
+
+    with m = undirected edge count, e_c = within-community edges, d_c =
+    community degree sum — reported as the EXACT int64 pair (m, q_num)
+    plus the community count (int64 bound: needs 4·m·e_c < 2^63, i.e.
+    m < ~1.5e9 edges; beyond that widen to big-int per the tfidf
+    HUGEINT convention). One row.
+
+    Shape: labels attach to the canonical edge list and the degree table
+    by two partitioned co-group passes; per-community (e_c, d_c) rows
+    co-group once more into per-bucket partial q_num sums, so the driver
+    sees O(buckets) integers plus the O(1) m."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        cogroup,
+        grouped_agg,
+        lookup_join,
+    )
+
+    labels = pin(
+        label_prop_communities(sf_dir).map_batches(
+            lambda t: t.rename_columns(["page_id", "community"]),
+            batch_format="pyarrow",
+        ),
+        "mod_labels",
+    )
+    lab_schema = pa.schema([("page_id", pa.int64()), ("community", pa.int64())])
+
+    und = _und_edges(sf_dir, "mod_und")
+    canon = und.map_batches(
+        lambda t: t.filter(pc.less(t["a"], t["b"])), batch_format="pyarrow"
+    )
+    canon_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    m = canon.count()
+
+    # e_c: attach labels on both endpoints, keep same-community edges
+    wa = lookup_join(
+        canon, labels, "a", "page_id", {"community": "ca"},
+        num_parts=16, left_schema=canon_schema, right_schema=lab_schema,
+    )
+    wa_schema = canon_schema.append(pa.field("ca", pa.int64()))
+    wb = lookup_join(
+        wa, labels, "b", "page_id", {"community": "cb"},
+        num_parts=16, left_schema=wa_schema, right_schema=lab_schema,
+    )
+    within = wb.map_batches(
+        lambda t: pa.table(
+            {"c": t.filter(pc.equal(t["ca"], t["cb"]))["ca"]}
+        ),
+        batch_format="pyarrow",
+    )
+    ec = grouped_agg(
+        within.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c"], {"e": ("one", "sum")}, num_parts=8,
+    )
+
+    # d_c: per-node degree, attach label, sum per community
+    deg = grouped_agg(und, ["a"], {"deg": ("a", "count")}, num_parts=16)
+    deg_schema = pa.schema([("a", pa.int64()), ("deg", pa.int64())])
+    degl = lookup_join(
+        deg, labels, "a", "page_id", {"community": "c"},
+        num_parts=16, left_schema=deg_schema, right_schema=lab_schema,
+    )
+    dc = grouped_agg(degl, ["c"], {"d": ("deg", "sum")}, num_parts=8)
+
+    # per-community (e_c, d_c) -> per-bucket partial q_num sums
+    ec_schema = pa.schema([("c", pa.int64()), ("e", pa.int64())])
+    dc_schema = pa.schema([("c", pa.int64()), ("d", pa.int64())])
+    grouped, split = cogroup(
+        dc, ec, ["c"], num_parts=8, left_schema=dc_schema, right_schema=ec_schema,
+    )
+
+    def qnum_partial(g: pa.Table) -> pa.Table:
+        dg, eg = split(g)
+        dci = dg.column("c").to_numpy(zero_copy_only=False)
+        dv = dg.column("d").to_numpy(zero_copy_only=False)
+        eci = eg.column("c").to_numpy(zero_copy_only=False)
+        ev = eg.column("e").to_numpy(zero_copy_only=False)
+        order = np.argsort(eci)
+        pos = np.searchsorted(eci[order], dci)
+        pos_c = np.clip(pos, 0, max(len(eci) - 1, 0))
+        hit = (eci[order][pos_c] == dci) if len(eci) else np.zeros(len(dci), bool)
+        e_for_d = np.zeros(len(dci), dtype=np.int64)
+        if len(eci):
+            e_for_d[hit] = ev[order][pos_c[hit]]
+        q = int((4 * m * e_for_d - dv * dv).sum())
+        return pa.table(
+            {
+                "q": pa.array([q], type=pa.int64()),
+                "nc": pa.array([len(dci)], type=pa.int64()),
+            }
+        )
+
+    parts = grouped.map_groups(qnum_partial, batch_format="pyarrow").take_all()
+    # isolated pages (deg 0) are their own communities with e=d=0 — they
+    # contribute 0 to q_num but DO count as communities
+    n_pages = _n_docs(sf_dir)
+    n_nonisolated = und.map_batches(
+        lambda t: pa.table({"a": t["a"]}), batch_format="pyarrow"
+    )
+    from osmwaterwayextractor_ray.stages.fastagg import distinct as _distinct
+
+    n_iso = n_pages - _distinct(n_nonisolated, ["a"], num_parts=8).count()
+    return pa.table(
+        {
+            "m": pa.array([m], type=pa.int64()),
+            "q_num": pa.array([sum(p["q"] for p in parts)], type=pa.int64()),
+            "n_communities": pa.array(
+                [sum(p["nc"] for p in parts) + n_iso], type=pa.int64()
+            ),
+        }
+    )
+
+
+COMMUNITY_MODULARITY_SQL = f"""
+WITH lp AS MATERIALIZED (SELECT * FROM ({LPA_SQL})),
+{_EDGES_CTE.strip().lstrip()},
+und AS (SELECT DISTINCT a, b FROM (SELECT src_page AS a, dst_page AS b
+        FROM edges UNION ALL SELECT dst_page, src_page FROM edges)),
+canon AS (SELECT a, b FROM und WHERE a < b),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM canon),
+ec AS (
+  SELECT la.community AS c, CAST(count(*) AS BIGINT) AS e
+  FROM canon JOIN lp la ON la.page_id = canon.a
+             JOIN lp lb ON lb.page_id = canon.b
+  WHERE la.community = lb.community GROUP BY 1
+),
+deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+dc AS (
+  SELECT lp.community AS c, CAST(sum(deg.deg) AS BIGINT) AS d
+  FROM deg JOIN lp ON lp.page_id = deg.a GROUP BY 1
+),
+qsum AS (
+  SELECT CAST(COALESCE(sum(4 * m.m * COALESCE(ec.e, 0) - dc.d * dc.d), 0)
+         AS BIGINT) AS q_num,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM dc LEFT JOIN ec USING (c) CROSS JOIN m
+),
+iso AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = d.doc_id)
+)
+SELECT m.m, qsum.q_num, qsum.nc + iso.n AS n_communities
+FROM m CROSS JOIN qsum CROSS JOIN iso
+"""
+
+
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],
                       left_schema=None, right_schema=None, num_parts: int = 16,
                       extra_cols: list[str] | None = None):

@@ -771,3 +771,29 @@ def test_rank_agreement_bruteforce(ray_session, corpus_dir):
         == (k, len(common), conc, disc)
     # the metric is non-degenerate on this corpus
     assert got["n_overlap"] > 0 and got["n_concordant"] + got["n_discordant"] > 0
+
+
+def test_community_modularity_bruteforce(ray_session, corpus_dir):
+    n = N_DOCS
+    lab = _brute_lpa()
+    nbrs = _brute_und_nbrs(n)
+    canon = {(a, b) for a, nb in nbrs.items() for b in nb if a < b}
+    m = len(canon)
+    ec: dict[int, int] = {}
+    for a, b in canon:
+        if lab[a] == lab[b]:
+            ec[lab[a]] = ec.get(lab[a], 0) + 1
+    dc: dict[int, int] = {}
+    for v, nb in nbrs.items():
+        dc[lab[v]] = dc.get(lab[v], 0) + len(nb)
+    q_num = sum(4 * m * ec.get(c, 0) - d * d for c, d in dc.items())
+    n_comm = len(dc) + sum(1 for v in range(n) if v not in nbrs)
+    got = webgraph.community_modularity(corpus_dir).to_pandas().iloc[0]
+    assert (got["m"], got["q_num"], got["n_communities"]) == (m, q_num, n_comm)
+    assert m > 0 and got["q_num"] != 0  # metric is non-degenerate here
+
+
+def test_community_modularity_zero_link(ray_session, zero_link_dir):
+    got = webgraph.community_modularity(zero_link_dir).to_pandas().iloc[0]
+    # no edges: m=0, q_num=0, the single isolated page is its own community
+    assert (got["m"], got["q_num"], got["n_communities"]) == (0, 0, 1)

@@ -397,7 +397,7 @@ def test_phrase_search_block_invariance(ray_session, phrase_dir, monkeypatch):
      "dsir_weights", "source_temperature_mix", "gopher_filter",
      "dedup_spans", "perplexity_buckets", "source_epochs",
      "normalize_text", "data_split", "sentence_stats", "parse_quarantine",
-     "host_keywords"],
+     "host_keywords", "readability"],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
     fn = getattr(webtext, op)
@@ -943,3 +943,53 @@ def test_host_keywords_bruteforce(ray_session, corpus_dir):
         check_dtype=False,
     )
     assert got.groupby("source")["rank"].max().min() == webtext._KW_K
+
+
+READABILITY_EDGE_CASES = [
+    "",  # no words -> sentinel 0
+    "...",  # punctuation only: words=1? no — splits to empty -> 0 words
+    "Cat sat.",  # 2 words, 1 sentence, 2 vowel groups
+    "The quick brown fox jumps. It runs! Why?",  # 3 sentences
+    "bcdfg hjklm",  # no vowels: v=0 term drops out
+    "aeiou AEIOU aei",  # vowel runs spanning whole words
+]
+
+
+def test_readability_vs_duckdb_and_pinned(ray_session, tmp_path_factory):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("webtext_readability")
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(READABILITY_EDGE_CASES), dtype=np.int64),
+            "text": READABILITY_EDGE_CASES,
+        }
+    )
+    df["lang"] = "en"
+    df["source"] = "s0"
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        webtext.readability(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(webtext.READABILITY_SQL).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want[got.columns].astype("int64")
+    )
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "flesch_m"] == 0  # empty -> sentinel
+    assert by_id.loc[2, "n_words"] == 2
+    assert by_id.loc[2, "n_sentences"] == 1
+    assert by_id.loc[2, "n_vowel_groups"] == 2
+    assert by_id.loc[2, "flesch_m"] == 206835 - (1015 * 2) // 1 - (84600 * 2) // 2
+    assert by_id.loc[3, "n_sentences"] == 3
+    assert by_id.loc[4, "n_vowel_groups"] == 0
