@@ -1394,7 +1394,7 @@ def _und_edges(sf_dir: str, pin_name: str, n_docs: int | None = None):
 _LPA_ITERS = 4
 
 
-def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS):
+def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS, und=None):
     """Synchronous label propagation (Raghavan et al. 2007) over the
     UNDIRECTED link graph — the classic community-detection primitive
     next to pagerank/HITS, exercising a grouped ARGMAX per iteration
@@ -1420,7 +1420,8 @@ def label_prop_communities(sf_dir: str, iters: int = _LPA_ITERS):
     Returns (page_id, community)."""
     from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, pair_counts
 
-    und = _und_edges(sf_dir, "lpa_und")
+    if und is None:  # callers holding a pinned und pass it to avoid a rebuild
+        und = _und_edges(sf_dir, "lpa_und")
     und_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     # labels ride +1 so the zero-fill's 0 means "absent -> label = own id"
     best_schema = pa.schema([("b", pa.int64()), ("labp", pa.int64())])
@@ -2317,16 +2318,11 @@ def community_modularity(sf_dir: str):
         lookup_join,
     )
 
-    labels = pin(
-        label_prop_communities(sf_dir).map_batches(
-            lambda t: t.rename_columns(["page_id", "community"]),
-            batch_format="pyarrow",
-        ),
-        "mod_labels",
-    )
-    lab_schema = pa.schema([("page_id", pa.int64()), ("community", pa.int64())])
-
     und = _und_edges(sf_dir, "mod_und")
+    # thread the pinned und through LPA so the O(E) edge list is built,
+    # shuffled and pinned ONCE for the whole query
+    labels = pin(label_prop_communities(sf_dir, und=und), "mod_labels")
+    lab_schema = pa.schema([("page_id", pa.int64()), ("community", pa.int64())])
     canon = und.map_batches(
         lambda t: t.filter(pc.less(t["a"], t["b"])), batch_format="pyarrow"
     )
@@ -2349,15 +2345,7 @@ def community_modularity(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    ec = grouped_agg(
-        within.map_batches(
-            lambda t: t.append_column(
-                "one", pa.array(np.ones(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-        ),
-        ["c"], {"e": ("one", "sum")}, num_parts=8,
-    )
+    ec = grouped_agg(within, ["c"], {"e": ("c", "count")}, num_parts=8)
 
     # d_c: per-node degree, attach label, sum per community
     deg = grouped_agg(und, ["a"], {"deg": ("a", "count")}, num_parts=16)

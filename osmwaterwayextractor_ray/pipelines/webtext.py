@@ -2199,7 +2199,10 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
     grouped-sum shuffle; the O(vocab) df side attaches by partitioned
     lookup; per-block partial top-k per source (sound: each (source, tok)
     row is unique after the join) cuts the final per-source shuffle to
-    O(blocks · k · sources) rows. The driver sees one O(1) count."""
+    O(blocks · k · sources) rows. The driver sees one O(1) count.
+    NULL source coalesces to '' on both sides (the data_split
+    convention). int64 bound: tf·idf_q needs tf < ~3e11 at the idf cap
+    (ln(N)·1e6) — widen per the tfidf HUGEINT convention beyond that."""
     from osmwaterwayextractor_ray.stages.fastagg import (
         _bucket_tbl,
         grouped_agg,
@@ -2216,7 +2219,7 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
 
         tf: Counter = Counter()
         df: Counter = Counter()
-        srcs = batch.column("source").to_pylist()
+        srcs = ["" if s is None else s for s in batch.column("source").to_pylist()]
         for src, text in zip(srcs, batch.column("text").to_pylist()):
             toks = tokenize(text or "")
             for t in toks:
@@ -2275,15 +2278,7 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
         score = tfv * idf
         srcs = np.asarray(t.column("source").to_pylist(), dtype=object)
         toks = np.asarray(t.column("tok").to_pylist(), dtype=object)
-        order = np.lexsort((toks, -score, srcs))
-        first = np.ones(len(order), dtype=bool)
-        s_sorted = srcs[order]
-        first[1:] = s_sorted[1:] != s_sorted[:-1]
-        grp_start = np.maximum.accumulate(
-            np.where(first, np.arange(len(order)), 0)
-        )
-        keep = (np.arange(len(order)) - grp_start) < k
-        sel = order[keep]
+        sel, _ = topcap_by_key(toks, score, srcs, k)
         out = pa.table(
             {
                 "source": pa.array(srcs[sel], type=pa.string()),
@@ -2307,16 +2302,7 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
         tfv = g.column("tf").to_numpy(zero_copy_only=False)
         idf = g.column("idf_q").to_numpy(zero_copy_only=False)
         score = g.column("score").to_numpy(zero_copy_only=False)
-        order = np.lexsort((toks, -score, srcs))
-        s_sorted = srcs[order]
-        first = np.ones(len(order), dtype=bool)
-        first[1:] = s_sorted[1:] != s_sorted[:-1]
-        grp_start = np.maximum.accumulate(
-            np.where(first, np.arange(len(order)), 0)
-        )
-        rank = np.arange(len(order)) - grp_start + 1
-        keep = rank <= k
-        sel = order[keep]
+        sel, pos = topcap_by_key(toks, score, srcs, k)
         return pa.table(
             {
                 "source": pa.array(srcs[sel], type=pa.string()),
@@ -2324,7 +2310,7 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
                 "tf": pa.array(tfv[sel], type=pa.int64()),
                 "idf_q": pa.array(idf[sel], type=pa.int64()),
                 "score": pa.array(score[sel], type=pa.int64()),
-                "rank": pa.array(rank[keep], type=pa.int64()),
+                "rank": pa.array(pos + 1, type=pa.int64()),
             }
         )
 
@@ -2333,7 +2319,7 @@ def host_keywords(sf_dir: str, k: int = _KW_K):
 
 HOST_KEYWORDS_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, source,
+  SELECT doc_id, COALESCE(source, '') AS source,
          list_filter(string_split_regex(COALESCE(text, ''),
                      '[ \t\n\r\f\v]+'), x -> x <> '') AS sp
   FROM documents

@@ -947,7 +947,7 @@ def test_host_keywords_bruteforce(ray_session, corpus_dir):
 
 READABILITY_EDGE_CASES = [
     "",  # no words -> sentinel 0
-    "...",  # punctuation only: words=1? no — splits to empty -> 0 words
+    "...",  # 1 whitespace token but 0 sentences -> the s guard fires
     "Cat sat.",  # 2 words, 1 sentence, 2 vowel groups
     "The quick brown fox jumps. It runs! Why?",  # 3 sentences
     "bcdfg hjklm",  # no vowels: v=0 term drops out
@@ -993,3 +993,36 @@ def test_readability_vs_duckdb_and_pinned(ray_session, tmp_path_factory):
     assert by_id.loc[2, "flesch_m"] == 206835 - (1015 * 2) // 1 - (84600 * 2) // 2
     assert by_id.loc[3, "n_sentences"] == 3
     assert by_id.loc[4, "n_vowel_groups"] == 0
+
+
+def test_host_keywords_null_source(ray_session, tmp_path_factory):
+    # NULL source coalesces to '' on both sides (regression: grouped_agg's
+    # null-key drop silently lost NULL-source documents from the engine)
+    import duckdb
+
+    d = tmp_path_factory.mktemp("webtext_kw_nulls")
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": [f"alpha beta tok{i % 4}" for i in range(20)],
+            "lang": "en",
+            "source": [None if i % 4 == 0 else f"s{i % 2}" for i in range(20)],
+        }
+    )
+    df["n_chars"] = df["text"].str.len().astype(np.int64)
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = (
+        webtext.host_keywords(str(d)).to_pandas()
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    )
+    assert "" in set(got["source"])  # the NULL stratum survived
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    want = (
+        con.execute(webtext.HOST_KEYWORDS_SQL).df()
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+    )
+    con.close()
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
