@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_keywords": webtext.host_keywords,
         "community_modularity": webgraph.community_modularity,
         "readability": webtext.readability,
+        "trustrank": webgraph.trustrank,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "host_keywords": webtext.HOST_KEYWORDS_SQL,
         "community_modularity": webgraph.COMMUNITY_MODULARITY_SQL,
         "readability": webtext.READABILITY_SQL,
+        "trustrank": webgraph.TRUSTRANK_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -229,6 +229,29 @@ _PR_ITERS = 5
 _PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
 
 
+_EWD_SCHEMA = pa.schema(
+    [("src_page", pa.int64()), ("dst_page", pa.int64()), ("out_deg", pa.int64())]
+)
+
+
+def _edges_with_outdeg(sf_dir: str, n_docs: int, prefix: str):
+    """Pinned (src_page, dst_page, out_deg) edge table — the shared input
+    of the power-iteration family (pagerank, trustrank)."""
+    edges = pin(_edge_list(sf_dir, n_docs), f"{prefix}_edges")
+    out_deg = grouped_agg(
+        edges, ["src_page"], {"out_deg": ("dst_page", "count")}, num_parts=16
+    )
+    edge_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    deg_schema = pa.schema([("src_page", pa.int64()), ("out_deg", pa.int64())])
+    return pin(
+        lookup_join(
+            edges, out_deg, "src_page", "src_page", {"out_deg": "out_deg"},
+            num_parts=16, left_schema=edge_schema, right_schema=deg_schema,
+        ),
+        f"{prefix}_edges_deg",
+    )
+
+
 def pagerank(sf_dir: str, iters: int = _PR_ITERS):
     """T damped PageRank iterations in int64 fixed point (see module doc).
 
@@ -240,23 +263,8 @@ def pagerank(sf_dir: str, iters: int = _PR_ITERS):
     so any summation order gives the same bits and DuckDB's ``//`` (trunc)
     agrees with Python's (floor)."""
     n_docs = _n_docs(sf_dir)
-
-    edges = pin(_edge_list(sf_dir, n_docs), "webgraph_edges")
-    out_deg = grouped_agg(
-        edges, ["src_page"], {"out_deg": ("dst_page", "count")}, num_parts=16
-    )
-    edge_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
-    deg_schema = pa.schema([("src_page", pa.int64()), ("out_deg", pa.int64())])
-    ewd = pin(
-        lookup_join(
-            edges, out_deg, "src_page", "src_page", {"out_deg": "out_deg"},
-            num_parts=16, left_schema=edge_schema, right_schema=deg_schema,
-        ),
-        "webgraph_edges_deg",
-    )
-    ewd_schema = pa.schema(
-        [("src_page", pa.int64()), ("dst_page", pa.int64()), ("out_deg", pa.int64())]
-    )
+    ewd = _edges_with_outdeg(sf_dir, n_docs, "webgraph")
+    ewd_schema = _EWD_SCHEMA
 
     pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
         lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
@@ -2436,6 +2444,171 @@ iso AS (
 SELECT m.m, qsum.q_num, qsum.nc + iso.n AS n_communities
 FROM m CROSS JOIN qsum CROSS JOIN iso
 """
+
+
+def trustrank(sf_dir: str, iters: int = _PR_ITERS,
+              seed_mod: int = _CRAWL_SEED_MOD):
+    """TrustRank (Gyöngyi et al. 2004): PageRank personalized to the
+    crawl-seed set — teleport mass lands ONLY on seeds (doc_id %
+    seed_mod == 0, the crawl_depth seed list), so trust decays with link
+    distance from them; the classic spam-demotion / crawl-prioritization
+    score. Same int64 fixed-point contract as pagerank:
+
+      tr_0(v)     = SCALE // S             if v seed else 0
+      tr_{t+1}(v) = base_v + (85 · Σ_{u→v} tr_t(u) // out_deg(u)) // 100
+      base_v      = (15·SCALE) // (100·S)  if v seed else 0
+
+    (S = seed count). Seed-ness is pure id arithmetic, so the per-node
+    base folds into the share map exactly like pagerank's constant base
+    — one zero-fill attach + one grouped sum + one re-pin per iteration;
+    zero contributions are filtered before the shuffle (sum-identical).
+    Returns (page_id, tr); bit-identical under any block structure."""
+    import pyarrow.compute as pc
+
+    n_docs = _n_docs(sf_dir)
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"page_id": pa.array(ids[ids % seed_mod == 0], type=pa.int64())}
+        )
+
+    n_seeds = (
+        _read_documents(sf_dir, ["doc_id"])
+        .map_batches(pick_seeds, batch_format="pyarrow")
+        .count()
+    )
+    ewd = _edges_with_outdeg(sf_dir, n_docs, "trustrank")
+
+    init = _PR_SCALE // max(n_seeds, 1)
+    base = (15 * _PR_SCALE) // (100 * max(n_seeds, 1))
+
+    sums_schema = pa.schema([("page_id", pa.int64()), ("m", pa.int64())])
+    sums = None
+    for it in range(iters):
+        if sums is None:
+            def share0(t: pa.Table) -> pa.Table:
+                s = t.column("src_page").to_numpy(zero_copy_only=False)
+                d = t.column("out_deg").to_numpy(zero_copy_only=False)
+                mask = s % seed_mod == 0
+                c = init // d[mask]
+                keep = c > 0
+                return pa.table(
+                    {
+                        "page_id": t.column("dst_page").filter(
+                            pa.array(mask)
+                        ).filter(pa.array(keep)),
+                        "c": pa.array(c[keep], type=pa.int64()),
+                    }
+                )
+
+            contrib = ewd.map_batches(share0, batch_format="pyarrow")
+        else:
+            sums_as_src = sums.map_batches(
+                lambda t: t.rename_columns(["src_page", "m"]),
+                batch_format="pyarrow",
+            )
+            joined = _attach_zero_fill(
+                ewd, sums_as_src, key="src_page", value_cols=["m"],
+                left_schema=_EWD_SCHEMA,
+                right_schema=pa.schema(
+                    [("src_page", pa.int64()), ("m", pa.int64())]
+                ),
+                extra_cols=["dst_page", "out_deg"],
+            )
+
+            def share(t: pa.Table) -> pa.Table:
+                s = t.column("src_page").to_numpy(zero_copy_only=False)
+                m = t.column("m").to_numpy(zero_copy_only=False)
+                d = t.column("out_deg").to_numpy(zero_copy_only=False)
+                base_v = np.where(s % seed_mod == 0, base, 0)
+                c = (base_v + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN) // d
+                keep = c > 0
+                return pa.table(
+                    {
+                        "page_id": t.column("dst_page").filter(pa.array(keep)),
+                        "c": pa.array(c[keep], type=pa.int64()),
+                    }
+                )
+
+            contrib = joined.map_batches(share, batch_format="pyarrow")
+        sums = pin(
+            grouped_agg(contrib, ["page_id"], {"m": ("c", "sum")}, num_parts=16),
+            f"trustrank_m{it + 1}",
+        )
+
+    pages = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+    )
+    pages_schema = pa.schema([("page_id", pa.int64())])
+
+    if sums is None:
+        def uniform(t: pa.Table) -> pa.Table:
+            ids = t.column("page_id").to_numpy(zero_copy_only=False)
+            tr = np.where(ids % seed_mod == 0, init, 0)
+            return pa.table(
+                {
+                    "page_id": t["page_id"],
+                    "tr": pa.array(tr, type=pa.int64()),
+                }
+            )
+
+        return pages.map_batches(uniform, batch_format="pyarrow")
+
+    filled = _attach_zero_fill(
+        pages, sums, key="page_id", value_cols=["m"],
+        left_schema=pages_schema, right_schema=sums_schema,
+    )
+
+    def damp(t: pa.Table) -> pa.Table:
+        ids = t.column("page_id").to_numpy(zero_copy_only=False)
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        base_v = np.where(ids % seed_mod == 0, base, 0)
+        return pa.table(
+            {
+                "page_id": t["page_id"],
+                "tr": pa.array(
+                    base_v + (_PR_DAMP_NUM * m) // _PR_DAMP_DEN, type=pa.int64()
+                ),
+            }
+        )
+
+    return filled.map_batches(damp, batch_format="pyarrow")
+
+
+def _trustrank_sql(iters: int = _PR_ITERS,
+                   seed_mod: int = _CRAWL_SEED_MOD) -> str:
+    S = _PR_SCALE
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        "od AS (SELECT src_page, count(*) AS out_deg FROM edges GROUP BY 1)",
+        f"ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM documents"
+        f" WHERE doc_id % {seed_mod} = 0)",
+        f"tr0 AS (SELECT doc_id AS page_id,"
+        f" CASE WHEN doc_id % {seed_mod} = 0"
+        f" THEN CAST({S} AS BIGINT) // greatest(ns.s, 1) ELSE 0 END AS tr"
+        f" FROM documents, ns)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"s{t} AS (SELECT e.dst_page AS page_id,"
+            f" CAST(sum(p.tr // od.out_deg) AS BIGINT) AS m"
+            f" FROM edges e JOIN od USING (src_page)"
+            f" JOIN tr{t} p ON p.page_id = e.src_page GROUP BY 1)"
+        )
+        parts.append(
+            f"tr{t + 1} AS (SELECT d.doc_id AS page_id,"
+            f" CASE WHEN d.doc_id % {seed_mod} = 0"
+            f" THEN (15 * CAST({S} AS BIGINT)) // (100 * greatest(ns.s, 1))"
+            f" ELSE 0 END"
+            f" + ({_PR_DAMP_NUM} * COALESCE(s.m, 0)) // {_PR_DAMP_DEN} AS tr"
+            f" FROM documents d CROSS JOIN ns"
+            f" LEFT JOIN s{t} s ON d.doc_id = s.page_id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT page_id, tr FROM tr{iters}"
+
+
+TRUSTRANK_SQL = _trustrank_sql()
 
 
 def _attach_zero_fill(left, right, key: str, value_cols: list[str],

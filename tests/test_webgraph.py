@@ -797,3 +797,49 @@ def test_community_modularity_zero_link(ray_session, zero_link_dir):
     got = webgraph.community_modularity(zero_link_dir).to_pandas().iloc[0]
     # no edges: m=0, q_num=0, the single isolated page is its own community
     assert (got["m"], got["q_num"], got["n_communities"]) == (0, 0, 1)
+
+
+def _brute_trustrank(n=N_DOCS, iters=webgraph._PR_ITERS,
+                     seed_mod=webgraph._CRAWL_SEED_MOD) -> dict[int, int]:
+    edges = _brute_edges(n)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seeds = [v for v in range(n) if v % seed_mod == 0]
+    S = webgraph._PR_SCALE
+    init = S // len(seeds)
+    base = (15 * S) // (100 * len(seeds))
+    tr = {v: (init if v % seed_mod == 0 else 0) for v in range(n)}
+    for _ in range(iters):
+        sums = {v: 0 for v in range(n)}
+        for s, d in edges:
+            sums[d] += tr[s] // outdeg[s]
+        tr = {
+            v: (base if v % seed_mod == 0 else 0) + (85 * sums[v]) // 100
+            for v in range(n)
+        }
+    return tr
+
+
+def test_trustrank_bruteforce(ray_session, corpus_dir):
+    got = webgraph.trustrank(corpus_dir).to_pandas()
+    want = _brute_trustrank()
+    assert len(got) == N_DOCS
+    for _, row in got.iterrows():
+        assert row["tr"] == want[row["page_id"]], row["page_id"]
+    # trust actually decays with seed distance: seeds hold the top scores
+    seeds = {v for v in range(N_DOCS) if v % webgraph._CRAWL_SEED_MOD == 0}
+    by_tr = got.sort_values(["tr", "page_id"], ascending=[False, True])
+    assert set(by_tr.head(2)["page_id"]) <= seeds
+    # and non-seed pages got nonzero propagated trust (not the degenerate
+    # all-mass-stays-on-seeds case)
+    assert (got[~got["page_id"].isin(list(seeds))]["tr"] > 0).any()
+
+
+def test_trustrank_zero_iters(ray_session, corpus_dir):
+    got = webgraph.trustrank(corpus_dir, iters=0).to_pandas()
+    seeds = {v for v in range(N_DOCS) if v % webgraph._CRAWL_SEED_MOD == 0}
+    init = webgraph._PR_SCALE // len(seeds)
+    for _, row in got.iterrows():
+        want = init if row["page_id"] in seeds else 0
+        assert row["tr"] == want, row["page_id"]
