@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "community_modularity": webgraph.community_modularity,
         "readability": webtext.readability,
         "trustrank": webgraph.trustrank,
+        "containment_neardup": textops.containment_neardup,
+        "edit_dedup": textops.edit_dedup,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -363,6 +365,8 @@ def oracle_sql() -> dict[str, str]:
         "community_modularity": webgraph.COMMUNITY_MODULARITY_SQL,
         "readability": webtext.READABILITY_SQL,
         "trustrank": webgraph.TRUSTRANK_SQL,
+        "containment_neardup": textops.CONTAINMENT_SQL,
+        "edit_dedup": textops.EDIT_DEDUP_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -206,6 +206,8 @@ QUERY_SET = [
     "token_balanced_shards",
     "normalize_text",
     "embed_topk_ivfpq",
+    "containment_neardup",
+    "edit_dedup",
 ]
 
 

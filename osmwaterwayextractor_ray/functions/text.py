@@ -224,3 +224,69 @@ def word_ngram_hashes(text: str | None, n: int = 3) -> np.ndarray:
             count=len(toks) - n + 1,
         )
     )
+
+
+def banded_levenshtein(a_bytes: list, b_bytes: list, d: int) -> np.ndarray:
+    """Vectorized banded Levenshtein over UTF-8 BYTE strings: one DP band
+    of width 2d+1 per pair, advanced row-synchronously across ALL pairs
+    with numpy (the hot loop is max_len x (2d+1) small vector ops — no
+    per-pair Python DP). Returns the EXACT distance for every pair whose
+    distance is <= d and the clamp d+1 otherwise (clamping cells at d+1
+    is sound: cell values along an optimal path never exceed the final
+    distance, so paths of cost <= d never touch a clamped cell).
+
+    BYTE semantics deliberately match DuckDB's ``levenshtein`` (measured
+    byte-based: levenshtein('e-acute','e') = 2), so SQL oracles can
+    reproduce the engine bit-for-bit on any input, ASCII or not."""
+    k = len(a_bytes)
+    inf = d + 1
+    if k == 0:
+        return np.empty(0, dtype=np.int64)
+    la = np.fromiter((len(x) for x in a_bytes), dtype=np.int64, count=k)
+    lb = np.fromiter((len(x) for x in b_bytes), dtype=np.int64, count=k)
+    ans = np.full(k, inf, dtype=np.int64)
+    live = np.abs(la - lb) <= d
+    ans[live & (la == 0)] = lb[live & (la == 0)]  # <= d by the gap filter
+    amax = int(la[live].max()) if live.any() else 0
+    if amax == 0:
+        return ans
+    bmax = int(lb[live].max()) if live.any() else 0
+    A = np.zeros((k, amax), dtype=np.uint8)
+    B = np.zeros((k, max(bmax, 1)), dtype=np.uint8)
+    for i, bs in enumerate(a_bytes):
+        if live[i] and bs:
+            A[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)[:amax]
+    for i, bs in enumerate(b_bytes):
+        if live[i] and bs:
+            B[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    w = 2 * d + 1
+    offs = np.arange(-d, d + 1)
+    # band-relative row i: P[:, m] = D[i, i + offs[m]] (invalid cells = inf)
+    prev = np.full((k, w), inf, dtype=np.int64)
+    for m, off in enumerate(offs):  # row 0: D[0, j] = j for 0 <= j <= lb
+        if off >= 0:
+            prev[:, m] = np.where(off <= lb, min(off, inf), inf)
+    zeros = np.zeros(k, dtype=np.uint8)
+    pad = np.full(k, inf + 1, dtype=np.int64)
+    for i in range(1, amax + 1):
+        cur = np.full((k, w), inf, dtype=np.int64)
+        arow = A[:, i - 1]
+        for m, off in enumerate(offs):
+            j = i + off  # scalar: same column offset for every pair
+            if j < 0:
+                continue
+            valid = j <= lb
+            if j == 0:
+                cur[:, m] = np.where(valid, min(i, inf), inf)
+                continue
+            bcol = B[:, j - 1] if j <= B.shape[1] else zeros
+            diag = prev[:, m] + (arow != bcol)
+            up = prev[:, m + 1] + 1 if m + 1 < w else pad
+            left = cur[:, m - 1] + 1 if m >= 1 else pad
+            v = np.minimum(np.minimum(diag, up), np.minimum(left, inf))
+            cur[:, m] = np.where(valid, v, inf)
+        fin = live & (la == i)
+        if fin.any():
+            ans[fin] = cur[fin, (lb - la + d)[fin]]
+        prev = cur
+    return np.minimum(ans, inf)

@@ -764,10 +764,11 @@ def ngram_jaccard_neardup(sf_dir: str, threshold: float = 0.5):
     return _ngram_jaccard_pairs(_read_documents(sf_dir, ["doc_id", "text"]), threshold)
 
 
-def _ngram_jaccard_pairs(docs, threshold: float):
-    """The posting-count join over any (doc_id, text) Dataset — see
-    ngram_jaccard_neardup for the plan; curate_corpus runs it on the
-    filtered/deduped survivor set."""
+def _shingle_posting_pairs(docs):
+    """Shared head of the posting-count set-similarity plan: per-doc
+    distinct word-trigram postings (set size packed in the id's low
+    ``_NSH_BITS`` bits) -> per-shingle unordered doc pairs, one row per
+    SHARED shingle per pair (multiplicity downstream IS |A ∩ B|)."""
     from osmwaterwayextractor_ray.functions.text import word_ngram_hashes
     from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs
 
@@ -794,7 +795,14 @@ def _ngram_jaccard_pairs(docs, threshold: float):
     # stage, so give the actor pool enough tasks to spread it
     post = docs.map_batches(postings, batch_format="pyarrow", batch_size=512)
     # one output row per (shared shingle, pair): multiplicity IS the signal
-    pairs = bucketed_pairs(post, ["g"], "doc_id", "id_a", "id_b")
+    return bucketed_pairs(post, ["g"], "doc_id", "id_a", "id_b")
+
+
+def _ngram_jaccard_pairs(docs, threshold: float):
+    """The posting-count join over any (doc_id, text) Dataset — see
+    ngram_jaccard_neardup for the plan; curate_corpus runs it on the
+    filtered/deduped survivor set."""
+    pairs = _shingle_posting_pairs(docs)
 
     def length_filter(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
@@ -1979,4 +1987,223 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(count(DISTINCT source) AS BIGINT) AS n_sources
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment near-dup (wave 25)
+# ---------------------------------------------------------------------------
+
+_CT_OFF = 1 << 24          # excerpt ids live above every real doc_id
+_CT_NUM, _CT_DEN = 4, 5    # containment threshold 0.8 as an exact rational
+_CT_MIN_HEAD = 4           # excerpt = first max(n_words // 2, 4) words
+
+
+def _with_excerpts(docs):
+    """``documents`` plus a planted excerpt doc (the first
+    max(n_words // 2, 4) words, id = doc_id + _CT_OFF) for every
+    doc_id % 5 == 0 — the pure-function planting device (_plant_pii,
+    line_dedup), reproduced verbatim by the SQL oracle so the containment
+    join has real signal: an excerpt's word trigrams are by construction
+    a subset of its base doc's distinct trigram set."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id = list(ids.tolist())
+        out_tx = list(texts)
+        for did, t in zip(ids.tolist(), texts):
+            if did % 5 == 0:
+                sp = (t or "").split(" ")
+                out_id.append(did + _CT_OFF)
+                out_tx.append(" ".join(sp[: max(len(sp) // 2, _CT_MIN_HEAD)]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text": pa.array(out_tx, type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(plant, batch_format="pyarrow", batch_size=2048)
+
+
+def containment_neardup(sf_dir: str):
+    """EXACT all-pairs word-trigram CONTAINMENT — the asymmetric twin of
+    ngram_jaccard_neardup: C(A, B) = |A ∩ B| / min(|A|, |B|) flags the
+    excerpt/quote duplication Jaccard misses (a short doc fully contained
+    in a long one has tiny Jaccard but containment 1.0 — Broder's
+    resemblance-vs-containment distinction, STOC'97, public).
+
+    Same posting-count plan as ngram_jaccard (_shingle_posting_pairs ->
+    grouped pair count = |A ∩ B| exactly), but the AllPairs min/max
+    LENGTH filter does NOT apply — containment is length-free — so the
+    candidate volume is the unfiltered per-shingle pair stream: quadratic
+    in a shingle's doc frequency (same stop-shingle caveat as Jaccard;
+    the bounded-cost answer at crawl scale is minhash_neardup). The
+    threshold is the exact rational _CT_NUM/_CT_DEN compared by integer
+    cross-multiplication; the reported ``containment`` double is the same
+    int/int division the oracle computes, so the match is bit-exact.
+    """
+    from osmwaterwayextractor_ray.stages.fastagg import pair_counts
+
+    pairs = _shingle_posting_pairs(
+        _with_excerpts(_read_documents(sf_dir, ["doc_id", "text"]))
+    )
+    counted = pair_counts(pairs, "id_a", "id_b", "n_inter")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        inter = batch.column("n_inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        nmin = np.minimum(a & _NSH_CAP, b & _NSH_CAP)
+        keep = inter * _CT_DEN >= _CT_NUM * nmin
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep] >> _NSH_BITS, type=pa.int64()),
+                "id_b": pa.array(b[keep] >> _NSH_BITS, type=pa.int64()),
+                "n_inter": pa.array(inter[keep], type=pa.int64()),
+                "n_min": pa.array(nmin[keep], type=pa.int64()),
+                "containment": pa.array(inter[keep] / nmin[keep], type=pa.float64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow", batch_size=65536)
+
+
+CONTAINMENT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CT_OFF} AS doc_id,
+         array_to_string(sp[1:greatest(len(sp) // 2, {_CT_MIN_HEAD})], ' ') AS text
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS sp
+        FROM documents WHERE doc_id % 5 = 0)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS sp FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(list_slice(sp, i, i + 2), 'string_agg', chr(31)) AS g
+  FROM toks, LATERAL UNNEST(generate_series(1, greatest(len(sp) - 2, 0))) AS t(i)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(c AS BIGINT) AS n_inter,
+       CAST(least(sa.n, sb.n) AS BIGINT) AS n_min,
+       CAST(c AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE c * {_CT_DEN} >= {_CT_NUM} * least(sa.n, sb.n)
+"""
+
+
+# ---------------------------------------------------------------------------
+# blocked exact edit-distance dedup (wave 25)
+# ---------------------------------------------------------------------------
+
+_ED_OFF = 1 << 24
+_ED_D = 2       # max edit distance (UTF-8 bytes — DuckDB levenshtein units)
+_ED_HEAD = 8    # compared head = the doc's first 8 words
+_ED_BLKW = 2    # blocking key = the head's first 2 words
+
+
+def edit_dedup(sf_dir: str):
+    """Blocked exact-Levenshtein near-dup join (classic record-linkage
+    blocking — Christen's survey, Springer 2012, public): candidate pairs
+    are docs whose HEAD (first ``_ED_HEAD`` words) shares a blocking key
+    (the head's own first ``_ED_BLKW`` words); every candidate pair is
+    then verified with the exact vectorized banded-Levenshtein DP
+    (functions.text.banded_levenshtein — numpy across all pairs, no
+    per-pair Python). The blocking key is PART of the operator's
+    semantics (like LSH banding) and the oracle blocks identically, so
+    the oracle comparison is exact end to end; distances are over UTF-8
+    BYTES to match DuckDB's byte-based ``levenshtein``.
+
+    Planted signal: every doc_id % 6 == 0 gets a twin (id + _ED_OFF)
+    whose head's last character becomes '#' — edit distance exactly 1,
+    same block whenever the head keeps its first two words.
+
+    Scale: ONE hash-bucket shuffle generates in-block candidate pairs
+    (fastagg.bucketed_pairs, no stop-band drop — the oracle has none, so
+    a corpus where every head opens identically degrades quadratically:
+    the standard blocking caveat); heads attach to pairs via two
+    partitioned Arrow lookup_joins; the DP touches candidates only.
+    """
+    from osmwaterwayextractor_ray.functions.text import banded_levenshtein
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pairs,
+        joined_schema,
+        lookup_join,
+    )
+
+    docs = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def heads(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_head = [], []
+        for did, t in zip(ids.tolist(), texts):
+            head = " ".join((t or "").split(" ")[:_ED_HEAD])
+            out_id.append(did)
+            out_head.append(head)
+            if did % 6 == 0 and len(head) >= 2:
+                out_id.append(did + _ED_OFF)
+                out_head.append(head[:-1] + "#")
+        blks = [" ".join(h.split(" ")[:_ED_BLKW]) for h in out_head]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "head": pa.array(out_head, type=pa.string()),
+                "blk": pa.array(blks, type=pa.string()),
+            }
+        )
+
+    head_tbl = docs.map_batches(heads, batch_format="pyarrow", batch_size=2048)
+    # pin the (small) candidate set: the two verify joins would otherwise
+    # re-execute the pair shuffle (CLAUDE.md lazy-shuffle rule)
+    cand = bucketed_pairs(head_tbl, ["blk"], "doc_id", "id_a", "id_b").materialize()
+    paired = lookup_join(cand, head_tbl, "id_a", "doc_id", {"head": "head_a"})
+    paired = lookup_join(
+        paired, head_tbl, "id_b", "doc_id", {"head": "head_b"},
+        left_schema=joined_schema(cand, head_tbl, {"head": "head_a"}),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = [s.encode() for s in batch.column("head_a").to_pylist()]
+        hb = [s.encode() for s in batch.column("head_b").to_pylist()]
+        dist = banded_levenshtein(ha, hb, _ED_D)
+        keep = dist <= _ED_D
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "dist": pa.array(dist[keep], type=pa.int64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=16384)
+
+
+EDIT_DEDUP_SQL = f"""
+WITH hb AS (
+  SELECT doc_id, array_to_string(sp[1:{_ED_HEAD}], ' ') AS head
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS sp FROM documents)
+), corpus AS (
+  SELECT doc_id, head FROM hb
+  UNION ALL
+  SELECT doc_id + {_ED_OFF} AS doc_id, substr(head, 1, length(head) - 1) || '#' AS head
+  FROM hb WHERE doc_id % 6 = 0 AND length(head) >= 2
+), b AS (
+  SELECT doc_id, head,
+         array_to_string(string_split(head, ' ')[1:{_ED_BLKW}], ' ') AS blk
+  FROM corpus
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.head, c.head) <= {_ED_D}
 """
