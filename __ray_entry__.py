@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank": webgraph.trustrank,
         "containment_neardup": textops.containment_neardup,
         "edit_dedup": textops.edit_dedup,
+        "proto_prune": embeddings.proto_prune,
+        "inverted_index": webtext.inverted_index,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -367,6 +369,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": webgraph.TRUSTRANK_SQL,
         "containment_neardup": textops.CONTAINMENT_SQL,
         "edit_dedup": textops.EDIT_DEDUP_SQL,
+        "proto_prune": embeddings.PROTO_PRUNE_SQL,
+        "inverted_index": webtext.INVERTED_INDEX_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

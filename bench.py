@@ -208,6 +208,8 @@ QUERY_SET = [
     "embed_topk_ivfpq",
     "containment_neardup",
     "edit_dedup",
+    "proto_prune",
+    "inverted_index",
 ]
 
 

@@ -385,7 +385,11 @@ def kmeans_embeddings(sf_dir: str, k: int = KM_K, iters: int = KM_ITERS):
     return ds.map_batches(final, batch_format="pyarrow", batch_size=4096)
 
 
-def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS, final_select: str | None = None) -> str:
+    """Unrolled-CTE Lloyd loop. ``final_select`` overrides the closing
+    SELECT (it may reference ``af`` — the final assignment — and
+    ``c{iters}`` — the final float centroids) so downstream twins
+    (proto_prune) can reuse the identical iteration chain."""
     dim, q = DIM, _KM_Q
 
     def d2(c_alias: str) -> str:
@@ -438,7 +442,9 @@ def _kmeans_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
   ) WHERE rn = 1
 )"""
     )
-    return "WITH " + ",\n".join(parts) + "\nSELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af"
+    if final_select is None:
+        final_select = "SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af"
+    return "WITH " + ",\n".join(parts) + "\n" + final_select
 
 
 KMEANS_SQL = _kmeans_sql()
@@ -1021,3 +1027,106 @@ def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(path, columns=columns, **kw)
+
+
+# ---- prototypicality pruning (wave 26) ----
+
+PP_NUM, PP_DEN = 3, 10  # prune the 30% most prototypical of each cluster
+
+
+def proto_prune(sf_dir: str):
+    """Prototypicality-based corpus pruning (Sorscher et al., "Beyond
+    neural scaling laws", NeurIPS 2022, public): cluster the embeddings
+    with the shared deterministic Lloyd loop, score every vector by its
+    squared distance to its cluster centroid, and inside each cluster
+    DROP the floor(n_c * PP_NUM / PP_DEN) most prototypical vectors
+    (smallest distance) — at scale, pruning easy/prototypical examples
+    beats random pruning. Returns every vector with its cluster, exact
+    integer distance and keep flag.
+
+    Exactness contract (the kmeans/semdedup discipline): the RANKING
+    metric is d2q = sum_i (q_i - cq_i)^2 where q = floor(x*1e6 + 0.5)
+    and cq = floor(c*1e6 + 0.5) — both int64, products < 2^53, so the
+    scores are exact integers and the per-cluster order
+    (d2q DESC, vec_id ASC) is total: bit-identical under any block
+    structure, and the SQL twin evaluates the identical expression
+    (assignment itself uses the float centroids, exactly like
+    kmeans_embeddings / KMEANS_SQL's final pass).
+
+    Scale: one k x DIM broadcast + one streaming score pass + ONE
+    shuffle by cluster; the per-cluster kernel is a lexsort (linear in
+    the cluster, no pairwise work — unlike semdedup). For clusters too
+    large for one task, the distributed in-stratum rank device
+    (webtext.data_split) is the drop-in twin."""
+    import ray
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = _kmeans_centroids(sf_dir, ds=ds)
+    cq = np.floor(C * _KM_Q + 0.5).astype(np.int64)
+    ref = ray.put((C, cq))
+
+    def score(batch: pa.Table) -> pa.Table:
+        C_, cq_ = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        cl = _km_assign(mat, C_)
+        q = np.floor(mat * _KM_Q + 0.5).astype(np.int64)
+        diff = q - cq_[cl]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": pa.array(cl, type=pa.int64()),
+                "d2q": pa.array((diff * diff).sum(axis=1), type=pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+    def rank(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        d2 = g.column("d2q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -d2))  # d2q DESC, vec_id ASC — total
+        nc = len(ids)
+        n_keep = nc - nc * PP_NUM // PP_DEN
+        keep = np.zeros(nc, dtype=np.int64)
+        keep[order[:n_keep]] = 1
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "cluster": g["cluster"],
+                "d2q": pa.array(d2, type=pa.int64()),
+                "keep": pa.array(keep, type=pa.int64()),
+            }
+        )
+
+    return scored.groupby("cluster").map_groups(rank, batch_format="pyarrow")
+
+
+# the tail CTEs continue _kmeans_sql's WITH list (leading comma) so the
+# twin reuses the byte-identical Lloyd chain, then scores/ranks exactly
+PROTO_PRUNE_SQL = _kmeans_sql(
+    final_select=f""",
+qv AS (
+  SELECT vec_id,
+         list_transform(range(1, {DIM + 1}),
+                        i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * {_KM_Q} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+cq AS (
+  SELECT cid, list_transform(emb, x -> CAST(floor(x * {_KM_Q} + 0.5) AS BIGINT)) AS cqv
+  FROM c{KM_ITERS}
+),
+d AS (
+  SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+         list_sum(list_transform(range(1, {DIM + 1}),
+                  i -> (qv.qv[i] - cq.cqv[i]) * (qv.qv[i] - cq.cqv[i]))) AS d2q
+  FROM af a JOIN qv ON qv.vec_id = a.vec_id JOIN cq ON cq.cid = a.cid
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY d2q DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS nc
+  FROM d
+)
+SELECT vec_id, cluster, CAST(d2q AS BIGINT) AS d2q,
+       CAST(CASE WHEN rn <= nc - (nc * {PP_NUM}) // {PP_DEN} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r"""
+)

@@ -2425,3 +2425,126 @@ def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# inverted index export (wave 26)
+# ---------------------------------------------------------------------------
+
+_II_CAP = 64  # postings string keeps the first _II_CAP doc ids per token
+
+
+def inverted_index(sf_dir: str):
+    """Materialized inverted index over ``documents`` — the export twin
+    of the bm25/phrase retrieval ops: one row per token with its exact
+    document frequency (df), collection frequency (cf) and a postings
+    string of the first ``_II_CAP`` (doc_id ASC) ``doc:tf`` entries.
+    The CAP keeps a stop-token's output row bounded at 100 TB (the full
+    posting list of 'the' would be one corpus-sized string cell); df/cf
+    stay exact over ALL postings — only the sample string truncates, and
+    the oracle truncates identically.
+
+    Plan: per-batch (doc_id, token, tf) Counter rows (the bm25 tf
+    device, whitespace-regex tokens shared with top_tokens), then ONE
+    hash-bucket shuffle by token; each bucket resolves df/cf/postings
+    with one lexsort + reduceat + a vectorized LargeListArray +
+    binary_join string build (no per-token Python assembly)."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl
+
+    num_parts = 16
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_tok, out_tf = [], [], []
+        for did, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            c = Counter(tokenize(t or ""))
+            out_id.extend([did] * len(c))
+            out_tok.extend(c.keys())
+            out_tf.extend(c.values())
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "token": pa.array(out_tok, type=pa.string()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+            }
+        )
+        return t.append_column(
+            "__part", pa.array(_bucket_tbl(t, ["token"], num_parts), type=pa.int64())
+        )
+
+    rows = ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+
+    def build(g: pa.Table) -> pa.Table:
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], type=pa.string()),
+                    "df": pa.array([], type=pa.int64()),
+                    "cf": pa.array([], type=pa.int64()),
+                    "postings": pa.array([], type=pa.string()),
+                }
+            )
+        tok = g.column("token")
+        tok = tok.combine_chunks() if isinstance(tok, pa.ChunkedArray) else tok
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = g.column("tf").to_numpy(zero_copy_only=False)
+        # token runs sorted by (token, doc_id): tokens are strings — sort
+        # indices via Arrow (total order), then numpy over the run layout
+        order = pc.sort_indices(
+            g.select(["token", "doc_id"]),
+            sort_keys=[("token", "ascending"), ("doc_id", "ascending")],
+        ).to_numpy(zero_copy_only=False)
+        tok_s = tok.take(pa.array(order, type=pa.int64()))
+        ids_s, tf_s = ids[order], tf[order]
+        neq = np.nonzero(
+            pc.not_equal(tok_s.slice(1), tok_s.slice(0, len(tok_s) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        )[0]
+        seg = np.r_[0, neq + 1]
+        df = np.diff(np.r_[seg, len(ids_s)])
+        cf = np.add.reduceat(tf_s, seg)
+        # postings sample: positions within the first _II_CAP of each run
+        pos = np.arange(len(ids_s)) - np.repeat(seg, df)
+        keep = pos < _II_CAP
+        entry = pc.binary_join_element_wise(
+            pc.cast(pa.array(ids_s[keep], type=pa.int64()), pa.string()),
+            pc.cast(pa.array(tf_s[keep], type=pa.int64()), pa.string()),
+            ":",
+        )
+        kept_per = np.minimum(df, _II_CAP)
+        offs = np.r_[0, np.cumsum(kept_per)]
+        lst = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()), entry)
+        return pa.table(
+            {
+                "token": tok_s.take(pa.array(seg, type=pa.int64())),
+                "df": pa.array(df, type=pa.int64()),
+                "cf": pa.array(cf, type=pa.int64()),
+                "postings": pc.binary_join(lst, ","),
+            }
+        )
+
+    return rows.groupby("__part").map_groups(build, batch_format="pyarrow")
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+tfr AS (
+  SELECT *, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM tf
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CASE WHEN rn <= {_II_CAP} THEN doc_id || ':' || tf END, ','
+                  ORDER BY doc_id) AS postings
+FROM tfr GROUP BY token
+"""
