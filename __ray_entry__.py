@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_dedup": textops.edit_dedup,
         "proto_prune": embeddings.proto_prune,
         "inverted_index": webtext.inverted_index,
+        "crawl_anomaly": webgraph.crawl_anomaly,
+        "hyperanf": webgraph.hyperanf,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -371,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_dedup": textops.EDIT_DEDUP_SQL,
         "proto_prune": embeddings.PROTO_PRUNE_SQL,
         "inverted_index": webtext.INVERTED_INDEX_SQL,
+        "crawl_anomaly": webgraph.CRAWL_ANOMALY_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -210,6 +210,8 @@ QUERY_SET = [
     "edit_dedup",
     "proto_prune",
     "inverted_index",
+    "crawl_anomaly",
+    "hyperanf",
 ]
 
 

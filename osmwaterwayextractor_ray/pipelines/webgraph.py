@@ -2648,3 +2648,331 @@ def _read_documents(sf_dir: str, columns):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# HyperANF neighborhood function (wave 27)
+# ---------------------------------------------------------------------------
+
+_HA_P = 8                  # 2^8 = 256 registers/node (HyperANF's regime)
+_HA_M = 1 << _HA_P
+_HA_BITS = 64 - _HA_P      # rho domain: the hash's low 56 bits
+_HA_ITERS = 4
+
+
+def _ha_rho(w: np.ndarray) -> np.ndarray:
+    """rho(w) = leading-zero count of w within _HA_BITS bits, + 1
+    (= _HA_BITS - floor(log2 w) for w > 0; _HA_BITS + 1 for w == 0).
+    Exact 6-step uint64 binary search — no float log (the 56-bit domain
+    exceeds float64's 53-bit exact range, so state/hll.py's frexp trick
+    does not apply at p=8)."""
+    lg = np.zeros(w.shape, dtype=np.int64)
+    x = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        lg[big] += s
+        x[big] >>= np.uint64(s)
+    out = (_HA_BITS - lg).astype(np.uint8)
+    out[w == 0] = _HA_BITS + 1
+    return out
+
+
+def _ha_init_regs(ids: np.ndarray) -> np.ndarray:
+    """(n, 256) uint8 register matrix for singleton sets {id}."""
+    from osmwaterwayextractor_ray.state.hll import _mix64
+
+    h = _mix64(ids.astype(np.uint64))
+    idx = (h >> np.uint64(_HA_BITS)).astype(np.int64)
+    rho = _ha_rho(h & np.uint64((1 << _HA_BITS) - 1))
+    regs = np.zeros((len(ids), _HA_M), dtype=np.uint8)
+    regs[np.arange(len(ids)), idx] = rho
+    return regs
+
+
+def _ha_estimates(regs: np.ndarray) -> np.ndarray:
+    """Vectorized HLL estimate per row of an (n, 256) register matrix —
+    standard 64-bit-hash variant: alpha·m²/Σ2^-M with linear counting
+    below 2.5m (no large-range correction needed)."""
+    m = _HA_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.float64(2.0) ** -regs.astype(np.float64), axis=1)
+    zeros = (regs == 0).sum(axis=1)
+    small = (raw <= 2.5 * m) & (zeros > 0)
+    out = raw.copy()
+    out[small] = m * np.log(m / zeros[small])
+    return out
+
+
+def _regs_matrix(col) -> np.ndarray:
+    """(n, 256) uint8 view of a binary register column — zero-copy via the
+    offsets/values buffers (every row is exactly _HA_M bytes)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, _HA_M), dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    if offs[-1] - offs[0] != n * _HA_M:
+        raise ValueError("hyperanf register rows must be exactly 2^p bytes")
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]].reshape(n, _HA_M)
+
+
+def _regs_binary(mat: np.ndarray) -> pa.Array:
+    """Binary column from an (n, 256) uint8 matrix without a per-row loop."""
+    n = len(mat)
+    offs = pa.array(np.arange(0, (n + 1) * _HA_M, _HA_M, dtype=np.int32))
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, offs.buffers()[1], pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
+def hyperanf(sf_dir: str):
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011, public): the graph
+    neighborhood function N(t) = Σ_v |{u : dist(v,u) <= t}| estimated by
+    one 256-register HyperLogLog counter PER NODE, advanced t hops by
+    register-max merges along the out-edges — the distributed sketch
+    answer to "how connected is the crawl graph / what is its effective
+    diameter" that exact all-pairs BFS (O(n·m)) cannot give at scale.
+
+    Per iteration (the pagerank loop shape): ship each node's registers
+    to its in-neighbors with ONE Arrow lookup_join on dst, union the
+    nodes' own registers, ONE grouped max-merge shuffle (np.maximum over
+    stacked uint8 rows), re-pin (object store at bench scale, parquet
+    at 100 TB via WWX_PIN_MODE). Register max is associative +
+    commutative and the hash is fixed, so the whole run is bit-identical
+    under any block structure — but the OUTPUT is an estimator, so this
+    is a rows-only query (no SQL twin); tests pin it against exact BFS
+    neighborhood counts at sf0.001 within HLL error.
+
+    Returns one row per hop t = 0.._HA_ITERS: (t, nf_est) plus the
+    exact node count for reference."""
+    from osmwaterwayextractor_ray.stages.fastagg import lookup_join
+
+    n_docs = _n_docs(sf_dir)
+    # self-loop rows fold the "∪ own registers" into the SAME lookup_join
+    # that ships the neighbors' — no per-iteration union (a union before
+    # the merge shuffle blocks operator fusion; pagerank A/B, NOTES_r4 #20)
+    raw_edges = _edge_list(sf_dir, n_docs)
+    selfloops = _read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table({"src_page": t["doc_id"], "dst_page": t["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    edges = pin(raw_edges.union(selfloops), "hyperanf_edges")
+    edge_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    regs_schema = pa.schema([("page_id", pa.int64()), ("regs", pa.binary())])
+
+    def init(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        regs = _ha_init_regs(ids)
+        return pa.table(
+            {
+                "page_id": pa.array(ids, type=pa.int64()),
+                "regs": _regs_binary(regs),
+            }
+        )
+
+    regs = pin(
+        _read_documents(sf_dir, ["doc_id"]).map_batches(init, batch_format="pyarrow"),
+        "hyperanf_regs0",
+    )
+
+    def sum_est(t: pa.Table) -> pa.Table:
+        # per-node estimates are deterministic (row-local float ops), but a
+        # float SUM would depend on block structure — quantize each node's
+        # estimate to micro-units and sum int64 (the invariance rule)
+        m = _regs_matrix(t.column("regs"))
+        micro = np.floor(_ha_estimates(m) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"s": pa.array([int(micro.sum())], type=pa.int64())})
+
+    def nf(r) -> float:
+        parts = r.map_batches(sum_est, batch_format="pyarrow").take_all()
+        return sum(int(p["s"]) for p in parts) / 1e6
+
+    out_t, out_nf = [0], [nf(regs)]
+    num_parts = 8
+
+    for it in range(_HA_ITERS):
+        # pull: regs of each OUT-neighbor land on the edge's src side
+        shipped = lookup_join(
+            edges, regs, "dst_page", "page_id", {"regs": "regs"},
+            num_parts=num_parts, left_schema=edge_schema, right_schema=regs_schema,
+        ).map_batches(
+            lambda t: t.select(["src_page", "regs"]).rename_columns(
+                ["page_id", "regs"]
+            ),
+            batch_format="pyarrow",
+        )
+        both = shipped  # self-loop edges already carry each node's own regs
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t.column("page_id").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__part", pa.array(ids % num_parts, type=pa.int64())
+            )
+
+        def merge(g: pa.Table) -> pa.Table:
+            if len(g) == 0:
+                return pa.table(
+                    {
+                        "page_id": pa.array([], type=pa.int64()),
+                        "regs": pa.array([], type=pa.binary()),
+                    }
+                )
+            ids = g.column("page_id").to_numpy(zero_copy_only=False)
+            m = _regs_matrix(g.column("regs"))
+            order = np.argsort(ids, kind="stable")
+            ids_s, m_s = ids[order], m[order]
+            seg = np.flatnonzero(np.r_[True, ids_s[1:] != ids_s[:-1]])
+            merged = np.maximum.reduceat(m_s, seg, axis=0)
+            return pa.table(
+                {
+                    "page_id": pa.array(ids_s[seg], type=pa.int64()),
+                    "regs": _regs_binary(merged),
+                }
+            )
+
+        regs = pin(
+            both.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(merge, batch_format="pyarrow"),
+            f"hyperanf_regs{it + 1}",
+        )
+        out_t.append(it + 1)
+        out_nf.append(nf(regs))
+
+    return pa.table(
+        {
+            "t": pa.array(out_t, type=pa.int64()),
+            "nf_est": pa.array(out_nf, type=pa.float64()),
+            "n_nodes": pa.array([n_docs] * len(out_t), type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-rate anomaly screen (wave 27)
+# ---------------------------------------------------------------------------
+
+_CA_TRAP_MOD = 50    # planted crawler trap: every 50th doc ...
+_CA_BURST = 20       # ... contributes 20 extra fetches ...
+_CA_TRAP_HOUR = 9    # ... in hour 9
+_CA_Z2_NUM = 2       # flag hour iff z^2 > 2 (exact integer cross-multiply)
+
+
+def crawl_anomaly(sf_dir: str):
+    """Per-host fetch-rate anomaly screen over the capture log: bucket
+    fetches into (host, hour), then flag every hour whose count is a
+    per-host outlier — z^2 > _CA_Z2_NUM, evaluated EXACTLY in integers:
+
+        z^2 = (n·H - T)^2 / (H·S2 - T^2)   with
+        H = hours observed for the host, T = Σn, S2 = Σn²
+
+    so the flag is (n·H - T)^2 > Z2 · (H·S2 - T^2) — no float sqrt /
+    division anywhere, bit-identical to the SQL twin. A planted crawler
+    trap (every _CA_TRAP_MOD-th doc adds _CA_BURST fetches at hour
+    _CA_TRAP_HOUR) gives the screen real signal, reproduced verbatim by
+    the oracle.
+
+    Scale: per-batch (host, hour) Counter partials -> one O(hosts×hours)
+    grouped-sum shuffle -> one host-hash shuffle over the tiny stats
+    table; the capture log itself never moves twice. int64 fail-loud
+    guard on the squared terms (the pack_ids32 discipline)."""
+    from osmwaterwayextractor_ray.stages.fastagg import _bucket_tbl, grouped_agg
+
+    caps = _read_documents(sf_dir, ["doc_id"])
+    num_parts = 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        c: Counter = Counter()
+        for did in ids.tolist():
+            host = f"site{did % _N_HOSTS}.test"
+            for cap in range(1 + did % 3):
+                hour = (did * 1_000_000 + cap * _HOUR_US) // _HOUR_US
+                c[(host, hour)] += 1
+            if did % _CA_TRAP_MOD == 0:
+                c[(host, _CA_TRAP_HOUR)] += _CA_BURST
+        hosts = [h for h, _ in c]
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "hour": pa.array([h for _, h in c], type=pa.int64()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = grouped_agg(
+        caps.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host", "hour"],
+        {"n_fetches": ("n", "sum")},
+        num_parts=num_parts,
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", pa.array(_bucket_tbl(t, ["host"], num_parts), type=pa.int64())
+        )
+
+    def flag(g: pa.Table) -> pa.Table:
+        hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
+        hour = g.column("hour").to_numpy(zero_copy_only=False)
+        n = g.column("n_fetches").to_numpy(zero_copy_only=False)
+        order = np.lexsort((hour, hosts))
+        hosts, hour, n = hosts[order], hour[order], n[order]
+        seg = np.flatnonzero(np.r_[True, hosts[1:] != hosts[:-1]])
+        H = np.diff(np.r_[seg, len(hosts)])
+        T = np.add.reduceat(n, seg)
+        S2 = np.add.reduceat(n * n, seg)
+        Hr, Tr, S2r = np.repeat(H, H), np.repeat(T, H), np.repeat(S2, H)
+        lhs_root = n * Hr - Tr
+        rhs = Hr * S2r - Tr * Tr
+        # int64 fail-loud bounds: squares must not wrap
+        if len(n) and (np.abs(lhs_root).max() > 3_000_000_000 or rhs.max() > (1 << 61)):
+            raise ValueError("crawl_anomaly: counts exceed the int64 z^2 budget")
+        anom = (lhs_root * lhs_root > _CA_Z2_NUM * rhs).astype(np.int64)
+        return pa.table(
+            {
+                "host": pa.array(hosts, type=pa.string()),
+                "hour": pa.array(hour, type=pa.int64()),
+                "n_fetches": pa.array(n, type=pa.int64()),
+                "anomalous": pa.array(anom, type=pa.int64()),
+            }
+        )
+
+    return (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(flag, batch_format="pyarrow")
+    )
+
+
+CRAWL_ANOMALY_SQL = f"""
+WITH f AS (
+  SELECT 'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test' AS host,
+         (doc_id * 1000000 + c.c * {_HOUR_US}) // {_HOUR_US} AS hour
+  FROM documents, UNNEST([0, 1, 2]) AS c(c)
+  WHERE c.c < 1 + doc_id % 3
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % {_N_HOSTS} AS VARCHAR) || '.test' AS host,
+         {_CA_TRAP_HOUR} AS hour
+  FROM documents, UNNEST(generate_series(1, {_CA_BURST})) AS b(b)
+  WHERE doc_id % {_CA_TRAP_MOD} = 0
+),
+g AS (SELECT host, hour, count(*) AS n_fetches FROM f GROUP BY 1, 2),
+s AS (
+  SELECT *, count(*) OVER (PARTITION BY host) AS H,
+         sum(n_fetches) OVER (PARTITION BY host) AS T,
+         sum(n_fetches * n_fetches) OVER (PARTITION BY host) AS S2
+  FROM g
+)
+SELECT host, CAST(hour AS BIGINT) AS hour, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(CASE WHEN (n_fetches * H - T) * (n_fetches * H - T)
+                      > {_CA_Z2_NUM} * (H * S2 - T * T)
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+FROM s
+"""
