@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": webtext.inverted_index,
         "crawl_anomaly": webgraph.crawl_anomaly,
         "hyperanf": webgraph.hyperanf,
+        "scc": webgraph.scc,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -374,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "proto_prune": embeddings.PROTO_PRUNE_SQL,
         "inverted_index": webtext.INVERTED_INDEX_SQL,
         "crawl_anomaly": webgraph.CRAWL_ANOMALY_SQL,
+        "scc": webgraph.SCC_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -212,6 +212,7 @@ QUERY_SET = [
     "inverted_index",
     "crawl_anomaly",
     "hyperanf",
+    "scc",
 ]
 
 

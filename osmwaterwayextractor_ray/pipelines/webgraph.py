@@ -2976,3 +2976,253 @@ SELECT host, CAST(hour AS BIGINT) AS hour, CAST(n_fetches AS BIGINT) AS n_fetche
                  THEN 1 ELSE 0 END AS BIGINT) AS anomalous
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (wave 28)
+# ---------------------------------------------------------------------------
+
+_SCC_MAX_ROUNDS = 16  # outer FW-BW peel rounds, fail-loud cap. Worst case
+# (sink component holds the global min id) extracts ONE component per
+# round, so the cap is the tolerated condensation-chain depth; on the
+# synthesized graph family every component is its own color class and a
+# single round clears everything (verified n=60..50k).
+_SCC_MAX_PROP = 32    # min/max-propagation fixpoint cap per phase
+
+
+def scc(sf_dir: str):
+    """Strongly connected components of the directed link graph by
+    iterative FORWARD-BACKWARD COLORING (Fleischer/Hendrickson/Pinar
+    FW-BW, Orzan's coloring — both public), with POINTER JUMPING
+    (Shiloach-Vishkin style label shortcutting) so each min-label
+    fixpoint needs O(log diameter) rounds instead of O(diameter).
+
+    Per outer round over the unassigned subgraph:
+
+      F-phase   F(v) = min page id forward-reachable from v, by min-label
+                propagation along out-edges. Every color value c is a
+                root (F(c) = c: if c reached a smaller w, its reachers
+                would too) and equals its class's minimum member id.
+      B-phase   over the edges RESTRICTED to one color class
+                (F(src) == F(dst)): B(v) = min class id that reaches v,
+                same min-label propagation along IN-edges. Membership:
+                v ∈ SCC(c)  ⟺  F(v) = c (v →* c)  AND  B(v) = c
+                (c →* v within the class — sound because every node of a
+                cycle through c carries color c).
+      peel      assign (page_id, scc_id = F), drop assigned nodes/edges,
+                repeat — each round clears at least every source SCC of
+                the condensation (_SCC_MAX_ROUNDS cap, fail-loud).
+
+    Pointer jumping is sound for reachability min-labels: the current
+    label F(v) is itself reachable from v, so F(F(v)) is too — each
+    iteration unions the edge contributions with one label-on-label
+    lookup, doubling the effective horizon.
+
+    scc_id is the component's minimum page id — a pure function of the
+    graph, bit-identical under any block structure (pinned vs a
+    sequential Tarjan in tests). Fixpoint detection is O(1) on the
+    driver: min-propagation only lowers labels, so equal int64 label
+    SUMS ⟺ pointwise equality (the k_core count device).
+
+    Shape (100 TB bar): each fixpoint iteration is two Arrow
+    lookup_joins (labels onto edges; labels onto labels) + ONE grouped
+    min + a re-pin (parquet spill at scale via WWX_PIN_MODE); self-loop
+    rows make the node's own label ride the edge join (the hyperanf
+    device). Peeling is two unique-keyed semi-joins (the k_core
+    device). Nothing corpus-sized touches the driver."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+
+    n_docs = _n_docs(sf_dir)
+    e_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    lab_schema = pa.schema([("page_id", pa.int64()), ("F", pa.int64())])
+    act_schema = pa.schema([("page_id", pa.int64())])
+
+    def selfloop(t: pa.Table) -> pa.Table:
+        return pa.table({"src_page": t["page_id"], "dst_page": t["page_id"]})
+
+    active = pin(
+        _read_documents(sf_dir, ["doc_id"]).map_batches(
+            lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+        ),
+        "scc_act0",
+    )
+    edges = pin(
+        _edge_list(sf_dir, n_docs).union(
+            active.map_batches(selfloop, batch_format="pyarrow")
+        ),
+        "scc_e0",
+    )
+
+    def int_sum(ds, col: str) -> int:
+        def part(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int(v.sum())], type=pa.int64())})
+
+        return sum(int(p["s"]) for p in ds.map_batches(part, batch_format="pyarrow").take_all())
+
+    def min_labels(lab, e_tbl, along: str, name: str):
+        """Min-label fixpoint over (page_id, lab) with pointer jumping.
+        ``along='out'``: label flows dst -> src (forward reachability);
+        'in': src -> dst (backward reachability)."""
+        attach_key, group_key = (
+            ("dst_page", "src_page") if along == "out" else ("src_page", "dst_page")
+        )
+        l_schema = pa.schema([("page_id", pa.int64()), ("lab", pa.int64())])
+        s_prev = int_sum(lab, "lab")
+        for it in range(_SCC_MAX_PROP):
+            via_edges = lookup_join(
+                e_tbl, lab, attach_key, "page_id", {"lab": "lab"},
+                num_parts=8, left_schema=e_schema, right_schema=l_schema,
+            ).map_batches(
+                lambda t: t.select([group_key, "lab"]).rename_columns(
+                    ["page_id", "lab"]
+                ),
+                batch_format="pyarrow",
+            )
+            # pointer jump: lab(lab(v)) — labels are active node ids, and
+            # lab(v) is reachable from v, so the composition is a sound
+            # candidate (horizon h -> 2h per iteration). Deeper chained
+            # jumps (lab^3/lab^4 in the same lazy plan) were measured 3x
+            # SLOWER at sf0.1/32: the extra in-plan shuffle joins cost
+            # more than the saved iterations.
+            via_ptr = lookup_join(
+                lab, lab, "lab", "page_id", {"lab": "__jump"},
+                num_parts=8, left_schema=l_schema, right_schema=l_schema,
+            ).map_batches(
+                lambda t: t.select(["page_id", "__jump"]).rename_columns(
+                    ["page_id", "lab"]
+                ),
+                batch_format="pyarrow",
+            )
+            lab = pin(
+                grouped_agg(
+                    via_edges.union(via_ptr),
+                    ["page_id"],
+                    {"lab": ("lab", "min")},
+                    num_parts=8,
+                ),
+                f"{name}_{it}",
+            )
+            s = int_sum(lab, "lab")
+            if s == s_prev:
+                return lab
+            s_prev = s
+        raise ValueError(
+            f"scc: {name} propagation did not converge in {_SCC_MAX_PROP} steps"
+        )
+
+    def as_labels(ds):
+        return ds.map_batches(
+            lambda t: pa.table({"page_id": t["page_id"], "lab": t["page_id"]}),
+            batch_format="pyarrow",
+        )
+
+    assigned = []
+    for rnd in range(_SCC_MAX_ROUNDS):
+        # F-phase: min forward-reachable id (labels flow dst -> src)
+        F = min_labels(
+            pin(as_labels(active), f"scc_F0_r{rnd}"), edges, "out", f"scc_F_r{rnd}"
+        )
+        F = F.map_batches(
+            lambda t: t.rename_columns(["page_id", "F"]), batch_format="pyarrow"
+        )
+
+        # class-restricted edges: keep (v,u) with F(v) == F(u)
+        withF = lookup_join(
+            edges, F, "src_page", "page_id", {"F": "f_src"},
+            num_parts=8, left_schema=e_schema, right_schema=lab_schema,
+        )
+        from osmwaterwayextractor_ray.stages.fastagg import joined_schema
+
+        withF = lookup_join(
+            withF, F, "dst_page", "page_id", {"F": "f_dst"},
+            num_parts=8,
+            left_schema=joined_schema(edges, F, {"F": "f_src"}),
+            right_schema=lab_schema,
+        )
+        cedges = pin(
+            withF.map_batches(
+                lambda t: t.filter(pc.equal(t["f_src"], t["f_dst"])).select(
+                    ["src_page", "dst_page"]
+                ),
+                batch_format="pyarrow",
+            ),
+            f"scc_ce_r{rnd}",
+        )
+
+        # B-phase: min class id reaching v (labels flow src -> dst)
+        B = min_labels(
+            pin(as_labels(active), f"scc_B0_r{rnd}"), cedges, "in", f"scc_B_r{rnd}"
+        )
+
+        # membership: F(v) == B(v) == the class color
+        FB = lookup_join(
+            F, B, "page_id", "page_id", {"lab": "B"},
+            num_parts=8, left_schema=lab_schema,
+            right_schema=pa.schema([("page_id", pa.int64()), ("lab", pa.int64())]),
+        )
+        FB = pin(FB, f"scc_fb_r{rnd}")
+        done = pin(
+            FB.map_batches(
+                lambda t: t.filter(pc.equal(t["F"], t["B"]))
+                .select(["page_id", "F"])
+                .rename_columns(["page_id", "scc_id"]),
+                batch_format="pyarrow",
+            ),
+            f"scc_done_r{rnd}",
+        )
+        assigned.append(done)
+        active = pin(
+            FB.map_batches(
+                lambda t: t.filter(pc.invert(pc.equal(t["F"], t["B"]))).select(
+                    ["page_id"]
+                ),
+                batch_format="pyarrow",
+            ),
+            f"scc_act{rnd + 1}",
+        )
+        if active.count() == 0:
+            out = assigned[0]
+            for d in assigned[1:]:
+                out = out.union(d)
+            return out
+        # surviving edges: both endpoints active (self-loops survive too)
+        e1 = lookup_join(
+            edges, active, "src_page", "page_id", {"page_id": "__a"},
+            num_parts=8, left_schema=e_schema, right_schema=act_schema,
+        ).map_batches(lambda t: t.select(["src_page", "dst_page"]), batch_format="pyarrow")
+        edges = pin(
+            lookup_join(
+                e1, active, "dst_page", "page_id", {"page_id": "__b"},
+                num_parts=8, left_schema=e_schema, right_schema=act_schema,
+            ).map_batches(
+                lambda t: t.select(["src_page", "dst_page"]), batch_format="pyarrow"
+            ),
+            f"scc_e{rnd + 1}",
+        )
+
+    raise ValueError(f"scc: condensation deeper than {_SCC_MAX_ROUNDS} peel rounds")
+
+
+# Exact twin: recursive transitive closure (fine at oracle scale — the
+# driver compares at <= 500 docs, closure <= n^2 pairs), mutual
+# reachability, scc_id = min(self, min mutual partner).
+SCC_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+reach(v, u) AS (
+  SELECT src_page AS v, dst_page AS u FROM edges
+  UNION
+  SELECT r.v, e.dst_page FROM reach r JOIN edges e ON e.src_page = r.u
+),
+mutual AS (
+  SELECT a.v AS page_id, MIN(a.u) AS mn
+  FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+  GROUP BY a.v
+)
+SELECT d.doc_id AS page_id,
+       CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT) AS scc_id
+FROM documents d
+LEFT JOIN mutual m ON m.page_id = d.doc_id
+"""

@@ -411,6 +411,7 @@ def test_snapshot_diff_bruteforce(ray_session, corpus_dir):
         "clustering_coeff",
         "crawl_depth",
         "random_walks",
+        "scc",
     ],
 )
 def test_block_invariance(ray_session, corpus_dir, monkeypatch, op):
@@ -843,3 +844,81 @@ def test_trustrank_zero_iters(ray_session, corpus_dir):
     for _, row in got.iterrows():
         want = init if row["page_id"] in seeds else 0
         assert row["tr"] == want, row["page_id"]
+
+
+# ---------------------------------------------------------------------------
+# scc vs an independent Kosaraju reference
+# ---------------------------------------------------------------------------
+
+def _brute_scc(n=N_DOCS) -> dict[int, int]:
+    """Kosaraju (iterative): page_id -> min member id of its SCC."""
+    edges = _brute_edges(n)
+    adj = {v: [] for v in range(n)}
+    radj = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[s].append(d)
+        radj[d].append(s)
+    order, seen = [], [False] * n
+    for v0 in range(n):
+        if seen[v0]:
+            continue
+        seen[v0] = True
+        stk = [(v0, iter(adj[v0]))]
+        while stk:
+            v, it = stk[-1]
+            advanced = False
+            for w in it:
+                if not seen[w]:
+                    seen[w] = True
+                    stk.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stk.pop()
+    comp: dict[int, int] = {}
+    for v0 in reversed(order):
+        if v0 in comp:
+            continue
+        members, stk = [v0], [v0]
+        comp[v0] = -1
+        while stk:
+            v = stk.pop()
+            for w in radj[v]:
+                if w not in comp:
+                    comp[w] = -1
+                    members.append(w)
+                    stk.append(w)
+        mn = min(members)
+        for v in members:
+            comp[v] = mn
+    return comp
+
+
+@pytest.mark.parametrize(
+    "n,fixture,n_comps",
+    [
+        (N_DOCS, "corpus_dir", 2),   # 48 + 12 — one peel round
+        (77, "corpus77_dir", 4),     # 60/10/6 + a singleton (node off-cycle)
+    ],
+)
+def test_scc_bruteforce(ray_session, request, n, fixture, n_comps):
+    d = request.getfixturevalue(fixture)
+    want = _brute_scc(n)
+    assert len(set(want.values())) == n_comps  # the fixture has real signal
+    got = webgraph.scc(d).to_pandas()
+    assert len(got) == n
+    for _, row in got.iterrows():
+        assert row["scc_id"] == want[row["page_id"]], row["page_id"]
+
+
+def test_scc_singleton_has_no_cycle(ray_session, corpus77_dir):
+    # the n=77 singleton really is acyclic-in-context: its scc_id is itself
+    want = _brute_scc(77)
+    singletons = {
+        v for v in want if sum(1 for u in want.values() if u == want[v]) == 1
+    }
+    assert singletons  # fixture provides at least one
+    got = webgraph.scc(corpus77_dir).to_pandas().set_index("page_id")["scc_id"]
+    for v in singletons:
+        assert got[v] == v
