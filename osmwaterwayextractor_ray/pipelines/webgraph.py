@@ -2463,8 +2463,6 @@ def trustrank(sf_dir: str, iters: int = _PR_ITERS,
     — one zero-fill attach + one grouped sum + one re-pin per iteration;
     zero contributions are filtered before the shuffle (sum-identical).
     Returns (page_id, tr); bit-identical under any block structure."""
-    import pyarrow.compute as pc
-
     n_docs = _n_docs(sf_dir)
 
     def pick_seeds(t: pa.Table) -> pa.Table:
@@ -2919,6 +2917,15 @@ def crawl_anomaly(sf_dir: str):
         )
 
     def flag(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "host": pa.array([], type=pa.string()),
+                    "hour": pa.array([], type=pa.int64()),
+                    "n_fetches": pa.array([], type=pa.int64()),
+                    "anomalous": pa.array([], type=pa.int64()),
+                }
+            )
         hosts = np.asarray(g.column("host").to_pylist(), dtype=object)
         hour = g.column("hour").to_numpy(zero_copy_only=False)
         n = g.column("n_fetches").to_numpy(zero_copy_only=False)
@@ -3121,10 +3128,10 @@ def scc(sf_dir: str):
 
     assigned = []
     for rnd in range(_SCC_MAX_ROUNDS):
+        # one pinned (page_id, lab=page_id) seed table feeds BOTH phases
+        lab0 = pin(as_labels(active), f"scc_L0_r{rnd}")
         # F-phase: min forward-reachable id (labels flow dst -> src)
-        F = min_labels(
-            pin(as_labels(active), f"scc_F0_r{rnd}"), edges, "out", f"scc_F_r{rnd}"
-        )
+        F = min_labels(lab0, edges, "out", f"scc_F_r{rnd}")
         F = F.map_batches(
             lambda t: t.rename_columns(["page_id", "F"]), batch_format="pyarrow"
         )
@@ -3153,9 +3160,7 @@ def scc(sf_dir: str):
         )
 
         # B-phase: min class id reaching v (labels flow src -> dst)
-        B = min_labels(
-            pin(as_labels(active), f"scc_B0_r{rnd}"), cedges, "in", f"scc_B_r{rnd}"
-        )
+        B = min_labels(lab0, cedges, "in", f"scc_B_r{rnd}")
 
         # membership: F(v) == B(v) == the class color
         FB = lookup_join(
