@@ -213,6 +213,7 @@ QUERY_SET = [
     "crawl_anomaly",
     "hyperanf",
     "scc",
+    "nb_langid",
 ]
 
 

@@ -2548,3 +2548,329 @@ SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                   ORDER BY doc_id) AS postings
 FROM tfr GROUP BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (wave 29)
+# ---------------------------------------------------------------------------
+
+_NB_SLICE_MOD = 10  # trains on docs with doc_id % 10 == 0 (the lm_quality slice)
+_NB_V_CAP = 65536  # vocabulary cap (global count desc, token asc tie-break)
+_NB_SCALE = 1_000_000  # micro-nats per cost unit
+
+
+def nb_langid(sf_dir: str):
+    """Multinomial Naive Bayes language classifier — the fastText-style
+    labeled-classifier shape of an LLM curation pipeline (quality / lang
+    / topic routing): train on the deterministic doc_id % 10 == 0 slice
+    with the ``lang`` column as the label, score every held-out doc, and
+    return the confusion matrix (lang, pred_lang, n_docs).
+
+    All probabilities are Laplace-smoothed rationals of exact integer
+    counts, turned into INTEGER micro-nat costs with the IDENTICAL
+    float64 expression in engine and oracle (the lm_quality device):
+
+      cost_l(tok) = floor(-ln((c_{l,tok}+1) / (T_l+V+1)) * 1e6)
+      oov_l       = floor(-ln(      1       / (T_l+V+1)) * 1e6)
+      prior_l     = floor(-ln(n_docs_l / n_slice_docs)   * 1e6)
+
+    so per-doc per-class sums are exact int64 and the argmin (cost asc,
+    lang asc tie) is bit-identical under any block structure. Zero-token
+    docs are classified by prior alone (never dropped).
+
+    Shape: ONE token-hash shuffle over the slice's (lang, tok, count)
+    partials; totals/priors are O(langs); the vocab cut is per-block
+    partial top-V + an O(V) driver merge; the dense V x L cost matrix
+    (bounded by the caps, independent of corpus size) broadcasts via
+    ray.put, and the held-out corpus then streams through one vectorized
+    index_in + matrix-reduceat pass — no corpus-sized shuffle, state, or
+    driver materialization."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["doc_id", "lang", "text"])
+
+    def slice_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = batch.column("lang").to_pylist()
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        lg: list[str] = []
+        toks: list[str] = []
+        nd: dict[str, int] = {}
+        for did, lang, t in zip(ids.tolist(), langs, texts):
+            if did % _NB_SLICE_MOD:
+                continue
+            # NULL labels form their own class ('' sentinel; grouped_agg
+            # drops null keys while SQL keeps them — the data_split device)
+            lang = "\x00" if lang is None else lang
+            nd[lang] = nd.get(lang, 0) + 1
+            for tk in tokenize(t):
+                lg.append(lang)
+                toks.append(tk)
+        tbl = pa.table(
+            {
+                "lang": pa.array(lg, type=pa.string()),
+                "tok": pa.array(toks, type=pa.string()),
+            }
+        )
+        out = (
+            tbl.group_by(["lang", "tok"], use_threads=False)
+            .aggregate([("tok", "count")])
+            .rename_columns(["lang", "tok", "n"])
+        )
+        # doc-count rows ride along with tok='' (tokenize never yields '')
+        return pa.table(
+            {
+                "lang": pa.array(
+                    out.column("lang").to_pylist() + list(nd), type=pa.string()
+                ),
+                "tok": pa.array(
+                    out.column("tok").to_pylist() + [""] * len(nd), type=pa.string()
+                ),
+                "n": pa.array(
+                    out.column("n").to_numpy(zero_copy_only=False).tolist()
+                    + list(nd.values()),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(slice_partial, batch_format="pyarrow", batch_size=8192),
+            ["lang", "tok"],
+            {"c": ("n", "sum")},
+            num_parts=16,
+        ),
+        "nb_langid_counts",
+    )
+
+    # O(langs) driver rows: per-lang token totals + slice doc counts
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        tok = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        isdoc = tok == ""
+        out_l: list[str] = []
+        out_t: list[int] = []
+        out_d: list[int] = []
+        for lang in sorted(set(langs.tolist())):
+            m = langs == lang
+            out_l.append(lang)
+            out_t.append(int(c[m & ~isdoc].sum()))
+            out_d.append(int(c[m & isdoc].sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, type=pa.string()),
+                "t": pa.array(out_t, type=pa.int64()),
+                "nd": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    lp = counts.map_batches(lang_partial, batch_format="pyarrow").to_pandas()
+    lp = lp.groupby("lang", as_index=False).sum().sort_values("lang")
+    langs = lp["lang"].tolist()
+    T_l = lp["t"].to_numpy(dtype=np.int64)
+    nd_l = lp["nd"].to_numpy(dtype=np.int64)
+    n_slice = int(nd_l.sum())
+    L = len(langs)
+
+    # global top-V vocabulary (count desc, token asc). counts is keyed by
+    # (lang, tok) hash, so one token's global count spans blocks — re-key
+    # by tok FIRST (one O(distinct x langs) shuffle) so the per-block
+    # partial top-V is a sound superset (the lm_quality plan shape).
+    def drop_doc_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("tok"), pa.scalar("", type=pa.string()))
+        return batch.filter(keep).select(["tok", "c"])
+
+    gcounts = grouped_agg(
+        counts.map_batches(drop_doc_rows, batch_format="pyarrow"),
+        ["tok"],
+        {"gc": ("c", "sum")},
+        num_parts=16,
+    )
+
+    def partial_topv(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        c = batch.column("gc").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tok, -c))[:_NB_V_CAP]
+        return pa.table(
+            {
+                "tok": pa.array(tok[o].tolist(), type=pa.string()),
+                "gc": pa.array(c[o], type=pa.int64()),
+            }
+        )
+
+    gdf = gcounts.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    tok_all = gdf["tok"].to_numpy(dtype=object)
+    c_all = gdf["gc"].to_numpy(dtype=np.int64)
+    o = np.lexsort((tok_all, -c_all))[:_NB_V_CAP]
+    vocab_tok = tok_all[o]
+    V = len(vocab_tok)
+    vpos = {t: i for i, t in enumerate(vocab_tok.tolist())}
+
+    # dense V x L count matrix (bounded by the caps): one filtered pull
+    vocab_arr = pa.array(vocab_tok.tolist(), type=pa.string())
+
+    def vocab_counts(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch.column("tok"), value_set=vocab_arr)
+        keep = pc.is_valid(idx)
+        return batch.filter(keep)
+
+    vc = counts.map_batches(vocab_counts, batch_format="pyarrow").to_pandas()
+    C = np.zeros((V, L), dtype=np.int64)
+    lpos = {lang: j for j, lang in enumerate(langs)}
+    for lang, tok, c in zip(vc["lang"], vc["tok"], vc["c"]):
+        C[vpos[tok], lpos[lang]] = c
+
+    # integer micro-nat cost tables (libm log on scalar doubles == DuckDB ln)
+    den = [int(T_l[j]) + V + 1 for j in range(L)]
+    Q = np.empty((V, L), dtype=np.int64)
+    for j in range(L):
+        d = den[j]
+        Q[:, j] = np.fromiter(
+            (
+                math.floor(-math.log((int(c) + 1) / d) * _NB_SCALE)
+                for c in C[:, j]
+            ),
+            dtype=np.int64,
+            count=V,
+        )
+    oov = np.array(
+        [math.floor(-math.log(1 / d) * _NB_SCALE) for d in den], dtype=np.int64
+    )
+    prior = np.array(
+        [
+            math.floor(-math.log(int(nd_l[j]) / n_slice) * _NB_SCALE)
+            for j in range(L)
+        ],
+        dtype=np.int64,
+    )
+    lang_arr = np.asarray(langs, dtype=object)
+    ref = ray.put((vocab_arr, Q, oov, prior, lang_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, q_tab, oov_t, prior_t, lg_arr = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tl = batch.column("lang").to_pylist()
+        texts = ["" if t is None else t for t in batch.column("text").to_pylist()]
+        held = np.asarray([did % _NB_SLICE_MOD != 0 for did in ids.tolist()])
+        if not held.any():
+            return pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "pred_lang": pa.array([], type=pa.string()),
+                }
+            )
+        true_lang = np.asarray(
+            ["\x00" if x is None else x for x in tl], dtype=object
+        )[held]
+        flat: list[str] = []
+        nt = []
+        for i in np.flatnonzero(held).tolist():
+            tk = tokenize(texts[i])
+            nt.append(len(tk))
+            flat.extend(tk)
+        nt = np.asarray(nt, dtype=np.int64)
+        n_doc = len(nt)
+        total = np.tile(prior_t, (n_doc, 1))
+        pos = np.flatnonzero(nt > 0)
+        if len(flat):
+            idx = pc.index_in(pa.array(flat, type=pa.string()), value_set=voc)
+            iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+            qg = np.where(iv[:, None] >= 0, q_tab[np.maximum(iv, 0)], oov_t[None, :])
+            nt_k = nt[pos]
+            starts = np.cumsum(nt_k) - nt_k
+            total[pos] += np.add.reduceat(qg, starts, axis=0)
+        pred = np.argmin(total, axis=1)  # first min == lang-asc tie-break
+        return pa.table(
+            {
+                "lang": pa.array(true_lang.tolist(), type=pa.string()),
+                "pred_lang": pa.array(lg_arr[pred].tolist(), type=pa.string()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    return grouped_agg(
+        scored.map_batches(
+            lambda t: t.group_by(["lang", "pred_lang"], use_threads=False)
+            .aggregate([("pred_lang", "count")])
+            .rename_columns(["lang", "pred_lang", "n"]),
+            batch_format="pyarrow",
+        ),
+        ["lang", "pred_lang"],
+        {"n_docs": ("n", "sum")},
+        num_parts=4,
+    )
+
+
+NB_LANGID_SQL = f"""
+WITH sl AS (
+  SELECT doc_id, COALESCE(lang, chr(0)) AS lang, text
+  FROM documents WHERE doc_id % {_NB_SLICE_MOD} = 0
+),
+slice_toks AS (
+  SELECT lang, u.tok
+  FROM sl, UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                              x -> x <> '')) AS u(tok)
+),
+counts AS (SELECT lang, tok, count(*) AS c FROM slice_toks GROUP BY 1, 2),
+totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS T FROM counts GROUP BY lang),
+gcounts AS (SELECT tok, sum(c) AS gc FROM counts GROUP BY tok),
+vocab AS (SELECT tok FROM gcounts ORDER BY gc DESC, tok LIMIT {_NB_V_CAP}),
+nv AS (SELECT count(*) AS V FROM vocab),
+priors AS (SELECT lang, count(*) AS nd FROM sl GROUP BY lang),
+ns AS (SELECT count(*) AS n FROM sl),
+q AS (
+  SELECT t.lang, v.tok,
+         CAST(floor(-ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE) / (t.T + nv.V + 1))
+                    * {_NB_SCALE}) AS BIGINT) AS q
+  FROM totals t CROSS JOIN vocab v CROSS JOIN nv
+  LEFT JOIN counts c ON c.lang = t.lang AND c.tok = v.tok
+),
+oov AS (
+  SELECT lang,
+         CAST(floor(-ln(CAST(1 AS DOUBLE) / (T + nv.V + 1)) * {_NB_SCALE})
+              AS BIGINT) AS q
+  FROM totals CROSS JOIN nv
+),
+prior_cost AS (
+  SELECT p.lang,
+         CAST(floor(-ln(CAST(p.nd AS DOUBLE) / ns.n) * {_NB_SCALE}) AS BIGINT) AS pq
+  FROM priors p CROSS JOIN ns
+),
+held AS (
+  SELECT doc_id, COALESCE(lang, chr(0)) AS true_lang, text
+  FROM documents WHERE doc_id % {_NB_SLICE_MOD} <> 0
+),
+doc_toks AS (
+  SELECT doc_id, u.tok
+  FROM held, UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                                x -> x <> '')) AS u(tok)
+),
+tok_costs AS (
+  SELECT d.doc_id, o.lang, sum(coalesce(q.q, o.q)) AS tc
+  FROM doc_toks d
+  CROSS JOIN oov o
+  LEFT JOIN q ON q.lang = o.lang AND q.tok = d.tok
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.doc_id, h.true_lang, p.lang, p.pq + coalesce(t.tc, 0) AS cost
+  FROM held h
+  CROSS JOIN prior_cost p
+  LEFT JOIN tok_costs t ON t.doc_id = h.doc_id AND t.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, true_lang, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cost, lang) AS rn
+  FROM grid
+)
+SELECT true_lang AS lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
