@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf": webgraph.hyperanf,
         "scc": webgraph.scc,
         "nb_langid": webtext.nb_langid,
+        "bowtie": webgraph.bowtie,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_anomaly": webgraph.CRAWL_ANOMALY_SQL,
         "scc": webgraph.SCC_SQL,
         "nb_langid": webtext.NB_LANGID_SQL,
+        "bowtie": webgraph.BOWTIE_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

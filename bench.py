@@ -214,6 +214,7 @@ QUERY_SET = [
     "hyperanf",
     "scc",
     "nb_langid",
+    "bowtie",
 ]
 
 

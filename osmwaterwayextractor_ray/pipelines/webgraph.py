@@ -2997,6 +2997,79 @@ _SCC_MAX_ROUNDS = 16  # outer FW-BW peel rounds, fail-loud cap. Worst case
 _SCC_MAX_PROP = 32    # min/max-propagation fixpoint cap per phase
 
 
+_E_SCHEMA = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+_L_SCHEMA = pa.schema([("page_id", pa.int64()), ("lab", pa.int64())])
+
+
+def _int_sum(ds, col: str) -> int:
+    """Exact int64 column sum, O(blocks) driver rows."""
+
+    def part(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(v.sum())], type=pa.int64())})
+
+    return sum(
+        int(p["s"]) for p in ds.map_batches(part, batch_format="pyarrow").take_all()
+    )
+
+
+def _min_label_fixpoint(lab, e_tbl, along: str, name: str):
+    """Min-label fixpoint over (page_id, lab) with pointer jumping.
+    ``along='out'``: label flows dst -> src (forward reachability);
+    'in': src -> dst (backward reachability). Labels must be node ids
+    (lab(v) reachable from v) for the jump to be sound; convergence is
+    detected by equal int64 label sums (min-propagation only lowers
+    labels). Shared by scc and bowtie."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    attach_key, group_key = (
+        ("dst_page", "src_page") if along == "out" else ("src_page", "dst_page")
+    )
+    s_prev = _int_sum(lab, "lab")
+    for it in range(_SCC_MAX_PROP):
+        via_edges = lookup_join(
+            e_tbl, lab, attach_key, "page_id", {"lab": "lab"},
+            num_parts=8, left_schema=_E_SCHEMA, right_schema=_L_SCHEMA,
+        ).map_batches(
+            lambda t: t.select([group_key, "lab"]).rename_columns(
+                ["page_id", "lab"]
+            ),
+            batch_format="pyarrow",
+        )
+        # pointer jump: lab(lab(v)) — labels are active node ids, and
+        # lab(v) is reachable from v, so the composition is a sound
+        # candidate (horizon h -> 2h per iteration). Deeper chained
+        # jumps (lab^3/lab^4 in the same lazy plan) were measured 3x
+        # SLOWER at sf0.1/32: the extra in-plan shuffle joins cost
+        # more than the saved iterations.
+        via_ptr = lookup_join(
+            lab, lab, "lab", "page_id", {"lab": "__jump"},
+            num_parts=8, left_schema=_L_SCHEMA, right_schema=_L_SCHEMA,
+        ).map_batches(
+            lambda t: t.select(["page_id", "__jump"]).rename_columns(
+                ["page_id", "lab"]
+            ),
+            batch_format="pyarrow",
+        )
+        lab = pin(
+            grouped_agg(
+                via_edges.union(via_ptr),
+                ["page_id"],
+                {"lab": ("lab", "min")},
+                num_parts=8,
+            ),
+            f"{name}_{it}",
+        )
+        s = _int_sum(lab, "lab")
+        if s == s_prev:
+            return lab
+        s_prev = s
+    raise ValueError(
+        f"{name}: min-label propagation did not converge in {_SCC_MAX_PROP} steps"
+    )
+
+
 def scc(sf_dir: str):
     """Strongly connected components of the directed link graph by
     iterative FORWARD-BACKWARD COLORING (Fleischer/Hendrickson/Pinar
@@ -3062,63 +3135,8 @@ def scc(sf_dir: str):
         "scc_e0",
     )
 
-    def int_sum(ds, col: str) -> int:
-        def part(t: pa.Table) -> pa.Table:
-            v = t.column(col).to_numpy(zero_copy_only=False)
-            return pa.table({"s": pa.array([int(v.sum())], type=pa.int64())})
-
-        return sum(int(p["s"]) for p in ds.map_batches(part, batch_format="pyarrow").take_all())
-
-    def min_labels(lab, e_tbl, along: str, name: str):
-        """Min-label fixpoint over (page_id, lab) with pointer jumping.
-        ``along='out'``: label flows dst -> src (forward reachability);
-        'in': src -> dst (backward reachability)."""
-        attach_key, group_key = (
-            ("dst_page", "src_page") if along == "out" else ("src_page", "dst_page")
-        )
-        l_schema = pa.schema([("page_id", pa.int64()), ("lab", pa.int64())])
-        s_prev = int_sum(lab, "lab")
-        for it in range(_SCC_MAX_PROP):
-            via_edges = lookup_join(
-                e_tbl, lab, attach_key, "page_id", {"lab": "lab"},
-                num_parts=8, left_schema=e_schema, right_schema=l_schema,
-            ).map_batches(
-                lambda t: t.select([group_key, "lab"]).rename_columns(
-                    ["page_id", "lab"]
-                ),
-                batch_format="pyarrow",
-            )
-            # pointer jump: lab(lab(v)) — labels are active node ids, and
-            # lab(v) is reachable from v, so the composition is a sound
-            # candidate (horizon h -> 2h per iteration). Deeper chained
-            # jumps (lab^3/lab^4 in the same lazy plan) were measured 3x
-            # SLOWER at sf0.1/32: the extra in-plan shuffle joins cost
-            # more than the saved iterations.
-            via_ptr = lookup_join(
-                lab, lab, "lab", "page_id", {"lab": "__jump"},
-                num_parts=8, left_schema=l_schema, right_schema=l_schema,
-            ).map_batches(
-                lambda t: t.select(["page_id", "__jump"]).rename_columns(
-                    ["page_id", "lab"]
-                ),
-                batch_format="pyarrow",
-            )
-            lab = pin(
-                grouped_agg(
-                    via_edges.union(via_ptr),
-                    ["page_id"],
-                    {"lab": ("lab", "min")},
-                    num_parts=8,
-                ),
-                f"{name}_{it}",
-            )
-            s = int_sum(lab, "lab")
-            if s == s_prev:
-                return lab
-            s_prev = s
-        raise ValueError(
-            f"scc: {name} propagation did not converge in {_SCC_MAX_PROP} steps"
-        )
+    int_sum = _int_sum
+    min_labels = _min_label_fixpoint
 
     def as_labels(ds):
         return ds.map_batches(
@@ -3230,4 +3248,206 @@ SELECT d.doc_id AS page_id,
        CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT) AS scc_id
 FROM documents d
 LEFT JOIN mutual m ON m.page_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition (wave 30)
+# ---------------------------------------------------------------------------
+
+
+def bowtie(sf_dir: str):
+    """Bow-tie decomposition of the link graph (Broder et al. 2000 "Graph
+    structure in the Web"): CORE = the largest SCC (ties broken by min
+    scc_id), IN = pages that reach the core but are not in it, OUT =
+    pages the core reaches, OTHER = tendrils + disconnected. Returns
+    (component, n_pages), the classic 4-row web-graph audit.
+
+    Plan: scc() gives (page_id, scc_id = min member id). The two
+    reachability tests reuse _min_label_fixpoint with a VIRTUAL node -1:
+    since the core is strongly connected, a single edge core_id -> -1
+    makes "v reaches the core" equivalent to "min id reaching -1 test"
+    along the 'out' direction (min forward-reachable id == -1), and a
+    single edge -1 -> core_id makes "core reaches v" the mirror test
+    along 'in'. Both runs keep labels = node ids, so pointer jumping
+    stays sound (-1 carries a self-loop). Classification is two
+    lookup_joins + one vectorized case; output is an O(4) grouped count.
+
+    100 TB shape: inherits scc's per-iteration two-lookup_join + grouped
+    min + re-pin contract (parquet spill via WWX_PIN_MODE); the size
+    top-1 is per-block partial + O(blocks) driver rows (sound — scc_id
+    is unique per block after the keyed grouped_agg)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    n_docs = _n_docs(sf_dir)
+    sccs = pin(scc(sf_dir), "bt_scc")
+
+    # largest SCC: per-block partial top-1 by (n desc, scc_id asc)
+    sizes = grouped_agg(
+        sccs.map_batches(
+            lambda t: pa.table(
+                {
+                    "scc_id": t["scc_id"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["scc_id"],
+        {"n": ("one", "sum")},
+        num_parts=8,
+    )
+
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"scc_id": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        sid = t.column("scc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        i = np.lexsort((sid, -n))[0]
+        return pa.table(
+            {"scc_id": pa.array([sid[i]], type=pa.int64()),
+             "n": pa.array([n[i]], type=pa.int64())}
+        )
+
+    cand = sizes.map_batches(top1, batch_format="pyarrow").to_pandas()
+    i = np.lexsort((cand["scc_id"].to_numpy(), -cand["n"].to_numpy()))[0]
+    core_id = int(cand["scc_id"].iloc[i])
+
+    def selfloop(t: pa.Table) -> pa.Table:
+        return pa.table({"src_page": t["page_id"], "dst_page": t["page_id"]})
+
+    pages = sccs.map_batches(
+        lambda t: t.select(["page_id"]), batch_format="pyarrow"
+    )
+    virtual = ray.data.from_arrow(
+        pa.table(
+            {"src_page": pa.array([-1], type=pa.int64()),
+             "dst_page": pa.array([-1], type=pa.int64())}
+        )
+    )
+    base_edges = pin(
+        _edge_list(sf_dir, n_docs)
+        .union(pages.map_batches(selfloop, batch_format="pyarrow"))
+        .union(virtual),
+        "bt_e0",
+    )
+    lab0 = pin(
+        pages.map_batches(
+            lambda t: pa.table({"page_id": t["page_id"], "lab": t["page_id"]}),
+            batch_format="pyarrow",
+        ).union(
+            ray.data.from_arrow(
+                pa.table(
+                    {"page_id": pa.array([-1], type=pa.int64()),
+                     "lab": pa.array([-1], type=pa.int64())}
+                )
+            )
+        ),
+        "bt_lab0",
+    )
+
+    def vedge(src: int, dst: int):
+        return ray.data.from_arrow(
+            pa.table(
+                {"src_page": pa.array([src], type=pa.int64()),
+                 "dst_page": pa.array([dst], type=pa.int64())}
+            )
+        )
+
+    # v reaches core  ⟺  min forward-reachable id == -1 (edge core -> -1)
+    minF = _min_label_fixpoint(
+        lab0, base_edges.union(vedge(core_id, -1)), "out", "bt_F"
+    )
+    # core reaches v  ⟺  min id reaching v == -1 (edge -1 -> core)
+    minB = _min_label_fixpoint(
+        lab0, base_edges.union(vedge(-1, core_id)), "in", "bt_B"
+    )
+
+    withF = lookup_join(
+        sccs, minF, "page_id", "page_id", {"lab": "f"},
+        num_parts=8,
+        left_schema=pa.schema([("page_id", pa.int64()), ("scc_id", pa.int64())]),
+        right_schema=_L_SCHEMA,
+    )
+    from osmwaterwayextractor_ray.stages.fastagg import joined_schema
+
+    withFB = lookup_join(
+        withF, minB, "page_id", "page_id", {"lab": "b"},
+        num_parts=8,
+        left_schema=pa.schema(
+            [("page_id", pa.int64()), ("scc_id", pa.int64()), ("f", pa.int64())]
+        ),
+        right_schema=_L_SCHEMA,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        sid = t.column("scc_id").to_numpy(zero_copy_only=False)
+        f = t.column("f").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        comp = np.where(
+            sid == core_id,
+            "core",
+            np.where(f == -1, "in", np.where(b == -1, "out", "other")),
+        )
+        return pa.table(
+            {
+                "component": pa.array(comp.tolist(), type=pa.string()),
+                "one": pa.array(np.ones(len(sid), dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        withFB.map_batches(classify, batch_format="pyarrow"),
+        ["component"],
+        {"n_pages": ("one", "sum")},
+        num_parts=4,
+    )
+
+
+BOWTIE_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+reach(v, u) AS (
+  SELECT src_page AS v, dst_page AS u FROM edges
+  UNION
+  SELECT r.v, e.dst_page FROM reach r JOIN edges e ON e.src_page = r.u
+),
+mutual AS (
+  SELECT a.v AS page_id, MIN(a.u) AS mn
+  FROM reach a JOIN reach b ON b.v = a.u AND b.u = a.v
+  GROUP BY a.v
+),
+sccs AS (
+  SELECT d.doc_id AS page_id,
+         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS scc_id
+  FROM documents d LEFT JOIN mutual m ON m.page_id = d.doc_id
+),
+core AS (
+  SELECT scc_id FROM sccs GROUP BY scc_id
+  ORDER BY count(*) DESC, scc_id LIMIT 1
+),
+cls AS (
+  SELECT s.page_id,
+         CASE
+           WHEN s.scc_id = core.scc_id THEN 'core'
+           WHEN EXISTS (
+             SELECT 1 FROM reach r JOIN sccs t ON t.page_id = r.u
+             WHERE r.v = s.page_id AND t.scc_id = core.scc_id
+           ) THEN 'in'
+           WHEN EXISTS (
+             SELECT 1 FROM reach r JOIN sccs t ON t.page_id = r.v
+             WHERE r.u = s.page_id AND t.scc_id = core.scc_id
+           ) THEN 'out'
+           ELSE 'other'
+         END AS component
+  FROM sccs s CROSS JOIN core
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_pages
+FROM cls GROUP BY component
 """
