@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": webgraph.scc,
         "nb_langid": webtext.nb_langid,
         "bowtie": webgraph.bowtie,
+        "price_model": relational3.price_model,
+        "proximity_search": webtext.proximity_search,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -380,6 +382,8 @@ def oracle_sql() -> dict[str, str]:
         "scc": webgraph.SCC_SQL,
         "nb_langid": webtext.NB_LANGID_SQL,
         "bowtie": webgraph.BOWTIE_SQL,
+        "price_model": relational3.PRICE_MODEL_SQL,
+        "proximity_search": webtext.PROXIMITY_SEARCH_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -215,6 +215,8 @@ QUERY_SET = [
     "scc",
     "nb_langid",
     "bowtie",
+    "price_model",
+    "proximity_search",
 ]
 
 

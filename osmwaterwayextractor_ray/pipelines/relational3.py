@@ -1042,3 +1042,137 @@ def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(path, columns=columns, **kw)
+
+
+# ---------------------------------------------------------------------------
+# exact-integer linear regression (wave 31)
+# ---------------------------------------------------------------------------
+
+_LR_SCALE = 1_000_000  # micro-cents per coefficient unit
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``
+    semantics (Python's ``//`` floors; they differ on negatives).
+    Measured: DuckDB (-7)//2 = -3, Python -4."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def price_model(sf_dir: str):
+    """Simple linear regression of order value on order size — the
+    distributed-ML primitive (exact normal equations): y = o_totalprice
+    in cents, x = the order's total lineitem quantity, fit
+    y ≈ intercept + slope·x by least squares. All five moment sums
+    (n, Σx, Σy, Σx², Σxy) are exact int64 partials combined on the
+    driver (O(blocks) rows), and the closed-form solution
+
+      slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+      intercept = (Σx²·Σy − Σx·Σxy) / (n·Σx² − (Σx)²)
+
+    is evaluated in arbitrary-precision Python ints with ONE truncating
+    division to micro-cents per coefficient — bit-identical to the
+    DuckDB HUGEINT twin under any block structure. Returns one row
+    (n_orders, slope_micro, intercept_micro).
+
+    Shape: one skinny (orderkey, qty) shuffle + a partitioned hash join
+    against orders; nothing else moves. At 100 TB the join is the only
+    wide op and both sides are pre-projected to two columns."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok, q = ok[order], q[order]
+        seg = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[seg], type=pa.int64()),
+                "x": pa.array(np.add.reduceat(q, seg), type=pa.int64()),
+            }
+        )
+
+    x_per_order = grouped_agg(
+        li.map_batches(qty_partial, batch_format="pyarrow", batch_size=65536),
+        ["o_orderkey"],
+        {"x": ("x", "sum")},
+        num_parts=16,
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        y = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "y": pa.array(y, type=pa.int64())}
+        )
+
+    joined = hash_join(
+        x_per_order,
+        orders.map_batches(to_cents, batch_format="pyarrow"),
+        left_on=["o_orderkey"],
+        right_on=["o_orderkey"],
+        num_parts=16,
+        left_schema=pa.schema([("o_orderkey", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()), ("y", pa.int64())]),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("price_model: degenerate design (all x identical)")
+    slope_micro = _trunc_div((n * sxy - sx * sy) * _LR_SCALE, den)
+    intercept_micro = _trunc_div((sxx * sy - sx * sxy) * _LR_SCALE, den)
+    return pa.table(
+        {
+            "n_orders": pa.array([n], type=pa.int64()),
+            "slope_micro": pa.array([slope_micro], type=pa.int64()),
+            "intercept_micro": pa.array([intercept_micro], type=pa.int64()),
+        }
+    )
+
+
+PRICE_MODEL_SQL = f"""
+WITH x AS (
+  SELECT l_orderkey AS o_orderkey, CAST(sum(l_quantity) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT x.x, CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+  FROM x JOIN orders o USING (o_orderkey)
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(((n * sxy - sx * sy) * {_LR_SCALE}) // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_micro,
+       CAST(((sxx * sy - sx * sxy) * {_LR_SCALE}) // (n * sxx - sx * sx)
+            AS BIGINT) AS intercept_micro
+FROM s
+"""

@@ -2874,3 +2874,87 @@ pred AS (
 SELECT true_lang AS lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM pred WHERE rn = 1 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# proximity search (wave 31)
+# ---------------------------------------------------------------------------
+
+PROX_TERMS = ("scan", "merge", "window")  # all-of terms
+PROX_W = 8  # window width in token positions
+
+
+def proximity_search(sf_dir: str, terms: tuple[str, ...] = PROX_TERMS,
+                     w: int = PROX_W):
+    """Proximity retrieval — docs where ALL query terms co-occur within a
+    ``w``-token window, with the count of matching window START
+    positions (1-based; docs shorter than ``w`` have exactly one
+    candidate window covering the whole doc). The standard
+    positional-index proximity operator, and the natural relaxation of
+    phrase_search's adjacency.
+
+    Fully stateless vectorized scan (the pii_scrub class): per doc, one
+    cumulative-sum presence profile per term turns "window contains the
+    term" into a range-count > 0 test, so the all-terms check is one
+    boolean AND across k arrays — no shuffle, no driver state, nothing
+    leaves the scan but (doc_id, n_windows) for matching docs."""
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+    tset = list(terms)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        d_out, n_out = [], []
+        for did, text in zip(ids.tolist(), texts):
+            toks = tokenize(text or "")
+            L = len(toks)
+            if L == 0:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            n_starts = max(L - w + 1, 1)
+            ok = np.ones(n_starts, dtype=bool)
+            for t in tset:
+                cs = np.zeros(L + 1, dtype=np.int64)
+                np.cumsum(arr == t, out=cs[1:])
+                ends = np.minimum(np.arange(n_starts) + w, L)
+                ok &= (cs[ends] - cs[:n_starts]) > 0
+                if not ok.any():
+                    break
+            n = int(ok.sum())
+            if n:
+                d_out.append(did)
+                n_out.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "n_windows": pa.array(n_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=4096)
+
+
+def _proximity_sql(terms: tuple[str, ...] = PROX_TERMS, w: int = PROX_W) -> str:
+    conds = " AND ".join(
+        f"list_contains(sp[i : least(i + {w - 1}, len(sp))], '{t}')" for t in terms
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS sp
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i
+  FROM toks,
+       LATERAL UNNEST(generate_series(1, greatest(len(sp) - {w - 1}, 1))) AS t(i)
+  WHERE len(sp) > 0 AND {conds}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY 1
+"""
+
+
+PROXIMITY_SEARCH_SQL = _proximity_sql()
