@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": webgraph.bowtie,
         "price_model": relational3.price_model,
         "proximity_search": webtext.proximity_search,
+        "co_citation": webgraph.co_citation,
+        "embed_gram": embeddings.embed_gram,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -384,6 +386,8 @@ def oracle_sql() -> dict[str, str]:
         "bowtie": webgraph.BOWTIE_SQL,
         "price_model": relational3.PRICE_MODEL_SQL,
         "proximity_search": webtext.PROXIMITY_SEARCH_SQL,
+        "co_citation": webgraph.CO_CITATION_SQL,
+        "embed_gram": embeddings.EMBED_GRAM_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -217,6 +217,8 @@ QUERY_SET = [
     "bowtie",
     "price_model",
     "proximity_search",
+    "co_citation",
+    "embed_gram",
 ]
 
 

@@ -1130,3 +1130,87 @@ SELECT vec_id, cluster, CAST(d2q AS BIGINT) AS d2q,
        CAST(CASE WHEN rn <= nc - (nc * {PP_NUM}) // {PP_DEN} THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM r"""
 )
+
+
+# ---------------------------------------------------------------------------
+# exact Gram matrix (wave 32) — the PCA / covariance front-end
+# ---------------------------------------------------------------------------
+
+
+def embed_gram(sf_dir: str):
+    """Exact Gram matrix of the embedding corpus on the 1e-6 grid:
+    G[i,j] = Σ_rows q_i · q_j with q = floor(x·1e6 + 0.5) (the kmeans /
+    semdedup quantization discipline), upper triangle only (i <= j,
+    1-based to match the SQL twin). This is the distributed front-end of
+    PCA / covariance estimation: mean sums are G's first moments'
+    sibling and the eigensolve is an O(d²) driver step.
+
+    Exactness: per-batch partials are float64 BLAS QᵀQ — exact integer
+    arithmetic while batch_rows · max|q|² < 2^53 (|x| < 0.5 in this
+    corpus → |q| ≤ 5e5 → 8192-row batches bound the partial at ~2e15),
+    asserted fail-loud per batch; partials convert to int64 and combine
+    by grouped sum. A sentinel row carries Σ_batches rows·max|q|² so the
+    driver can certify the GLOBAL int64 budget (each |G[i,j]| is bounded
+    by that total) before returning — overflow cannot pass silently.
+
+    Shape: one streaming scan emitting d(d+1)/2 = 2080 rows per block +
+    one O(d²) grouped sum. Nothing corpus-sized moves."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    iu, ju = np.triu_indices(DIM)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, mat = _emb_matrix(batch)
+        q = np.floor(mat * 1e6 + 0.5)
+        maxq = float(np.abs(q).max(initial=0.0))
+        budget = len(q) * maxq * maxq
+        if budget >= 2**53:
+            raise ValueError(
+                "embed_gram: per-batch float64 exactness budget exceeded "
+                f"({len(q)} rows x max|q|^2 {maxq**2:.3g})"
+            )
+        G = (q.T @ q)[iu, ju].astype(np.int64)
+        i_out = np.r_[iu + 1, [-1]]
+        j_out = np.r_[ju + 1, [-1]]
+        s_out = np.r_[G, [int(budget)]]
+        return pa.table(
+            {
+                "i": pa.array(i_out, type=pa.int64()),
+                "j": pa.array(j_out, type=pa.int64()),
+                "s": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+    summed = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["i", "j"],
+        {"s": ("s", "sum")},
+        num_parts=4,
+    )
+    # O(d^2) rows: certify the global budget on the driver, drop the sentinel
+    tbl = pa.Table.from_pandas(summed.to_pandas(), preserve_index=False)
+    i = tbl.column("i").to_numpy(zero_copy_only=False)
+    s = tbl.column("s").to_numpy(zero_copy_only=False)
+    sent = i == -1
+    if sent.any() and int(s[sent].sum()) >= 2**62:
+        raise ValueError("embed_gram: global int64 budget exceeded")
+    out = tbl.filter(pa.array(~sent))
+    return out.select(["i", "j", "s"]).sort_by([("i", "ascending"), ("j", "ascending")])
+
+
+EMBED_GRAM_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT i, j, CAST(sum(qv[i] * qv[j]) AS BIGINT) AS s
+FROM q,
+     LATERAL UNNEST(generate_series(1, {DIM})) AS t(i),
+     LATERAL UNNEST(generate_series(1, {DIM})) AS u(j)
+WHERE j >= i
+GROUP BY i, j
+"""

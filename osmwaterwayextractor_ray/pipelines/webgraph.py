@@ -3451,3 +3451,55 @@ cls AS (
 SELECT component, CAST(count(*) AS BIGINT) AS n_pages
 FROM cls GROUP BY component
 """
+
+
+# ---------------------------------------------------------------------------
+# co-citation similarity (wave 32)
+# ---------------------------------------------------------------------------
+
+_CC_MIN = 2  # emit pairs co-cited by at least this many pages
+
+
+def co_citation(sf_dir: str):
+    """Co-citation similarity (Small 1973; the "related pages" signal):
+    two pages are co-cited once per page that links BOTH. Returns
+    (page_a, page_b, n_common) with page_a < page_b and n_common >=
+    _CC_MIN — the classic bibliometric couple of the link graph.
+
+    Plan: every linker's out-list yields its unordered dst pairs
+    (``bucketed_pairs`` — the LSH candidate primitive, grouped by
+    src_page), and ONE ``pair_counts`` shuffle sums multiplicities:
+    n_common IS the co-citation count. Out-degree bounds the per-group
+    pair fan-out (the synthesized graph's fan-out is O(_LINK_RULES)), so
+    no all-pairs stage exists; at 100 TB a max_group stop-band guards
+    viral hub linkers the same way the near-dup plans guard stop
+    shingles."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import bucketed_pairs, pair_counts
+
+    n_docs = _n_docs(sf_dir)
+    pairs = bucketed_pairs(
+        _edge_list(sf_dir, n_docs),
+        ["src_page"],
+        "dst_page",
+        "page_a",
+        "page_b",
+        num_parts=16,
+    )
+    counted = pair_counts(pairs, "page_a", "page_b", "n_common", num_parts=16)
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_common"], _CC_MIN)),
+        batch_format="pyarrow",
+    )
+
+
+CO_CITATION_SQL = f"""
+WITH {_EDGES_CTE}
+SELECT e1.dst_page AS page_a, e2.dst_page AS page_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM edges e1 JOIN edges e2
+  ON e1.src_page = e2.src_page AND e1.dst_page < e2.dst_page
+GROUP BY 1, 2
+HAVING count(*) >= {_CC_MIN}
+"""
