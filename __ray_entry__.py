@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": webtext.proximity_search,
         "co_citation": webgraph.co_citation,
         "embed_gram": embeddings.embed_gram,
+        "funnel_conversion": relational3.funnel_conversion,
+        "retention_cohorts": relational3.retention_cohorts,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -388,6 +390,8 @@ def oracle_sql() -> dict[str, str]:
         "proximity_search": webtext.PROXIMITY_SEARCH_SQL,
         "co_citation": webgraph.CO_CITATION_SQL,
         "embed_gram": embeddings.EMBED_GRAM_SQL,
+        "funnel_conversion": relational3.FUNNEL_CONVERSION_SQL,
+        "retention_cohorts": relational3.RETENTION_COHORTS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

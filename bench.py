@@ -219,6 +219,8 @@ QUERY_SET = [
     "proximity_search",
     "co_citation",
     "embed_gram",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -1176,3 +1176,201 @@ SELECT CAST(n AS BIGINT) AS n_orders,
             AS BIGINT) AS intercept_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion + retention cohorts (wave 33)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_W_US = 72 * 3600 * 1_000_000  # max gap between consecutive steps
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def funnel_conversion(sf_dir: str):
+    """Classic funnel analysis over the event stream: how many users
+    reach each step of view -> click -> purchase, where every successive
+    step must occur within _FUNNEL_W_US of the previous one. The chain
+    is GREEDY-EARLIEST (t1 = first view; t2 = first click in
+    [t1, t1+W]; t3 = first purchase in [t2, t2+W]) so the result is a
+    pure function of the data. Returns (step, n_users), 3 rows.
+
+    Shape: one filtered scan (only funnel-step types leave it), one
+    user-hash co-group; inside each bucket the three chained
+    first-after-within lookups are packed-key searchsorteds (the
+    purchase_attribution device — key = uid<<51 | ts_us), no per-user
+    loop; O(3 x buckets) partial rows reach the final grouped sum."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.is_in(batch["event_type"], value_set=pa.array(list(_FUNNEL_STEPS)))
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((uid % 16).astype(np.int64), type=pa.int64())
+        )
+
+    def chain(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"step": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ety = g.column("event_type").to_pylist()
+        key = (uid << np.int64(51)) | ts
+
+        def sorted_type(name):
+            m = np.asarray([e == name for e in ety])
+            k = np.sort(key[m])
+            return k, (k >> np.int64(51))
+
+        vk, vu = sorted_type(_FUNNEL_STEPS[0])
+        # first view per user: run starts in the sorted (uid, ts) keys
+        if len(vk):
+            starts = np.flatnonzero(np.r_[True, vu[1:] != vu[:-1]])
+            users = vu[starts]
+            t_cur = vk[starts] & np.int64((1 << 51) - 1)
+        else:
+            users = np.empty(0, dtype=np.int64)
+            t_cur = users
+        mask = np.int64((1 << 51) - 1)
+        counts = [len(users)]
+        for step_name in _FUNNEL_STEPS[1:]:
+            sk, su = sorted_type(step_name)
+            if not len(sk):
+                users = t_cur = np.empty(0, dtype=np.int64)
+                counts.append(0)
+                continue
+            # first same-user event at ts >= t_cur: searchsorted-left on
+            # the packed key (uid prefix keeps the probe inside the user)
+            want = (users << np.int64(51)) | t_cur
+            idx = np.searchsorted(sk, want, side="left")
+            ok = idx < len(sk)
+            safe = np.clip(idx, 0, len(sk) - 1)
+            nxt_t = sk[safe] & mask
+            ok &= (su[safe] == users) & (nxt_t <= t_cur + _FUNNEL_W_US)
+            users, t_cur = users[ok], nxt_t[ok]
+            counts.append(len(users))
+        return pa.table(
+            {
+                "step": pa.array([1, 2, 3], type=pa.int64()),
+                "n": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(chain, batch_format="pyarrow")
+    )
+    return grouped_agg(partials, ["step"], {"n_users": ("n", "sum")}, num_parts=2)
+
+
+FUNNEL_CONVERSION_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT v.user_id, min(e.ts) AS t2
+  FROM v JOIN events e ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts >= v.t1 AND epoch_us(e.ts) <= epoch_us(v.t1) + {_FUNNEL_W_US}
+  GROUP BY 1
+),
+p AS (
+  SELECT c.user_id, min(e.ts) AS t3
+  FROM c JOIN events e ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts >= c.t2 AND epoch_us(e.ts) <= epoch_us(c.t2) + {_FUNNEL_W_US}
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def retention_cohorts(sf_dir: str):
+    """Retention-cohort matrix: users grouped by first-activity week,
+    counted per week-offset of later activity — the standard
+    retention triangle. Weeks are pure integer arithmetic
+    (epoch_us // week_us), so engine and SQL agree exactly. Returns
+    (cohort_week, week_offset, n_users).
+
+    Shape: one distinct (user, week) shuffle; the cohort (min week per
+    user) rides a grouped min over that distinct set; one lookup_join
+    attaches it back; final O(weeks²) grouped count."""
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        distinct,
+        grouped_agg,
+        lookup_join,
+    )
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def weeks(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "wk": pa.array(ts // _WEEK_US, type=pa.int64()),
+            }
+        )
+
+    uw = distinct(
+        ds.map_batches(weeks, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "wk"],
+        num_parts=16,
+    )
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    uw = pin(uw, "retention_uw")
+    coh = grouped_agg(uw, ["user_id"], {"cwk": ("wk", "min")}, num_parts=16)
+    joined = lookup_join(
+        uw, coh, "user_id", "user_id", {"cwk": "cwk"},
+        num_parts=16,
+        left_schema=pa.schema([("user_id", pa.int64()), ("wk", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()), ("cwk", pa.int64())]),
+    )
+
+    def offs(t: pa.Table) -> pa.Table:
+        wk = t.column("wk").to_numpy(zero_copy_only=False)
+        cwk = t.column("cwk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(cwk, type=pa.int64()),
+                "week_offset": pa.array(wk - cwk, type=pa.int64()),
+                "one": pa.array(np.ones(len(wk), dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(offs, batch_format="pyarrow"),
+        ["cohort_week", "week_offset"],
+        {"n_users": ("one", "sum")},
+        num_parts=4,
+    )
+
+
+RETENTION_COHORTS_SQL = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+),
+coh AS (SELECT user_id, min(wk) AS cwk FROM uw GROUP BY 1)
+SELECT CAST(coh.cwk AS BIGINT) AS cohort_week,
+       CAST(uw.wk - coh.cwk AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
