@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_gram": embeddings.embed_gram,
         "funnel_conversion": relational3.funnel_conversion,
         "retention_cohorts": relational3.retention_cohorts,
+        "doc_entropy": webtext.doc_entropy,
+        "bigram_lm_quality": webtext.bigram_lm_quality,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -392,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
         "embed_gram": embeddings.EMBED_GRAM_SQL,
         "funnel_conversion": relational3.FUNNEL_CONVERSION_SQL,
         "retention_cohorts": relational3.RETENTION_COHORTS_SQL,
+        "doc_entropy": webtext.DOC_ENTROPY_SQL,
+        "bigram_lm_quality": webtext.BIGRAM_LM_QUALITY_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

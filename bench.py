@@ -221,6 +221,8 @@ QUERY_SET = [
     "embed_gram",
     "funnel_conversion",
     "retention_cohorts",
+    "doc_entropy",
+    "bigram_lm_quality",
 ]
 
 

@@ -2958,3 +2958,327 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY 1
 
 
 PROXIMITY_SEARCH_SQL = _proximity_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy (wave 34)
+# ---------------------------------------------------------------------------
+
+
+def doc_entropy(sf_dir: str):
+    """Unigram token entropy per document in INTEGER micro-nats:
+    ent_micro = Σ_t c_t · floor(ln(N/c_t)·1e6) over the doc's own token
+    counts (N = doc token total) — the repetitiveness / diversity
+    quality signal (a low-entropy doc is boilerplate or spam; compare
+    gopher_filter's repetition fractions). The per-term floor runs on
+    the IDENTICAL float64 expression in engine and oracle (the
+    lm_quality libm device), so per-doc sums are exact int64. Returns
+    (doc_id, n_tokens, ent_micro) for docs with >= 1 token.
+
+    Stateless single-pass map_batches — no shuffle, no driver state."""
+    import math
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        d_out, n_out, e_out = [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            toks = tokenize(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            # run-length counts via one sort (no dict churn)
+            arr = np.sort(np.asarray(toks, dtype=object))
+            seg = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+            c = np.diff(np.r_[seg, n])
+            ent = sum(
+                int(ci) * math.floor(math.log(n / int(ci)) * 1_000_000)
+                for ci in c
+            )
+            d_out.append(did)
+            n_out.append(n)
+            e_out.append(ent)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, type=pa.int64()),
+                "n_tokens": pa.array(n_out, type=pa.int64()),
+                "ent_micro": pa.array(e_out, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=8192)
+
+
+DOC_ENTROPY_SQL = r"""
+WITH doc_toks AS (
+  SELECT doc_id, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM doc_toks GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.doc_id, n.n AS n_tokens,
+       CAST(sum(c.c * CAST(floor(ln(CAST(n.n AS DOUBLE) / c.c) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS ent_micro
+FROM c JOIN n USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring (wave 34)
+# ---------------------------------------------------------------------------
+
+_LM2_SLICE_MOD = 10
+_LM2_V_CAP = 65536
+_LM2_SCALE = 1_000_000
+
+
+def bigram_lm_quality(sf_dir: str):
+    """Bigram language-model quality scoring — the KenLM-shaped upgrade
+    of lm_quality: train Laplace-smoothed bigram costs on the
+    doc_id % 10 == 0 slice and score EVERY document, in INTEGER
+    micro-nats so per-doc sums are exact int64 and block-structure
+    invariant.
+
+    Token space: the slice's top-V unigram vocabulary (count desc, token
+    asc — the lm_quality cut, re-keyed by token so per-block partials
+    are sound); out-of-vocab tokens map to one OOV id, and each doc is
+    conditioned on a BOS id (so a doc with n tokens scores exactly n
+    bigrams). With V' = |vocab| + 1 possible right-side outcomes:
+
+      cost(w1,w2) = floor(-ln((c12+1) / (c1(w1)+V'+1)) · 1e6)
+
+    where c12 / c1 are bigram / context counts over the MAPPED slice
+    stream (c1 = Σ_w2 c12, so one shuffle feeds both), and unseen
+    contexts fall out of the same expression with c12 = c1 = 0 — the
+    engine evaluates the IDENTICAL float64 expression as the DuckDB
+    twin per distinct case. Returns (doc_id, n_bigrams, lm2_cost) for
+    docs with >= 1 token.
+
+    Shape: one token-hash unigram shuffle (vocab), one (k1,k2)-hash
+    bigram shuffle over the SLICE, O(distinct mapped bigrams) driver
+    rows for the broadcast cost table (bounded in mapped space; the
+    big-table twin is a lookup_join of corpus bigrams against the cost
+    table — the bpe_encode device), then the corpus streams through one
+    vectorized index_in + searchsorted pass."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    # --- phase 1: slice unigram counts -> top-V vocabulary ---
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for did, t in zip(ids.tolist(), texts):
+            if did % _LM2_SLICE_MOD == 0:
+                toks.extend(tokenize(t or ""))
+        tbl = pa.table({"tok": pa.array(toks, type=pa.string())})
+        return (
+            tbl.group_by("tok", use_threads=False)
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "n"])
+        )
+
+    ucounts = grouped_agg(
+        ds.map_batches(uni_partial, batch_format="pyarrow", batch_size=8192),
+        ["tok"],
+        {"c": ("n", "sum")},
+        num_parts=16,
+    )
+
+    def partial_topv(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch.column("tok").to_pylist(), dtype=object)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        o = np.lexsort((tok, -c))[:_LM2_V_CAP]
+        return pa.table(
+            {
+                "tok": pa.array(tok[o].tolist(), type=pa.string()),
+                "c": pa.array(c[o], type=pa.int64()),
+            }
+        )
+
+    gdf = ucounts.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    tok_all = gdf["tok"].to_numpy(dtype=object)
+    c_all = gdf["c"].to_numpy(dtype=np.int64)
+    o = np.lexsort((tok_all, -c_all))[:_LM2_V_CAP]
+    vocab_tok = tok_all[o]
+    V = len(vocab_tok)
+    OOV, BOS = V, V + 1  # mapped ids
+    Vp = V + 1  # possible right-side outcomes (vocab + OOV)
+    vocab_arr = pa.array(vocab_tok.tolist(), type=pa.string())
+    vref = ray.put(vocab_arr)
+
+    def _mapped_bigrams(ids, texts, voc, only_slice: bool):
+        """Flattened (doc_id, left, right) mapped-bigram arrays."""
+        flat: list[str] = []
+        nt = []
+        keep_ids = []
+        for did, t in zip(ids.tolist(), texts):
+            if only_slice and did % _LM2_SLICE_MOD != 0:
+                continue
+            tk = tokenize(t or "")
+            if not tk:
+                continue
+            keep_ids.append(did)
+            nt.append(len(tk))
+            flat.extend(tk)
+        if not keep_ids:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        nt = np.asarray(nt, dtype=np.int64)
+        idx = pc.index_in(pa.array(flat, type=pa.string()), value_set=voc)
+        iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        iv[iv < 0] = OOV
+        starts = np.cumsum(nt) - nt
+        left = np.empty_like(iv)
+        left[1:] = iv[:-1]
+        left[starts] = BOS
+        docs = np.repeat(np.asarray(keep_ids, dtype=np.int64), nt)
+        return docs, left, iv, nt
+
+    # --- phase 2: slice bigram counts (one (k1,k2) shuffle) ---
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        voc = ray.get(vref)
+        _, left, right, _ = _mapped_bigrams(ids, texts, voc, True)
+        tbl = pa.table(
+            {
+                "k1": pa.array(left, type=pa.int64()),
+                "k2": pa.array(right, type=pa.int64()),
+            }
+        )
+        return (
+            tbl.group_by(["k1", "k2"], use_threads=False)
+            .aggregate([("k2", "count")])
+            .rename_columns(["k1", "k2", "n"])
+        )
+
+    bdf = grouped_agg(
+        ds.map_batches(bi_partial, batch_format="pyarrow", batch_size=8192),
+        ["k1", "k2"],
+        {"c": ("n", "sum")},
+        num_parts=16,
+    ).to_pandas()
+
+    # driver: O(distinct mapped bigrams) rows -> packed cost table
+    k1 = bdf["k1"].to_numpy(dtype=np.int64)
+    k2 = bdf["k2"].to_numpy(dtype=np.int64)
+    c12 = bdf["c"].to_numpy(dtype=np.int64)
+    c1 = np.zeros(V + 2, dtype=np.int64)
+    np.add.at(c1, k1, c12)
+    keys = k1 * (V + 2) + k2
+    o = np.argsort(keys, kind="stable")
+    keys, k1s, c12s = keys[o], k1[o], c12[o]
+    den = c1[k1s] + Vp + 1
+    hit_cost = np.fromiter(
+        (
+            math.floor(-math.log((int(a) + 1) / int(b)) * _LM2_SCALE)
+            for a, b in zip(c12s, den)
+        ),
+        dtype=np.int64,
+        count=len(c12s),
+    )
+    miss_cost = np.fromiter(
+        (
+            math.floor(-math.log(1 / int(b)) * _LM2_SCALE)
+            for b in (c1 + Vp + 1)
+        ),
+        dtype=np.int64,
+        count=V + 2,
+    )
+    cref = ray.put((vocab_arr, keys, hit_cost, miss_cost))
+
+    # --- phase 3: score every document ---
+    def score(batch: pa.Table) -> pa.Table:
+        voc, ky, hc, mc = ray.get(cref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        docs, left, right, nt = _mapped_bigrams(ids, texts, voc, False)
+        if not len(docs):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_bigrams": pa.array([], type=pa.int64()),
+                    "lm2_cost": pa.array([], type=pa.int64()),
+                }
+            )
+        want = left * (V + 2) + right
+        pos = np.searchsorted(ky, want)
+        safe = np.clip(pos, 0, max(len(ky) - 1, 0))
+        hit = (pos < len(ky)) & (ky[safe] == want) if len(ky) else np.zeros(len(want), bool)
+        cost = np.where(hit, hc[safe] if len(ky) else 0, mc[left])
+        starts = np.cumsum(nt) - nt
+        uids = docs[starts]
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_bigrams": pa.array(nt, type=pa.int64()),
+                "lm2_cost": pa.array(
+                    np.add.reduceat(cost, starts), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+
+BIGRAM_LM_QUALITY_SQL = f"""
+WITH sl_toks AS (
+  SELECT u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+  WHERE doc_id % {_LM2_SLICE_MOD} = 0
+),
+uc AS (SELECT tok, count(*) AS c FROM sl_toks GROUP BY tok),
+vocab AS (SELECT tok FROM uc ORDER BY c DESC, tok LIMIT {_LM2_V_CAP}),
+nv AS (SELECT count(*) AS V FROM vocab),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                     x -> x <> '') AS sp
+  FROM documents
+),
+mapped AS (
+  SELECT t.doc_id, i.i,
+         CASE WHEN v.tok IS NOT NULL THEN t2.tok ELSE chr(2) END AS mtok
+  FROM toks t,
+       LATERAL UNNEST(generate_series(1, len(t.sp))) AS i(i),
+       LATERAL (SELECT t.sp[i.i] AS tok) AS t2
+  LEFT JOIN vocab v ON v.tok = t2.tok
+),
+bigrams AS (
+  SELECT a.doc_id, a.mtok AS w1, b.mtok AS w2
+  FROM mapped a JOIN mapped b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  UNION ALL
+  SELECT doc_id, chr(1) AS w1, mtok AS w2 FROM mapped WHERE i = 1
+),
+sl_bi AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams
+  WHERE doc_id % {_LM2_SLICE_MOD} = 0 GROUP BY 1, 2
+),
+sl_ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM sl_bi GROUP BY 1)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(floor(-ln(CAST(COALESCE(sb.c12, 0) + 1 AS DOUBLE)
+                               / (COALESCE(sc.c1, 0) + nv.V + 2))
+                           * {_LM2_SCALE}) AS BIGINT)) AS BIGINT) AS lm2_cost
+FROM bigrams g
+CROSS JOIN nv
+LEFT JOIN sl_bi sb ON sb.w1 = g.w1 AND sb.w2 = g.w2
+LEFT JOIN sl_ctx sc ON sc.w1 = g.w1
+GROUP BY g.doc_id
+"""
