@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": relational3.retention_cohorts,
         "doc_entropy": webtext.doc_entropy,
         "bigram_lm_quality": webtext.bigram_lm_quality,
+        "zipf_fit": webtext.zipf_fit,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": relational3.RETENTION_COHORTS_SQL,
         "doc_entropy": webtext.DOC_ENTROPY_SQL,
         "bigram_lm_quality": webtext.BIGRAM_LM_QUALITY_SQL,
+        "zipf_fit": webtext.ZIPF_FIT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -223,6 +223,7 @@ QUERY_SET = [
     "retention_cohorts",
     "doc_entropy",
     "bigram_lm_quality",
+    "zipf_fit",
 ]
 
 

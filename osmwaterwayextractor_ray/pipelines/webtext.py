@@ -3282,3 +3282,184 @@ LEFT JOIN sl_bi sb ON sb.w1 = g.w1 AND sb.w2 = g.w2
 LEFT JOIN sl_ctx sc ON sc.w1 = g.w1
 GROUP BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the corpus token distribution (wave 35)
+# ---------------------------------------------------------------------------
+
+_ZF_SCALE = 1000  # milli-nat grid for x=ln(rank), y=ln(count)
+_ZF_OUT = 1_000_000  # coefficient output scale
+
+
+def zipf_fit(sf_dir: str):
+    """Zipf-law fit: least-squares slope of ln(count) on ln(rank) over
+    the corpus's distinct-token frequency table — the classic corpus
+    health check (natural text ≈ -1; synthetic/spammy token streams
+    deviate). Composition of three repo devices:
+
+      1. one token-hash shuffle -> (token, count), pinned;
+      2. EXACT global rank by (count desc, token asc) via the
+         coarse-bucket offset device (perplexity_buckets): bucket key =
+         (count, first token byte) so the byte prefix subdivides the
+         long count=1 tail (no hot group holds the whole tail), driver
+         sees O(distinct counts x 256) offset integers;
+      3. per-bucket milli-nat quantization x = floor(ln(rank)·1e3),
+         y = floor(ln(count)·1e3) (np.log == DuckDB ln bit-for-bit, the
+         host_keywords precedent) and int64 moment partials feeding the
+         price_model Cramer solve (truncating division = DuckDB //).
+
+    Returns one row (n_tokens, slope_micro, intercept_micro) — the
+    intercept is in milli-nat y units, both coefficients scaled by 1e6.
+    Int64 budget: |x|,|y| <= ~3e4 on the milli grid, so even 1e9-token
+    groups keep Σx² < 1e18."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+    from osmwaterwayextractor_ray.pipelines.relational3 import _trunc_div
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(tokenize(t or ""))
+        tbl = pa.table({"tok": pa.array(toks, type=pa.string())})
+        return (
+            tbl.group_by("tok", use_threads=False)
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "n"])
+        )
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(tok_partial, batch_format="pyarrow", batch_size=8192),
+            ["tok"],
+            {"c": ("n", "sum")},
+            num_parts=16,
+        ),
+        "zipf_counts",
+    )
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        tok = batch.column("tok").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        p = np.asarray([t.encode()[0] for t in tok], dtype=np.int64)
+        tbl = pa.table(
+            {
+                "c": pa.array(c, type=pa.int64()),
+                "p": pa.array(p, type=pa.int64()),
+            }
+        )
+        return (
+            tbl.group_by(["c", "p"], use_threads=False)
+            .aggregate([("p", "count")])
+            .rename_columns(["c", "p", "n"])
+        )
+
+    cdf = (
+        grouped_agg(
+            counts.map_batches(coarse, batch_format="pyarrow"),
+            ["c", "p"],
+            {"n": ("n", "sum")},
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["c", "p"], ascending=[False, True])
+    )
+    ex = np.cumsum(cdf["n"].to_numpy()) - cdf["n"].to_numpy()
+    offs = {
+        (int(c), int(p)): int(o)
+        for c, p, o in zip(cdf["c"], cdf["p"], ex)
+    }
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tok = batch.column("tok").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        p = np.asarray([t.encode()[0] for t in tok], dtype=np.int64)
+        return pa.table(
+            {
+                "tok": batch["tok"],
+                "c": pa.array(c, type=pa.int64()),
+                "__g": pa.array(c * 256 + p, type=pa.int64()),
+            }
+        )
+
+    def moments(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({k: pa.array([], type=pa.int64())
+                             for k in ("n", "sx", "sy", "sxx", "sxy")})
+        tok = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        gid = int(g.column("__g")[0].as_py())
+        base = offs[(gid // 256, gid % 256)]
+        order = np.argsort(tok, kind="stable")
+        rank = np.empty(len(tok), dtype=np.int64)
+        rank[order] = base + np.arange(1, len(tok) + 1, dtype=np.int64)
+        x = np.floor(np.log(rank.astype(np.float64)) * _ZF_SCALE).astype(np.int64)
+        y = np.floor(np.log(c.astype(np.float64)) * _ZF_SCALE).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(moments, batch_format="pyarrow")
+        .take_all()
+    )
+    n = sum(int(p["n"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("zipf_fit: degenerate rank design (single token?)")
+    return pa.table(
+        {
+            "n_tokens": pa.array([n], type=pa.int64()),
+            "slope_micro": pa.array(
+                [_trunc_div((n * sxy - sx * sy) * _ZF_OUT, den)], type=pa.int64()
+            ),
+            "intercept_micro": pa.array(
+                [_trunc_div((sxx * sy - sx * sxy) * _ZF_OUT, den)], type=pa.int64()
+            ),
+        }
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM c),
+xy AS (
+  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * {_ZF_SCALE}) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * {_ZF_SCALE}) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(((n * sxy - sx * sy) * {_ZF_OUT}) // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_micro,
+       CAST(((sxx * sy - sx * sxy) * {_ZF_OUT}) // (n * sxx - sx * sx)
+            AS BIGINT) AS intercept_micro
+FROM s
+"""
