@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": webtext.doc_entropy,
         "bigram_lm_quality": webtext.bigram_lm_quality,
         "zipf_fit": webtext.zipf_fit,
+        "basket_pairs": relational3.basket_pairs,
+        "media_dedup": multimodal.media_dedup,
+        # sketch-defined (HyperANF-derived); rows-only in the driver
+        "effective_diameter": webgraph.effective_diameter,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -398,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": webtext.DOC_ENTROPY_SQL,
         "bigram_lm_quality": webtext.BIGRAM_LM_QUALITY_SQL,
         "zipf_fit": webtext.ZIPF_FIT_SQL,
+        "basket_pairs": relational3.BASKET_PAIRS_SQL,
+        "media_dedup": multimodal.MEDIA_DEDUP_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -224,6 +224,9 @@ QUERY_SET = [
     "doc_entropy",
     "bigram_lm_quality",
     "zipf_fit",
+    "basket_pairs",
+    "media_dedup",
+    "effective_diameter",
 ]
 
 

@@ -284,3 +284,58 @@ def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(path, columns=columns, **kw)
+
+
+def media_dedup(sf_dir: str):
+    """Exact binary-payload dedup — the media-modality twin of
+    textops.dedup_exact: group the opaque payload column by its XXH64
+    content hash (the binary blob itself never needs to compare equal in
+    Python), keep the min doc_id per group, and report the copy count
+    and payload size. Returns (doc_id, n_copies, n_bytes).
+
+    Shape: one hash-keyed grouped_agg over (doc_id, h, n_bytes) — the
+    payload leaves the scan ONLY as its 64-bit hash + length, so the
+    shuffle moves 24 bytes/row no matter how wide the media blobs are
+    (the pruned-shuffle discipline for multimodal columns)."""
+    from osmwaterwayextractor_ray.functions.hashing import xxh64
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    media = media_from_documents(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        h = np.fromiter(
+            (xxh64(p) for p in payloads), dtype=np.uint64, count=len(payloads)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+                "n_bytes": pa.array(
+                    np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                                count=len(payloads)),
+                    type=pa.int64(),
+                ),
+                "one": pa.array(np.ones(len(payloads), dtype=np.int64)),
+            }
+        )
+
+    hashed = media.map_batches(add_hash, batch_format="pyarrow")
+    agg = grouped_agg(
+        hashed,
+        ["h"],
+        {
+            "doc_id": ("doc_id", "min"),
+            "n_copies": ("one", "sum"),
+            "n_bytes": ("n_bytes", "min"),
+        },
+        num_parts=16,
+    )
+    return agg.select_columns(["doc_id", "n_copies", "n_bytes"])
+
+
+MEDIA_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents GROUP BY text
+"""

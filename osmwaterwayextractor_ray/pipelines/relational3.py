@@ -1374,3 +1374,149 @@ SELECT CAST(coh.cwk AS BIGINT) AS cohort_week,
 FROM uw JOIN coh USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity (wave 36)
+# ---------------------------------------------------------------------------
+
+_BK_MIN_SUP = 10  # minimum co-order support
+
+
+def basket_pairs(sf_dir: str):
+    """Market-basket affinity over part types (the Apriori 2-itemset
+    pass): for every pair of part types co-ordered in >= _BK_MIN_SUP
+    orders, the pair support, both singleton supports, the order
+    universe size, and an EXACT positive-lift flag
+    (n_both · n_orders > n_a · n_b — integer cross-multiplication, the
+    orders_above_cust_avg device; no float lift). Returns (type_a,
+    type_b, n_both, n_a, n_b, n_orders, lift_positive), type_a < type_b.
+
+    Shape: the fact table joins the part dimension with a partitioned
+    lookup_join, collapses to DISTINCT (order, type_id) (one shuffle),
+    then the order-grouped pair expansion is ONE bucketed_pairs +
+    pair_counts pass (per-order fan-out is bounded by the basket size).
+    Type ids are assigned from the SORTED distinct type list (O(types)
+    driver rows), so the int pair order IS the string pair order."""
+    import pyarrow.compute as pc
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pairs,
+        distinct,
+        grouped_agg,
+        lookup_join,
+        pair_counts,
+    )
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    li = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = _read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+
+    types = sorted(
+        distinct(part, ["p_type"], num_parts=4)
+        .to_pandas()["p_type"]
+        .tolist()
+    )
+    tid_of = {t: i for i, t in enumerate(types)}
+    tref = ray.put(pa.array(types, type=pa.string()))
+
+    typed = lookup_join(
+        li, part, "l_partkey", "p_partkey", {"p_type": "p_type"},
+        num_parts=16,
+        left_schema=pa.schema([("l_orderkey", pa.int64()), ("l_partkey", pa.int64())]),
+        right_schema=pa.schema([("p_partkey", pa.int64()), ("p_type", pa.string())]),
+    )
+
+    def to_tid(t: pa.Table) -> pa.Table:
+        voc = ray.get(tref)
+        idx = pc.index_in(t["p_type"], value_set=voc)
+        return pa.table(
+            {
+                "o": t["l_orderkey"],
+                "tid": pa.array(
+                    idx.to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    ot = pin(
+        distinct(
+            typed.map_batches(to_tid, batch_format="pyarrow"),
+            ["o", "tid"],
+            num_parts=16,
+        ),
+        "basket_ot",
+    )
+
+    n_orders = distinct(ot, ["o"], num_parts=16).count()
+    singles = grouped_agg(
+        ot.map_batches(
+            lambda t: pa.table(
+                {"tid": t["tid"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["tid"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()  # O(types) rows
+    n_t = np.zeros(len(types), dtype=np.int64)
+    n_t[singles["tid"].to_numpy()] = singles["n"].to_numpy()
+    sref = ray.put(n_t)
+
+    pairs = bucketed_pairs(ot, ["o"], "tid", "ta", "tb", num_parts=16)
+    counted = pair_counts(pairs, "ta", "tb", "n_both", num_parts=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        voc = ray.get(tref)
+        nt = ray.get(sref)
+        t = t.filter(pc.greater_equal(t["n_both"], _BK_MIN_SUP))
+        ta = t.column("ta").to_numpy(zero_copy_only=False)
+        tb = t.column("tb").to_numpy(zero_copy_only=False)
+        nb = t.column("n_both").to_numpy(zero_copy_only=False)
+        na_, nb_ = nt[ta], nt[tb]
+        lift = (nb.astype(object) * n_orders > na_.astype(object) * nb_).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "type_a": pc.take(voc, pa.array(ta, type=pa.int64())),
+                "type_b": pc.take(voc, pa.array(tb, type=pa.int64())),
+                "n_both": pa.array(nb, type=pa.int64()),
+                "n_a": pa.array(na_, type=pa.int64()),
+                "n_b": pa.array(nb_, type=pa.int64()),
+                "n_orders": pa.array(
+                    np.full(len(ta), n_orders, dtype=np.int64), type=pa.int64()
+                ),
+                "lift_positive": pa.array(lift, type=pa.int64()),
+            }
+        )
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+BASKET_PAIRS_SQL = f"""
+WITH ot AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_type AS t
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n AS (SELECT count(DISTINCT o) AS n_orders FROM ot),
+s AS (SELECT t, count(*) AS n_t FROM ot GROUP BY t),
+pr AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+  FROM ot a JOIN ot b ON a.o = b.o AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(sa.n_t AS BIGINT) AS n_a, CAST(sb.n_t AS BIGINT) AS n_b,
+       CAST(n.n_orders AS BIGINT) AS n_orders,
+       CAST(CASE WHEN n_both * n.n_orders > sa.n_t * sb.n_t
+                 THEN 1 ELSE 0 END AS BIGINT) AS lift_positive
+FROM pr
+JOIN s sa ON sa.t = pr.type_a
+JOIN s sb ON sb.t = pr.type_b
+CROSS JOIN n
+WHERE n_both >= {_BK_MIN_SUP}
+"""

@@ -3503,3 +3503,51 @@ FROM edges e1 JOIN edges e2
 GROUP BY 1, 2
 HAVING count(*) >= {_CC_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# effective diameter (wave 37)
+# ---------------------------------------------------------------------------
+
+_ED_NUM, _ED_DEN = 9, 10  # 90th-percentile effective diameter
+
+
+def effective_diameter(sf_dir: str):
+    """Effective diameter of the link graph (Boldi–Rosa–Vigna): the
+    interpolated hop count at which the HyperANF neighborhood function
+    reaches 90% of its final value — THE one-number connectivity summary
+    a crawl audit wants. Derived entirely from hyperanf()'s O(hops)
+    output rows; the interpolation runs in exact integer micro-units
+    (nf_est · 1e6 is integral by hyperanf's quantization contract, and
+    the fraction is one truncating division), so the result is as
+    deterministic as the sketch itself. Returns one row
+    (eff_diameter_micro, nf_final_micro, n_nodes).
+
+    Sketch-defined (no SQL twin — rows-only in the driver); pinned
+    against exact BFS effective diameters in tests."""
+    from osmwaterwayextractor_ray.pipelines.relational3 import _trunc_div
+
+    anf = hyperanf(sf_dir).to_pandas().sort_values("t")
+    nf_micro = [int(round(v * 1e6)) for v in anf["nf_est"]]
+    n_nodes = int(anf["n_nodes"].iloc[0])
+    target_num = _ED_NUM * nf_micro[-1]  # compare via cross-multiplication
+    d_micro = len(nf_micro) - 1
+    d_micro *= 1_000_000
+    for h, cur in enumerate(nf_micro):
+        if _ED_DEN * cur >= target_num:
+            if h == 0:
+                d_micro = 0
+                break
+            prev = nf_micro[h - 1]
+            num = target_num - _ED_DEN * prev
+            den = _ED_DEN * (cur - prev)
+            frac = _trunc_div(num * 1_000_000, den) if den else 0
+            d_micro = (h - 1) * 1_000_000 + frac
+            break
+    return pa.table(
+        {
+            "eff_diameter_micro": pa.array([d_micro], type=pa.int64()),
+            "nf_final_micro": pa.array([nf_micro[-1]], type=pa.int64()),
+            "n_nodes": pa.array([n_nodes], type=pa.int64()),
+        }
+    )
