@@ -214,7 +214,8 @@ QUERY_SET = [
     "hyperanf",
     "scc",
     "nb_langid",
-    "bowtie",
+    # bowtie is excluded: it re-runs scc + two more full fixpoints (~25 s
+    # at sf0.1/32) and scc already represents the FW-BW family here
     "price_model",
     "proximity_search",
     "co_citation",

@@ -3013,7 +3013,7 @@ def _int_sum(ds, col: str) -> int:
     )
 
 
-def _min_label_fixpoint(lab, e_tbl, along: str, name: str):
+def _min_label_fixpoint(lab, e_tbl, along: str, name: str, num_parts: int = 8):
     """Min-label fixpoint over (page_id, lab) with pointer jumping.
     ``along='out'``: label flows dst -> src (forward reachability);
     'in': src -> dst (backward reachability). Labels must be node ids
@@ -3030,7 +3030,7 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str):
     for it in range(_SCC_MAX_PROP):
         via_edges = lookup_join(
             e_tbl, lab, attach_key, "page_id", {"lab": "lab"},
-            num_parts=8, left_schema=_E_SCHEMA, right_schema=_L_SCHEMA,
+            num_parts=num_parts, left_schema=_E_SCHEMA, right_schema=_L_SCHEMA,
         ).map_batches(
             lambda t: t.select([group_key, "lab"]).rename_columns(
                 ["page_id", "lab"]
@@ -3045,7 +3045,7 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str):
         # more than the saved iterations.
         via_ptr = lookup_join(
             lab, lab, "lab", "page_id", {"lab": "__jump"},
-            num_parts=8, left_schema=_L_SCHEMA, right_schema=_L_SCHEMA,
+            num_parts=num_parts, left_schema=_L_SCHEMA, right_schema=_L_SCHEMA,
         ).map_batches(
             lambda t: t.select(["page_id", "__jump"]).rename_columns(
                 ["page_id", "lab"]
@@ -3057,7 +3057,7 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str):
                 via_edges.union(via_ptr),
                 ["page_id"],
                 {"lab": ("lab", "min")},
-                num_parts=8,
+                num_parts=num_parts,
             ),
             f"{name}_{it}",
         )
