@@ -1163,7 +1163,7 @@ def embed_gram(sf_dir: str):
     iu, ju = np.triu_indices(DIM)
 
     def partial(batch: pa.Table) -> pa.Table:
-        _, mat = _emb_matrix(batch)
+        ids, mat = _emb_matrix(batch)
         q = np.floor(mat * 1e6 + 0.5)
         maxq = float(np.abs(q).max(initial=0.0))
         budget = len(q) * maxq * maxq
@@ -1173,8 +1173,12 @@ def embed_gram(sf_dir: str):
                 f"({len(q)} rows x max|q|^2 {maxq**2:.3g})"
             )
         G = (q.T @ q)[iu, ju].astype(np.int64)
+        # sentinel key j = -(first vec_id)-2: unique per batch (vec_ids are
+        # unique and batches disjoint), so the grouped int64 sum NEVER adds
+        # two budgets — the certification total is summed in Python ints on
+        # the driver and cannot wrap
         i_out = np.r_[iu + 1, [-1]]
-        j_out = np.r_[ju + 1, [-1]]
+        j_out = np.r_[ju + 1, [-(int(ids[0]) if len(ids) else 0) - 2]]
         s_out = np.r_[G, [int(budget)]]
         return pa.table(
             {
@@ -1195,7 +1199,7 @@ def embed_gram(sf_dir: str):
     i = tbl.column("i").to_numpy(zero_copy_only=False)
     s = tbl.column("s").to_numpy(zero_copy_only=False)
     sent = i == -1
-    if sent.any() and int(s[sent].sum()) >= 2**62:
+    if sent.any() and sum(int(x) for x in s[sent]) >= 2**62:
         raise ValueError("embed_gram: global int64 budget exceeded")
     out = tbl.filter(pa.array(~sent))
     return out.select(["i", "j", "s"]).sort_by([("i", "ascending"), ("j", "ascending")])

@@ -3070,7 +3070,30 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str, num_parts: int = 8):
     )
 
 
-def scc(sf_dir: str):
+def _scc_inputs(sf_dir: str, n_docs: int, prefix: str = "scc"):
+    """Pinned (active page set, self-looped distinct edge list) pair —
+    the FW-BW working graph, shared by scc and bowtie."""
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    def selfloop(t: pa.Table) -> pa.Table:
+        return pa.table({"src_page": t["page_id"], "dst_page": t["page_id"]})
+
+    active = pin(
+        _read_documents(sf_dir, ["doc_id"]).map_batches(
+            lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
+        ),
+        f"{prefix}_act0",
+    )
+    edges = pin(
+        _edge_list(sf_dir, n_docs).union(
+            active.map_batches(selfloop, batch_format="pyarrow")
+        ),
+        f"{prefix}_e0",
+    )
+    return active, edges
+
+
+def scc(sf_dir: str, _pre=None):
     """Strongly connected components of the directed link graph by
     iterative FORWARD-BACKWARD COLORING (Fleischer/Hendrickson/Pinar
     FW-BW, Orzan's coloring — both public), with POINTER JUMPING
@@ -3119,21 +3142,12 @@ def scc(sf_dir: str):
     lab_schema = pa.schema([("page_id", pa.int64()), ("F", pa.int64())])
     act_schema = pa.schema([("page_id", pa.int64())])
 
-    def selfloop(t: pa.Table) -> pa.Table:
-        return pa.table({"src_page": t["page_id"], "dst_page": t["page_id"]})
-
-    active = pin(
-        _read_documents(sf_dir, ["doc_id"]).map_batches(
-            lambda t: t.rename_columns(["page_id"]), batch_format="pyarrow"
-        ),
-        "scc_act0",
-    )
-    edges = pin(
-        _edge_list(sf_dir, n_docs).union(
-            active.map_batches(selfloop, batch_format="pyarrow")
-        ),
-        "scc_e0",
-    )
+    if _pre is not None:
+        # caller (bowtie) already pinned the (active, self-looped edge)
+        # pair — reuse instead of re-running the extraction
+        active, edges = _pre
+    else:
+        active, edges = _scc_inputs(sf_dir, n_docs)
 
     int_sum = _int_sum
     min_labels = _min_label_fixpoint
@@ -3284,7 +3298,8 @@ def bowtie(sf_dir: str):
     from osmwaterwayextractor_ray.stages.pin import pin
 
     n_docs = _n_docs(sf_dir)
-    sccs = pin(scc(sf_dir), "bt_scc")
+    active, sl_edges = _scc_inputs(sf_dir, n_docs, prefix="bt")
+    sccs = pin(scc(sf_dir, _pre=(active, sl_edges)), "bt_scc")
 
     # largest SCC: per-block partial top-1 by (n desc, scc_id asc)
     sizes = grouped_agg(
@@ -3320,26 +3335,17 @@ def bowtie(sf_dir: str):
     i = np.lexsort((cand["scc_id"].to_numpy(), -cand["n"].to_numpy()))[0]
     core_id = int(cand["scc_id"].iloc[i])
 
-    def selfloop(t: pa.Table) -> pa.Table:
-        return pa.table({"src_page": t["page_id"], "dst_page": t["page_id"]})
-
-    pages = sccs.map_batches(
-        lambda t: t.select(["page_id"]), batch_format="pyarrow"
-    )
     virtual = ray.data.from_arrow(
         pa.table(
             {"src_page": pa.array([-1], type=pa.int64()),
              "dst_page": pa.array([-1], type=pa.int64())}
         )
     )
-    base_edges = pin(
-        _edge_list(sf_dir, n_docs)
-        .union(pages.map_batches(selfloop, batch_format="pyarrow"))
-        .union(virtual),
-        "bt_e0",
-    )
+    # sl_edges already carries the per-page self-loops scc needs; only the
+    # virtual node's self-loop is new
+    base_edges = pin(sl_edges.union(virtual), "bt_ev")
     lab0 = pin(
-        pages.map_batches(
+        active.map_batches(
             lambda t: pa.table({"page_id": t["page_id"], "lab": t["page_id"]}),
             batch_format="pyarrow",
         ).union(
@@ -3376,8 +3382,6 @@ def bowtie(sf_dir: str):
         left_schema=pa.schema([("page_id", pa.int64()), ("scc_id", pa.int64())]),
         right_schema=_L_SCHEMA,
     )
-    from osmwaterwayextractor_ray.stages.fastagg import joined_schema
-
     withFB = lookup_join(
         withF, minB, "page_id", "page_id", {"lab": "b"},
         num_parts=8,

@@ -42,6 +42,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
@@ -2707,6 +2708,10 @@ def nb_langid(sf_dir: str):
         )
 
     gdf = gcounts.map_batches(partial_topv, batch_format="pyarrow").to_pandas()
+    if gdf.empty or "tok" not in gdf.columns:
+        # zero slice tokens: ray's to_pandas drops columns on an empty
+        # dataset (the wave-21 gotcha) — degrade to an empty vocabulary
+        gdf = pd.DataFrame({"tok": [], "gc": []})
     tok_all = gdf["tok"].to_numpy(dtype=object)
     c_all = gdf["gc"].to_numpy(dtype=np.int64)
     o = np.lexsort((tok_all, -c_all))[:_NB_V_CAP]
@@ -2723,6 +2728,8 @@ def nb_langid(sf_dir: str):
         return batch.filter(keep)
 
     vc = counts.map_batches(vocab_counts, batch_format="pyarrow").to_pandas()
+    if vc.empty or "tok" not in vc.columns:
+        vc = pd.DataFrame({"lang": [], "tok": [], "c": []})
     C = np.zeros((V, L), dtype=np.int64)
     lpos = {lang: j for j, lang in enumerate(langs)}
     for lang, tok, c in zip(vc["lang"], vc["tok"], vc["c"]):
@@ -2753,6 +2760,20 @@ def nb_langid(sf_dir: str):
     )
     lang_arr = np.asarray(langs, dtype=object)
     ref = ray.put((vocab_arr, Q, oov, prior, lang_arr))
+    if L == 0:
+        # empty train slice: no classes to score against (the SQL twin's
+        # prior_cost CTE is empty too, so the grid yields no rows)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array([], type=pa.string()),
+                    "pred_lang": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                }
+            )
+        )
 
     def score(batch: pa.Table) -> pa.Table:
         voc, q_tab, oov_t, prior_t, lg_arr = ray.get(ref)
@@ -2783,7 +2804,12 @@ def nb_langid(sf_dir: str):
         if len(flat):
             idx = pc.index_in(pa.array(flat, type=pa.string()), value_set=voc)
             iv = idx.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
-            qg = np.where(iv[:, None] >= 0, q_tab[np.maximum(iv, 0)], oov_t[None, :])
+            if len(q_tab):
+                qg = np.where(
+                    iv[:, None] >= 0, q_tab[np.maximum(iv, 0)], oov_t[None, :]
+                )
+            else:  # empty vocabulary: every token is OOV
+                qg = np.tile(oov_t, (len(iv), 1))
             nt_k = nt[pos]
             starts = np.cumsum(nt_k) - nt_k
             total[pos] += np.add.reduceat(qg, starts, axis=0)
@@ -3254,8 +3280,10 @@ toks AS (
   FROM documents
 ),
 mapped AS (
+  -- real tokens carry a 't' prefix so the bare '1' (BOS) / '2' (OOV)
+  -- sentinels cannot collide with literal control-character tokens
   SELECT t.doc_id, i.i,
-         CASE WHEN v.tok IS NOT NULL THEN t2.tok ELSE chr(2) END AS mtok
+         CASE WHEN v.tok IS NOT NULL THEN 't' || t2.tok ELSE '2' END AS mtok
   FROM toks t,
        LATERAL UNNEST(generate_series(1, len(t.sp))) AS i(i),
        LATERAL (SELECT t.sp[i.i] AS tok) AS t2
@@ -3265,7 +3293,7 @@ bigrams AS (
   SELECT a.doc_id, a.mtok AS w1, b.mtok AS w2
   FROM mapped a JOIN mapped b ON b.doc_id = a.doc_id AND b.i = a.i + 1
   UNION ALL
-  SELECT doc_id, chr(1) AS w1, mtok AS w2 FROM mapped WHERE i = 1
+  SELECT doc_id, '1' AS w1, mtok AS w2 FROM mapped WHERE i = 1
 ),
 sl_bi AS (
   SELECT w1, w2, count(*) AS c12 FROM bigrams

@@ -136,3 +136,26 @@ def test_nb_langid_sf0001_shape(ray_session):
     assert int(got["n_docs"].sum()) == 450
     assert set(got["lang"]) <= {"de", "en", "es", "fr", "zh"}
     assert set(got["pred_lang"]) <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_nb_langid_empty_slice_vocab(ray_session, tmp_path_factory):
+    """Train slice with zero tokens: every held-out token is OOV and the
+    classifier degrades to the prior (engine must not crash on the
+    zero-row cost matrix — review regression)."""
+    texts = ["", "", "alpha beta", "gamma", ""]
+    # doc 0 is the only slice doc and has no tokens
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["aa", "bb", "bb", "aa", "bb"],
+            "source": "s0",
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    d = tmp_path_factory.mktemp("nb_empty_vocab")
+    df.to_parquet(d / "documents.parquet", index=False)
+    got = webtext.nb_langid(str(d)).to_pandas()
+    # one class ('aa' from doc 0) -> every held-out doc predicted 'aa'
+    assert set(got["pred_lang"]) == {"aa"}
+    assert int(got["n_docs"].sum()) == 4
