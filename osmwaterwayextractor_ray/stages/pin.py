@@ -45,6 +45,19 @@ def _spill(ds, name: str):
     path = os.path.join(root, f"{name}-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
+    if not any(f.endswith(".parquet") for f in os.listdir(path)):
+        # write_parquet emits NO files for an empty dataset and
+        # read_parquet refuses an empty dir — iterative pipelines (scc's
+        # peel rounds, bowtie) legitimately pin empty intermediates, so
+        # hand back a typed empty dataset instead
+        import pyarrow as pa
+
+        schema = ds.schema()
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=f.type) for f in pa.schema(schema.base_schema)],
+            schema=pa.schema(schema.base_schema),
+        )
+        return rd.from_arrow(empty)
     return rd.read_parquet(path, file_extensions=["parquet"])
 
 

@@ -21,7 +21,10 @@ def _canon(res) -> pd.DataFrame:
      # the per-iteration-re-pin graph family (waves 18-19): parquet mode is
      # their between-iteration checkpoint story at 100 TB
      "k_core", "crawl_depth", "random_walks", "clustering_coeff",
-     "corpus_datasheet"],
+     "corpus_datasheet",
+     # waves 28-37 pin users: the FW-BW fixpoints, the near-dup-family
+     # additions, and the rank devices
+     "scc", "bowtie", "trustrank", "hyperanf", "zipf_fit", "retention_cohorts"],
 )
 def test_pin_mode_invariance(qname, monkeypatch, tmp_path):
     import __ray_entry__ as em
