@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": multimodal.media_dedup,
         # sketch-defined (HyperANF-derived); rows-only in the driver
         "effective_diameter": webgraph.effective_diameter,
+        "events_percent_rank": relational3.events_percent_rank,
+        "fk_violations": relational3.fk_violations,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -404,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": webtext.ZIPF_FIT_SQL,
         "basket_pairs": relational3.BASKET_PAIRS_SQL,
         "media_dedup": multimodal.MEDIA_DEDUP_SQL,
+        "events_percent_rank": relational3.EVENTS_PERCENT_RANK_SQL,
+        "fk_violations": relational3.FK_VIOLATIONS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

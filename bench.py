@@ -228,6 +228,8 @@ QUERY_SET = [
     "basket_pairs",
     "media_dedup",
     "effective_diameter",
+    "events_percent_rank",
+    "fk_violations",
 ]
 
 

@@ -1520,3 +1520,194 @@ JOIN s sb ON sb.t = pr.type_b
 CROSS JOIN n
 WHERE n_both >= {_BK_MIN_SUP}
 """
+
+
+# ---------------------------------------------------------------------------
+# percent_rank window + referential-integrity audit (wave 38)
+# ---------------------------------------------------------------------------
+
+
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) in
+    EXACT integer micro-units: pr_micro = ((rank-1)·1e6) // (n-1) with
+    SQL RANK tie semantics (equal values share the rank of their first
+    row) and pr_micro = 0 for single-row partitions — no float ranks
+    anywhere, so the result is bit-identical under any block structure.
+    Returns (event_id, event_type, pr_micro).
+
+    One type-hash bucket shuffle; each bucket resolves all its types
+    with one lexsort + run-boundary rank arithmetic (the ntile plan)."""
+    N_PARTS = 8
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # deterministic content hash — Python's hash() is per-process
+        # randomized and would split one type across groups
+        from osmwaterwayextractor_ray.functions.hashing import text_hash64
+
+        et = batch.column("event_type").to_pylist()
+        h = text_hash64(et).view(np.int64) & np.int64(0x7FFFFFFF)
+        return batch.append_column(
+            "__part", pa.array(h % N_PARTS, type=pa.int64())
+        )
+
+    def prank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "pr_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        v = g.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, et))
+        et, eid, v = et[order], eid[order], v[order]
+        tstart = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+        sizes = np.diff(np.r_[tstart, len(et)])
+        pos = np.arange(len(et), dtype=np.int64) - np.repeat(tstart, sizes)
+        # RANK ties: a row's rank is the position of the first row with an
+        # equal (type, value)
+        vstart = np.flatnonzero(
+            np.r_[True, (et[1:] != et[:-1]) | (v[1:] != v[:-1])]
+        )
+        vsizes = np.diff(np.r_[vstart, len(et)])
+        rank0 = np.repeat(pos[vstart], vsizes)  # 0-based shared rank
+        n = np.repeat(sizes, sizes)
+        pr = np.where(n > 1, (rank0 * 1_000_000) // np.maximum(n - 1, 1), 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "event_type": pa.array(et.tolist(), type=pa.string()),
+                "pr_micro": pa.array(pr, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(prank, batch_format="pyarrow")
+    )
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       CAST(CASE WHEN cnt > 1 THEN ((rnk - 1) * 1000000) // (cnt - 1)
+                 ELSE 0 END AS BIGINT) AS pr_micro
+FROM (
+  SELECT event_id, event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+"""
+
+
+_FK_RELATIONS = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_violations(sf_dir: str):
+    """Referential-integrity audit — the data-quality gate every ingest
+    pipeline runs before training-data joins: for each declared FK edge,
+    the number of child ROWS whose key has no parent. Returns
+    (relation, n_orphans), one row per edge, zero counts included.
+
+    Shape per edge: the child collapses to (key, row_count) partials in
+    one skinny grouped_agg (the shuffle moves O(distinct keys), never
+    the fact rows), parent keys collapse to a distinct set, and ONE
+    lookup_join + filtered sum yields the orphan row count — the exact
+    anti-join-count plan (Bloom screens can't give exact counts)."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        distinct,
+        grouped_agg,
+        lookup_join,
+    )
+
+    names, counts = [], []
+    for name, child, ckey, parent, pkey in _FK_RELATIONS:
+        ch = _read_pq(f"{sf_dir}/{child}.parquet", columns=[ckey])
+
+        def norm(t: pa.Table, _k=ckey) -> pa.Table:
+            k = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "k": pa.array(k, type=pa.int64()),
+                    "one": pa.array(np.ones(len(k), dtype=np.int64)),
+                }
+            )
+
+        ckeys = grouped_agg(
+            ch.map_batches(norm, batch_format="pyarrow"),
+            ["k"],
+            {"n": ("one", "sum")},
+            num_parts=8,
+        )
+        pk = _read_pq(f"{sf_dir}/{parent}.parquet", columns=[pkey])
+
+        def pnorm(t: pa.Table, _k=pkey) -> pa.Table:
+            k = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"k": pa.array(k, type=pa.int64())})
+
+        pkeys = distinct(
+            pk.map_batches(pnorm, batch_format="pyarrow"), ["k"], num_parts=8
+        ).map_batches(
+            lambda t: t.append_column(
+                "present", pa.array(np.ones(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        from osmwaterwayextractor_ray.stages.pin import pin
+
+        ckeys = pin(ckeys, f"fk_{child}_{ckey}")
+        # lookup_join is INNER: orphan rows = total child rows - matched
+        joined = lookup_join(
+            ckeys, pkeys, "k", "k", {"present": "present"},
+            num_parts=8,
+            left_schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+            right_schema=pa.schema([("k", pa.int64()), ("present", pa.int64())]),
+        )
+
+        def n_sum(ds) -> int:
+            def part(t: pa.Table) -> pa.Table:
+                n = t.column("n").to_numpy(zero_copy_only=False)
+                return pa.table({"s": pa.array([int(n.sum())], type=pa.int64())})
+
+            return sum(
+                int(p["s"])
+                for p in ds.map_batches(part, batch_format="pyarrow").take_all()
+            )
+
+        names.append(name)
+        counts.append(n_sum(ckeys) - n_sum(joined))
+    return pa.table(
+        {
+            "relation": pa.array(names, type=pa.string()),
+            "n_orphans": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+FK_VIOLATIONS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pkey} = c.{ckey})) AS BIGINT)
+       AS n_orphans"""
+    for name, child, ckey, parent, pkey in _FK_RELATIONS
+)
