@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": webgraph.effective_diameter,
         "events_percent_rank": relational3.events_percent_rank,
         "fk_violations": relational3.fk_violations,
+        "vocab_drift": webtext.vocab_drift,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -408,6 +409,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup": multimodal.MEDIA_DEDUP_SQL,
         "events_percent_rank": relational3.EVENTS_PERCENT_RANK_SQL,
         "fk_violations": relational3.FK_VIOLATIONS_SQL,
+        "vocab_drift": webtext.VOCAB_DRIFT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

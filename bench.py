@@ -230,6 +230,7 @@ QUERY_SET = [
     "effective_diameter",
     "events_percent_rank",
     "fk_violations",
+    "vocab_drift",
 ]
 
 

@@ -3491,3 +3491,131 @@ SELECT CAST(n AS BIGINT) AS n_tokens,
             AS BIGINT) AS intercept_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary drift screen (wave 39)
+# ---------------------------------------------------------------------------
+
+_VD_NUM, _VD_DEN = 1, 10  # flag when |rate_a - rate_b| > 10% of their sum
+
+
+def vocab_drift(sf_dir: str):
+    """Token-distribution drift screen between two corpus slices (the
+    train-data drift detector every continuously-ingesting pipeline
+    runs): slice A = even doc_id, slice B = odd doc_id; a token is
+    DRIFTED when its rate asymmetry exceeds _VD_NUM/_VD_DEN of the
+    combined rate — evaluated as one exact integer cross-multiplication
+
+      _VD_DEN · |o_a·N_b − o_b·N_a|  >  _VD_NUM · (o_a·N_b + o_b·N_a)
+
+    (no float rates; products run in Python big ints inside the
+    per-block kernel, so 1e12-token slices cannot overflow). Returns
+    (tok, o_a, o_b, drifted) for every token in either slice.
+
+    Shape: ONE token-hash shuffle of (tok, slice) count partials; the
+    O(langs)-style totals ride an O(blocks) driver sum; the flag kernel
+    is a streaming map over the counts table."""
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        sl: list[int] = []
+        for did, t in zip(ids.tolist(), texts):
+            s = did % 2
+            for tk in tokenize(t or ""):
+                toks.append(tk)
+                sl.append(s)
+        tbl = pa.table(
+            {
+                "tok": pa.array(toks, type=pa.string()),
+                "s": pa.array(sl, type=pa.int64()),
+            }
+        )
+        out = (
+            tbl.group_by(["tok", "s"], use_threads=False)
+            .aggregate([("s", "count")])
+            .rename_columns(["tok", "s", "n"])
+        )
+        s_arr = out.column("s").to_numpy(zero_copy_only=False)
+        n_arr = out.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tok": out["tok"],
+                "o_a": pa.array(np.where(s_arr == 0, n_arr, 0), type=pa.int64()),
+                "o_b": pa.array(np.where(s_arr == 1, n_arr, 0), type=pa.int64()),
+            }
+        )
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+            ["tok"],
+            {"o_a": ("o_a", "sum"), "o_b": ("o_b", "sum")},
+            num_parts=16,
+        ),
+        "vocab_drift_counts",
+    )
+
+    def tot(ds_, col):
+        def part(t: pa.Table) -> pa.Table:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int(v.sum())], type=pa.int64())})
+
+        return sum(
+            int(p["s"]) for p in ds_.map_batches(part, batch_format="pyarrow").take_all()
+        )
+
+    n_a, n_b = tot(counts, "o_a"), tot(counts, "o_b")
+
+    def flag(t: pa.Table) -> pa.Table:
+        oa = t.column("o_a").to_numpy(zero_copy_only=False)
+        ob = t.column("o_b").to_numpy(zero_copy_only=False)
+        dr = np.fromiter(
+            (
+                int(
+                    _VD_DEN * abs(int(a) * n_b - int(b) * n_a)
+                    > _VD_NUM * (int(a) * n_b + int(b) * n_a)
+                )
+                for a, b in zip(oa, ob)
+            ),
+            dtype=np.int64,
+            count=len(oa),
+        )
+        return pa.table(
+            {
+                "tok": t["tok"],
+                "o_a": pa.array(oa, type=pa.int64()),
+                "o_b": pa.array(ob, type=pa.int64()),
+                "drifted": pa.array(dr, type=pa.int64()),
+            }
+        )
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
+VOCAB_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS s, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+c AS (
+  SELECT tok,
+         CAST(count(*) FILTER (s = 0) AS HUGEINT) AS o_a,
+         CAST(count(*) FILTER (s = 1) AS HUGEINT) AS o_b
+  FROM toks GROUP BY tok
+),
+n AS (SELECT CAST(sum(o_a) AS HUGEINT) AS n_a, CAST(sum(o_b) AS HUGEINT) AS n_b FROM c)
+SELECT tok, CAST(o_a AS BIGINT) AS o_a, CAST(o_b AS BIGINT) AS o_b,
+       CAST(CASE WHEN {_VD_DEN} * abs(o_a * n.n_b - o_b * n.n_a)
+                      > {_VD_NUM} * (o_a * n.n_b + o_b * n.n_a)
+                 THEN 1 ELSE 0 END AS BIGINT) AS drifted
+FROM c CROSS JOIN n
+"""
