@@ -18,12 +18,14 @@ def _make_docs():
     # 'afresh'/'bfresh' exist in only one slice (extreme drift)
     texts = []
     for i in range(40):
+        # both slices emit 7 tokens/doc so slice TOTALS are equal and the
+        # balanced controls really are rate-balanced
         words = ["stable", "stable", "common"]
         if i % 2 == 0:
             words += ["spamword"] * 3 + ["afresh"]
         else:
-            words += ["spamword"] if i % 4 == 1 else []
-            words += ["bfresh"]
+            words += ["spamword", "pad"] if i % 4 == 1 else ["pad", "pad"]
+            words += ["bfresh", "pad"]
         texts.append(" ".join(words))
     return pd.DataFrame(
         {
