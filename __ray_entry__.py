@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": relational3.events_percent_rank,
         "fk_violations": relational3.fk_violations,
         "vocab_drift": webtext.vocab_drift,
+        "hourly_active_users": relational3.hourly_active_users,
+        "dedup_numnorm": textops.dedup_numnorm,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -410,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "events_percent_rank": relational3.EVENTS_PERCENT_RANK_SQL,
         "fk_violations": relational3.FK_VIOLATIONS_SQL,
         "vocab_drift": webtext.VOCAB_DRIFT_SQL,
+        "hourly_active_users": relational3.HOURLY_ACTIVE_USERS_SQL,
+        "dedup_numnorm": textops.DEDUP_NUMNORM_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -231,6 +231,8 @@ QUERY_SET = [
     "events_percent_rank",
     "fk_violations",
     "vocab_drift",
+    "hourly_active_users",
+    "dedup_numnorm",
 ]
 
 

@@ -1711,3 +1711,57 @@ FK_VIOLATIONS_SQL = "\nUNION ALL\n".join(
        AS n_orphans"""
     for name, child, ckey, parent, pkey in _FK_RELATIONS
 )
+
+
+# ---------------------------------------------------------------------------
+# hourly active users (wave 40)
+# ---------------------------------------------------------------------------
+
+_HOUR_US_ = 3600 * 1_000_000
+
+
+def hourly_active_users(sf_dir: str):
+    """Exact distinct active users per hour — the canonical streaming
+    dashboard aggregate, done exactly: one DISTINCT (hour, user) shuffle
+    (the skinny pair is all that moves) + an O(hours) grouped count.
+    Hours are integer epoch_us // 3600e6 so engine and twin agree
+    exactly. Returns (hour, n_users)."""
+    from osmwaterwayextractor_ray.stages.fastagg import distinct, grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def hours(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "hour": pa.array(ts // _HOUR_US_, type=pa.int64()),
+                "user_id": t["user_id"],
+            }
+        )
+
+    hu = distinct(
+        ds.map_batches(hours, batch_format="pyarrow", batch_size=65536),
+        ["hour", "user_id"],
+        num_parts=16,
+    )
+    return grouped_agg(
+        hu.map_batches(
+            lambda t: pa.table(
+                {"hour": t["hour"], "one": pa.array(np.ones(t.num_rows, dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["hour"],
+        {"n_users": ("one", "sum")},
+        num_parts=8,
+    )
+
+
+HOURLY_ACTIVE_USERS_SQL = f"""
+SELECT epoch_us(ts) // {_HOUR_US_} AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""

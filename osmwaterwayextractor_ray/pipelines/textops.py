@@ -2207,3 +2207,55 @@ SELECT a.doc_id AS id_a, c.doc_id AS id_b,
 FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
 WHERE levenshtein(a.head, c.head) <= {_ED_D}
 """
+
+
+# ---------------------------------------------------------------------------
+# digit-normalized template dedup (wave 40)
+# ---------------------------------------------------------------------------
+
+
+def dedup_numnorm(sf_dir: str):
+    """Number-agnostic exact dedup (the CCNet normalization trick):
+    replace every digit with '0' before hashing, so templated documents
+    that differ only in numbers ('Chapter 1 ...' / 'Chapter 2 ...',
+    timestamps, counters) collapse into one group. Keeps the min doc_id
+    per normalized class and reports the class size. Returns (doc_id,
+    n_variants).
+
+    Same scale shape as dedup_exact: the corpus leaves the scan only as
+    a 64-bit normalized-content hash, ONE hash-keyed grouped_agg."""
+    import pyarrow.compute as pc
+
+    from osmwaterwayextractor_ray.functions.hashing import text_hash64
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            batch.column("text").combine_chunks(), pattern=r"[0-9]", replacement="0"
+        )
+        texts = ["" if t is None else t for t in norm.to_pylist()]
+        h = text_hash64(texts)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "h": pa.array(h.view(np.int64), type=pa.int64()),
+                "one": pa.array(np.ones(len(texts), dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=8192),
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "n_variants": ("one", "sum")},
+        num_parts=16,
+    ).select_columns(["doc_id", "n_variants"])
+
+
+DEDUP_NUMNORM_SQL = """
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
+FROM (SELECT doc_id, regexp_replace(COALESCE(text, ''), '[0-9]', '0', 'g') AS t
+      FROM documents)
+GROUP BY t
+"""
