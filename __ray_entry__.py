@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": webtext.vocab_drift,
         "hourly_active_users": relational3.hourly_active_users,
         "dedup_numnorm": textops.dedup_numnorm,
+        "grouped_percentiles": relational3.grouped_percentiles,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -414,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": webtext.VOCAB_DRIFT_SQL,
         "hourly_active_users": relational3.HOURLY_ACTIVE_USERS_SQL,
         "dedup_numnorm": textops.DEDUP_NUMNORM_SQL,
+        "grouped_percentiles": relational3.GROUPED_PERCENTILES_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

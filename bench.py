@@ -233,6 +233,7 @@ QUERY_SET = [
     "vocab_drift",
     "hourly_active_users",
     "dedup_numnorm",
+    "grouped_percentiles",
 ]
 
 

@@ -1765,3 +1765,151 @@ SELECT epoch_us(ts) // {_HOUR_US_} AS hour,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact grouped percentiles (wave 41)
+# ---------------------------------------------------------------------------
+
+_GP_PCTS = (50, 90, 99)  # reported percentiles
+_GP_SHIFT = 8  # coarse value-bucket width = 2^8 cents
+
+
+def grouped_percentiles(sf_dir: str):
+    """EXACT per-group percentiles (percentile_disc semantics: the value
+    at rank ceil(p·n) under (value asc) order) of event value cents per
+    event_type — the exact twin of the t-digest sketch query, built on
+    the coarse-bucket rank device (zipf_fit / perplexity_buckets):
+
+      1. one (type, cents>>_GP_SHIFT) bucket-count shuffle; the driver
+         sees O(types x occupied buckets) integers and computes
+         exclusive offsets + the target ranks ceil(p·n_t);
+      2. a second grouped pass over the SAME bucket key: each bucket
+         locally sorts its cents and emits exactly the target ranks that
+         land inside it — fully distributed, nothing value-sized reaches
+         the driver even when every row shares one bucket.
+
+    Returns (event_type, pct, cents). Integer ranks end-to-end: no
+    float quantile interpolation to drift."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(cents, type=pa.int64()),
+                "b": pa.array(cents >> _GP_SHIFT, type=pa.int64()),
+            }
+        )
+
+    rows = pin(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "gp_rows",
+    )
+    bcounts = (
+        grouped_agg(
+            rows.map_batches(
+                lambda t: pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "b": t["b"],
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["event_type", "b"],
+            {"n": ("one", "sum")},
+            num_parts=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "b"])
+    )
+    offs: dict[tuple[str, int], int] = {}
+    targets: dict[str, list[tuple[int, int]]] = {}
+    for et, grp in bcounts.groupby("event_type"):
+        c = grp["n"].to_numpy()
+        ex = np.cumsum(c) - c
+        for b, o in zip(grp["b"].to_numpy(), ex):
+            offs[(et, int(b))] = int(o)
+        n = int(c.sum())
+        targets[et] = [(p, (n * p + 99) // 100) for p in _GP_PCTS]
+
+    import ray
+
+    ref = ray.put((offs, targets))
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        from osmwaterwayextractor_ray.functions.hashing import text_hash64
+
+        h = text_hash64([f"{e}|{x}" for e, x in zip(et, b)]).view(np.int64)
+        return t.append_column(
+            "__part", pa.array((h & 0x7FFFFFFF) % 1024, type=pa.int64())
+        )
+
+    def pick(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "pct": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64()),
+                }
+            )
+        o_map, t_map = ray.get(ref)
+        et_all = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        b_all = g.column("b").to_numpy(zero_copy_only=False)
+        c_all = g.column("cents").to_numpy(zero_copy_only=False)
+        out_e, out_p, out_c = [], [], []
+        # a __part group may hold several (type, bucket) keys: resolve runs
+        order = np.lexsort((c_all, b_all, et_all))
+        et_all, b_all, c_all = et_all[order], b_all[order], c_all[order]
+        seg = np.flatnonzero(
+            np.r_[True, (et_all[1:] != et_all[:-1]) | (b_all[1:] != b_all[:-1])]
+        )
+        sizes = np.diff(np.r_[seg, len(et_all)])
+        for s, ln in zip(seg, sizes):
+            et, b = et_all[s], int(b_all[s])
+            o = o_map[(et, b)]
+            for p, r in t_map[et]:
+                if o < r <= o + ln:
+                    out_e.append(et)
+                    out_p.append(p)
+                    out_c.append(int(c_all[s + (r - o) - 1]))
+        return pa.table(
+            {
+                "event_type": pa.array(out_e, type=pa.string()),
+                "pct": pa.array(out_p, type=pa.int64()),
+                "cents": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    return (
+        rows.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+GROUPED_PERCENTILES_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+{" UNION ALL ".join(
+    f"SELECT event_type, CAST({p} AS BIGINT) AS pct, cents FROM r "
+    f"WHERE rn = (n * {p} + 99) // 100"
+    for p in _GP_PCTS
+)}
+"""

@@ -74,3 +74,50 @@ def test_dedup_numnorm_collapses_more_than_exact(ray_session):
     norm = textops.dedup_numnorm(sf).to_pandas()
     assert len(norm) <= len(exact)
     assert int(norm["n_variants"].sum()) == 500  # every doc classified once
+
+
+# ---------------------------------------------------------------------------
+# grouped_percentiles (wave 41)
+# ---------------------------------------------------------------------------
+
+
+def _brute_gp(values_by_type):
+    out = {}
+    for et, vals in values_by_type.items():
+        cents = sorted(int(round(v * 100)) for v in vals)
+        n = len(cents)
+        for p in relational3._GP_PCTS:
+            out[(et, p)] = cents[(n * p + 99) // 100 - 1]
+    return out
+
+
+def test_grouped_percentiles_bruteforce(ray_session, tmp_path_factory):
+    rng = np.random.RandomState(11)
+    vals = {
+        "a": rng.uniform(0, 300, 157).round(2).tolist(),
+        # degenerate: every value identical -> ONE coarse bucket holds all
+        "b": [7.77] * 40,
+        # tiny partition + ties at the boundary
+        "c": [1.0, 1.0, 2.0],
+    }
+    rows = [(et, v) for et, vs in vals.items() for v in vs]
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "props": "",
+        }
+    )
+    d = tmp_path_factory.mktemp("gp_events")
+    ev.to_parquet(d / "events.parquet", index=False)
+    want = _brute_gp(vals)
+    got = relational3.grouped_percentiles(str(d)).to_pandas()
+    got_d = {
+        (r["event_type"], int(r["pct"])): int(r["cents"])
+        for _, r in got.iterrows()
+    }
+    assert got_d == want
+    assert got_d[("b", 50)] == got_d[("b", 99)] == 777
