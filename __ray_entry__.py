@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_active_users": relational3.hourly_active_users,
         "dedup_numnorm": textops.dedup_numnorm,
         "grouped_percentiles": relational3.grouped_percentiles,
+        "vocab_coverage": webtext.vocab_coverage,
+        "prefix_index": webtext.prefix_index,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -416,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_active_users": relational3.HOURLY_ACTIVE_USERS_SQL,
         "dedup_numnorm": textops.DEDUP_NUMNORM_SQL,
         "grouped_percentiles": relational3.GROUPED_PERCENTILES_SQL,
+        "vocab_coverage": webtext.VOCAB_COVERAGE_SQL,
+        "prefix_index": webtext.PREFIX_INDEX_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

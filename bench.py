@@ -234,6 +234,8 @@ QUERY_SET = [
     "hourly_active_users",
     "dedup_numnorm",
     "grouped_percentiles",
+    "vocab_coverage",
+    "prefix_index",
 ]
 
 

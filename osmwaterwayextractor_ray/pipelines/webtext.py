@@ -3619,3 +3619,225 @@ SELECT tok, CAST(o_a AS BIGINT) AS o_a, CAST(o_b AS BIGINT) AS o_b,
                  THEN 1 ELSE 0 END AS BIGINT) AS drifted
 FROM c CROSS JOIN n
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve + prefix index (wave 42)
+# ---------------------------------------------------------------------------
+
+_VC_KS = (1, 5, 10, 20, 50)  # vocabulary sizes on the coverage curve
+_PI_MAXLEN = 4  # prefix lengths 1.._PI_MAXLEN
+
+
+def vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve: for each candidate vocabulary size k,
+    how many corpus token OCCURRENCES the top-k tokens (count desc,
+    token asc) cover — the classic tokenizer-budget audit (what does a
+    32k vocab buy?). Exact integers end-to-end: the zipf_fit
+    coarse-bucket device gives every token its exact global rank, each
+    bucket emits per-k covered-count partials, and one O(buckets x |K|)
+    grouped sum finishes. Returns (k, covered, total)."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(tokenize(t or ""))
+        tbl = pa.table({"tok": pa.array(toks, type=pa.string())})
+        return (
+            tbl.group_by("tok", use_threads=False)
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "n"])
+        )
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(tok_partial, batch_format="pyarrow", batch_size=8192),
+            ["tok"],
+            {"c": ("n", "sum")},
+            num_parts=16,
+        ),
+        "vc_counts",
+    )
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        tok = batch.column("tok").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        p = np.asarray([t.encode()[0] for t in tok], dtype=np.int64)
+        tbl = pa.table(
+            {
+                "c": pa.array(c, type=pa.int64()),
+                "p": pa.array(p, type=pa.int64()),
+            }
+        )
+        return (
+            tbl.group_by(["c", "p"], use_threads=False)
+            .aggregate([("p", "count")])
+            .rename_columns(["c", "p", "n"])
+        )
+
+    cdf = (
+        grouped_agg(
+            counts.map_batches(coarse, batch_format="pyarrow"),
+            ["c", "p"],
+            {"n": ("n", "sum")},
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["c", "p"], ascending=[False, True])
+    )
+    ex = np.cumsum(cdf["n"].to_numpy()) - cdf["n"].to_numpy()
+    offs = {
+        (int(c), int(p)): int(o) for c, p, o in zip(cdf["c"], cdf["p"], ex)
+    }
+    import ray
+
+    oref = ray.put(offs)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        tok = batch.column("tok").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        p = np.asarray([t.encode()[0] for t in tok], dtype=np.int64)
+        return pa.table(
+            {
+                "tok": batch["tok"],
+                "c": pa.array(c, type=pa.int64()),
+                "__g": pa.array(c * 256 + p, type=pa.int64()),
+            }
+        )
+
+    def cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()),
+                 "cov": pa.array([], type=pa.int64()),
+                 "tot": pa.array([], type=pa.int64())}
+            )
+        o_map = ray.get(oref)
+        tok = np.asarray(g.column("tok").to_pylist(), dtype=object)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        gid = int(g.column("__g")[0].as_py())
+        base = o_map[(gid // 256, gid % 256)]
+        order = np.argsort(tok, kind="stable")
+        cs = c[order]
+        rank = base + np.arange(1, len(tok) + 1, dtype=np.int64)
+        pre = np.cumsum(cs)
+        out_k, out_cov = [], []
+        for k in _VC_KS:
+            m = int((rank <= k).sum())  # ranks are contiguous in a bucket
+            out_k.append(k)
+            out_cov.append(int(pre[m - 1]) if m else 0)
+        tot = int(c.sum())
+        return pa.table(
+            {
+                "k": pa.array(out_k, type=pa.int64()),
+                "cov": pa.array(out_cov, type=pa.int64()),
+                "tot": pa.array([tot] * len(out_k), type=pa.int64()),
+            }
+        )
+
+    return grouped_agg(
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(cover, batch_format="pyarrow"),
+        ["k"],
+        {"covered": ("cov", "sum"), "total": ("tot", "sum")},
+        num_parts=2,
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM c),
+ks AS (SELECT unnest([{", ".join(str(k) for k in _VC_KS)}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COALESCE(sum(r.c) FILTER (r.rnk <= ks.k), 0) AS BIGINT) AS covered,
+       CAST(sum(r.c) AS BIGINT) AS total
+FROM r CROSS JOIN ks GROUP BY ks.k
+"""
+
+
+def prefix_index(sf_dir: str):
+    """Prefix index export (the autocomplete / wildcard-search front):
+    for every token prefix of length 1.._PI_MAXLEN, the number of
+    distinct tokens and total occurrences it covers. Built entirely from
+    the O(distinct) token-count table — the corpus shuffles once into
+    (tok, count), then a prefix flat-map + ONE more grouped sum over
+    O(distinct x maxlen) skinny rows. Returns (prefix, n_tokens,
+    n_occurrences)."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.functions.text import tokenize
+
+    ds = _read_documents(sf_dir, ["doc_id", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(tokenize(t or ""))
+        tbl = pa.table({"tok": pa.array(toks, type=pa.string())})
+        return (
+            tbl.group_by("tok", use_threads=False)
+            .aggregate([("tok", "count")])
+            .rename_columns(["tok", "n"])
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(tok_partial, batch_format="pyarrow", batch_size=8192),
+        ["tok"],
+        {"c": ("n", "sum")},
+        num_parts=16,
+    )
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_pylist()
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        out_p, out_c = [], []
+        for tok, cnt in zip(toks, c.tolist()):
+            for ln in range(1, min(len(tok), _PI_MAXLEN) + 1):
+                out_p.append(tok[:ln])
+                out_c.append(cnt)
+        return pa.table(
+            {
+                "prefix": pa.array(out_p, type=pa.string()),
+                "c": pa.array(out_c, type=pa.int64()),
+                "one": pa.array(np.ones(len(out_p), dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        counts.map_batches(prefixes, batch_format="pyarrow"),
+        ["prefix"],
+        {"n_tokens": ("one", "sum"), "n_occurrences": ("c", "sum")},
+        num_parts=8,
+    )
+
+
+PREFIX_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+p AS (
+  SELECT substr(tok, 1, l.l) AS prefix, c
+  FROM c, LATERAL UNNEST(generate_series(1, least(length(tok), {_PI_MAXLEN})))
+       AS l(l)
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM p GROUP BY prefix
+"""
