@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_percentiles": relational3.grouped_percentiles,
         "vocab_coverage": webtext.vocab_coverage,
         "prefix_index": webtext.prefix_index,
+        "event_transitions": relational3.event_transitions,
+        "lang_source_pmi": webtext.lang_source_pmi,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -420,6 +422,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_percentiles": relational3.GROUPED_PERCENTILES_SQL,
         "vocab_coverage": webtext.VOCAB_COVERAGE_SQL,
         "prefix_index": webtext.PREFIX_INDEX_SQL,
+        "event_transitions": relational3.EVENT_TRANSITIONS_SQL,
+        "lang_source_pmi": webtext.LANG_SOURCE_PMI_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -236,6 +236,8 @@ QUERY_SET = [
     "grouped_percentiles",
     "vocab_coverage",
     "prefix_index",
+    "event_transitions",
+    "lang_source_pmi",
 ]
 
 

@@ -1913,3 +1913,90 @@ r AS (
     for p in _GP_PCTS
 )}
 """
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (wave 43)
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    sequence (the sequence-mining primitive behind session models):
+    order events per user by the TOTAL key (ts, event_id), count every
+    adjacent (cur_type, next_type) pair. Returns (cur_type, next_type,
+    n_transitions).
+
+    One user-hash co-group; inside each bucket one lexsort + shifted
+    comparison yields every adjacent pair (no per-user loop); a final
+    O(types²) grouped sum combines buckets."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "event_type"]
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((uid % 16).astype(np.int64), type=pa.int64())
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "cur_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        same_user = uid[1:] == uid[:-1]
+        cur = et[:-1][same_user]
+        nxt = et[1:][same_user]
+        tbl = pa.table(
+            {
+                "cur_type": pa.array(cur.tolist(), type=pa.string()),
+                "next_type": pa.array(nxt.tolist(), type=pa.string()),
+            }
+        )
+        return (
+            tbl.group_by(["cur_type", "next_type"], use_threads=False)
+            .aggregate([("next_type", "count")])
+            .rename_columns(["cur_type", "next_type", "n"])
+        )
+
+    partials = (
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    return grouped_agg(
+        partials,
+        ["cur_type", "next_type"],
+        {"n_transitions": ("n", "sum")},
+        num_parts=4,
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS cur_type, next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM o WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""

@@ -3841,3 +3841,104 @@ SELECT prefix, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(c) AS BIGINT) AS n_occurrences
 FROM p GROUP BY prefix
 """
+
+
+# ---------------------------------------------------------------------------
+# lang x source association audit (wave 43)
+# ---------------------------------------------------------------------------
+
+
+def lang_source_pmi(sf_dir: str):
+    """Categorical association audit between the lang and source
+    columns: per (lang, source) cell, the joint count and the pointwise
+    mutual information in INTEGER micro-nats,
+
+      pmi_micro = floor(ln((n_ij · N) / (n_i · n_j)) · 1e6)
+
+    — the dataset-card check for "is some source feeding one language?"
+    (independent columns give pmi ≈ 0 everywhere). The ln argument is a
+    correctly-rounded double of an exact rational (all counts < 2^53),
+    evaluated identically in engine and oracle (the token_pmi device).
+    Returns (lang, source, n_ij, pmi_micro).
+
+    Shape: one O(cells) grouped count (per-batch Arrow partials); the
+    marginals derive from the cell table itself — the corpus scans
+    once."""
+    import math
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # NULL labels coalesce to '' (grouped_agg drops null keys while
+        # SQL keeps them — the data_split device)
+        t = pa.table(
+            {
+                "lang": batch.column("lang").fill_null(""),
+                "source": batch.column("source").fill_null(""),
+            }
+        )
+        return (
+            t.group_by(["lang", "source"], use_threads=False)
+            .aggregate([("source", "count")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    cells = pin(
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+            ["lang", "source"],
+            {"n_ij": ("n", "sum")},
+            num_parts=8,
+        ),
+        "lsp_cells",
+    )
+    # marginals: O(cells) driver rows (cells <= langs x sources)
+    cdf = cells.to_pandas()
+    n_i = cdf.groupby("lang")["n_ij"].sum().to_dict()
+    n_j = cdf.groupby("source")["n_ij"].sum().to_dict()
+    N = int(cdf["n_ij"].sum())
+    import ray
+
+    mref = ray.put((n_i, n_j, N))
+
+    def score(t: pa.Table) -> pa.Table:
+        ni, nj, n_tot = ray.get(mref)
+        lang = t.column("lang").to_pylist()
+        src = t.column("source").to_pylist()
+        nij = t.column("n_ij").to_numpy(zero_copy_only=False)
+        pmi = np.fromiter(
+            (
+                math.floor(
+                    math.log((int(c) * n_tot) / (ni[la] * nj[so])) * 1_000_000
+                )
+                for la, so, c in zip(lang, src, nij.tolist())
+            ),
+            dtype=np.int64,
+            count=len(lang),
+        )
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_ij": pa.array(nij, type=pa.int64()),
+                "pmi_micro": pa.array(pmi, type=pa.int64()),
+            }
+        )
+
+    return cells.map_batches(score, batch_format="pyarrow")
+
+
+LANG_SOURCE_PMI_SQL = """
+WITH c AS (SELECT COALESCE(lang, '') AS lang, COALESCE(source, '') AS source,
+                  count(*) AS n_ij FROM documents GROUP BY 1, 2),
+mi AS (SELECT lang, CAST(sum(n_ij) AS BIGINT) AS n_i FROM c GROUP BY lang),
+mj AS (SELECT source, CAST(sum(n_ij) AS BIGINT) AS n_j FROM c GROUP BY source),
+n AS (SELECT CAST(sum(n_ij) AS BIGINT) AS N FROM c)
+SELECT c.lang, c.source, CAST(c.n_ij AS BIGINT) AS n_ij,
+       CAST(floor(ln(CAST(c.n_ij * n.N AS DOUBLE) / (mi.n_i * mj.n_j))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM c JOIN mi USING (lang) JOIN mj USING (source) CROSS JOIN n
+"""
