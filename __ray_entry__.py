@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_index": webtext.prefix_index,
         "event_transitions": relational3.event_transitions,
         "lang_source_pmi": webtext.lang_source_pmi,
+        "degree_assortativity": webgraph.degree_assortativity,
+        "source_lang_entropy": webtext.source_lang_entropy,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -424,6 +426,8 @@ def oracle_sql() -> dict[str, str]:
         "prefix_index": webtext.PREFIX_INDEX_SQL,
         "event_transitions": relational3.EVENT_TRANSITIONS_SQL,
         "lang_source_pmi": webtext.LANG_SOURCE_PMI_SQL,
+        "degree_assortativity": webgraph.DEGREE_ASSORTATIVITY_SQL,
+        "source_lang_entropy": webtext.SOURCE_LANG_ENTROPY_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

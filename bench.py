@@ -238,6 +238,8 @@ QUERY_SET = [
     "prefix_index",
     "event_transitions",
     "lang_source_pmi",
+    "degree_assortativity",
+    "source_lang_entropy",
 ]
 
 

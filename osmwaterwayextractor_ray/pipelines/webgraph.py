@@ -3555,3 +3555,121 @@ def effective_diameter(sf_dir: str):
             "n_nodes": pa.array([n_nodes], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (wave 44)
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str):
+    """Degree-correlation audit of the link graph (Newman 2002): over
+    all directed edges (u, v), the least-squares slope of in-degree(v)
+    on out-degree(u) — positive slope = assortative (hubs link hubs),
+    negative = disassortative (the usual web shape). Exact normal
+    equations (the price_model device): five int64 moment partials over
+    the degree-attached edge list, big-int Cramer on the driver, one
+    truncating division per coefficient. Returns one row (n_edges,
+    slope_micro, intercept_micro).
+
+    Shape: two grouped degree counts + two lookup_joins attach the
+    degrees to the edges (all skinny int columns); the moments reach the
+    driver as O(blocks) rows."""
+    from osmwaterwayextractor_ray.pipelines.relational3 import _trunc_div
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    n_docs = _n_docs(sf_dir)
+    edges = pin(_edge_list(sf_dir, n_docs), "da_edges")
+
+    def deg(col: str, name: str):
+        return grouped_agg(
+            edges.map_batches(
+                lambda t, _c=col: pa.table(
+                    {
+                        "page_id": t[_c],
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["page_id"],
+            {name: ("one", "sum")},
+            num_parts=8,
+        )
+
+    outdeg = deg("src_page", "od")
+    indeg = deg("dst_page", "idg")
+    e_schema = pa.schema([("src_page", pa.int64()), ("dst_page", pa.int64())])
+    withx = lookup_join(
+        edges, outdeg, "src_page", "page_id", {"od": "x"},
+        num_parts=8, left_schema=e_schema,
+        right_schema=pa.schema([("page_id", pa.int64()), ("od", pa.int64())]),
+    )
+    withxy = lookup_join(
+        withx, indeg, "dst_page", "page_id", {"idg": "y"},
+        num_parts=8,
+        left_schema=pa.schema(
+            [("src_page", pa.int64()), ("dst_page", pa.int64()), ("x", pa.int64())]
+        ),
+        right_schema=pa.schema([("page_id", pa.int64()), ("idg", pa.int64())]),
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = withxy.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(int(p["n"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("degree_assortativity: constant out-degree design")
+    return pa.table(
+        {
+            "n_edges": pa.array([n], type=pa.int64()),
+            "slope_micro": pa.array(
+                [_trunc_div((n * sxy - sx * sy) * 1_000_000, den)], type=pa.int64()
+            ),
+            "intercept_micro": pa.array(
+                [_trunc_div((sxx * sy - sx * sxy) * 1_000_000, den)],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = f"""
+WITH {_EDGES_CTE},
+od AS (SELECT src_page, count(*) AS x FROM edges GROUP BY 1),
+idg AS (SELECT dst_page, count(*) AS y FROM edges GROUP BY 1),
+j AS (
+  SELECT CAST(od.x AS BIGINT) AS x, CAST(idg.y AS BIGINT) AS y
+  FROM edges e JOIN od ON od.src_page = e.src_page
+  JOIN idg ON idg.dst_page = e.dst_page
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x * x) AS HUGEINT) AS sxx,
+         CAST(sum(x * y) AS HUGEINT) AS sxy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_micro,
+       CAST(((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
+            AS BIGINT) AS intercept_micro
+FROM s
+"""

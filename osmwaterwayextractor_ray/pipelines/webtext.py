@@ -3942,3 +3942,95 @@ SELECT c.lang, c.source, CAST(c.n_ij AS BIGINT) AS n_ij,
                   * 1000000) AS BIGINT) AS pmi_micro
 FROM c JOIN mi USING (lang) JOIN mj USING (source) CROSS JOIN n
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source language entropy (wave 44)
+# ---------------------------------------------------------------------------
+
+
+def source_lang_entropy(sf_dir: str):
+    """Language diversity per source in INTEGER micro-nats: for each
+    source, ent_micro = Σ_lang n_l · floor(ln(N_s/n_l)·1e6) over its doc
+    language counts (the doc_entropy device lifted to the corpus level)
+    — a one-language source scores 0, a mixed source scores high; the
+    mixing-audit sibling of lang_source_pmi. Returns (source, n_docs,
+    ent_micro).
+
+    One O(sources x langs) grouped count; the entropy kernel streams
+    over that cell table with a per-source reduceat."""
+    import math
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_documents(sf_dir, ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang").fill_null(""),
+                "source": batch.column("source").fill_null(""),
+            }
+        )
+        return (
+            t.group_by(["source", "lang"], use_threads=False)
+            .aggregate([("lang", "count")])
+            .rename_columns(["source", "lang", "n"])
+        )
+
+    cells = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["source", "lang"],
+        {"n_l": ("n", "sum")},
+        num_parts=4,
+    )
+
+    def ent(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_docs": pa.array([], type=pa.int64()),
+                    "ent_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)
+        n_l = t.column("n_l").to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src, n_l = src[order], n_l[order]
+        seg = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        tot = np.repeat(np.add.reduceat(n_l, seg), np.diff(np.r_[seg, len(src)]))
+        terms = np.fromiter(
+            (
+                int(c) * math.floor(math.log(int(T) / int(c)) * 1_000_000)
+                for c, T in zip(n_l, tot)
+            ),
+            dtype=np.int64,
+            count=len(n_l),
+        )
+        return pa.table(
+            {
+                "source": pa.array(src[seg].tolist(), type=pa.string()),
+                "n_docs": pa.array(np.add.reduceat(n_l, seg), type=pa.int64()),
+                "ent_micro": pa.array(np.add.reduceat(terms, seg), type=pa.int64()),
+            }
+        )
+
+    # the cell table is O(sources x langs): one final single-block pass
+    # keeps per-source rows together
+    return cells.repartition(1).map_batches(ent, batch_format="pyarrow")
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH c AS (
+  SELECT COALESCE(source, '') AS source, COALESCE(lang, '') AS lang,
+         count(*) AS n_l
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT source, CAST(sum(n_l) AS BIGINT) AS n_docs FROM c GROUP BY source)
+SELECT c.source, t.n_docs,
+       CAST(sum(c.n_l * CAST(floor(ln(CAST(t.n_docs AS DOUBLE) / c.n_l)
+                                   * 1000000) AS BIGINT)) AS BIGINT) AS ent_micro
+FROM c JOIN t USING (source)
+GROUP BY 1, 2
+"""
