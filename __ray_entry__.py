@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pmi": webtext.lang_source_pmi,
         "degree_assortativity": webgraph.degree_assortativity,
         "source_lang_entropy": webtext.source_lang_entropy,
+        "trade_flows": relational2.trade_flows,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_pmi": webtext.LANG_SOURCE_PMI_SQL,
         "degree_assortativity": webgraph.DEGREE_ASSORTATIVITY_SQL,
         "source_lang_entropy": webtext.SOURCE_LANG_ENTROPY_SQL,
+        "trade_flows": relational2.TRADE_FLOWS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -240,6 +240,7 @@ QUERY_SET = [
     "lang_source_pmi",
     "degree_assortativity",
     "source_lang_entropy",
+    "trade_flows",
 ]
 
 

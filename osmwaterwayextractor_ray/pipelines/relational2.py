@@ -768,3 +768,132 @@ def _read_pq(path, columns=None, **kw):
     from osmwaterwayextractor_ray.sources.readers import read_pq
 
     return read_pq(path, columns=columns, **kw)
+
+
+def trade_flows(sf_dir: str):
+    """TPC-H Q7-shaped nation x nation trade matrix: revenue flowing
+    from every supplier nation to every customer nation (cross-nation
+    pairs included — the inverse of q5's same-nation filter). Exact
+    int64 arithmetic end-to-end: per-row revenue in 1e-4 units
+    (cents·(100−d) is an exact integer < 1e9, so round() is exact) sums
+    associatively, and the final cents conversion is one integer
+    division — bit-identical under any block structure.
+
+    Plan (the q5 machinery minus region/date/Bloom): orders ⨝ customer
+    (lookup_join, unique custkey) -> lineitem ⨝ that (unique orderkey)
+    -> pre-aggregate to O(suppliers x nations) BEFORE the supplier join
+    -> one more lookup_join + an O(nations²) rollup; nation names attach
+    from a 25-row broadcast dict. Explicit schemas keep the whole tail
+    one streaming launch (no schema-probe re-execution)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    n2name = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nref = ray.put(n2name)
+
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    oc = lookup_join(
+        orders, cust, "o_custkey", "c_custkey", {"c_nationkey": "c_nationkey"}
+    )
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev4(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        r = np.round(p * (1.0 - d) * 10_000.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "r4": pa.array(r, type=pa.int64()),
+            }
+        )
+
+    li = li.map_batches(rev4, batch_format="pyarrow", batch_size=65536)
+    o_sch = pq.read_schema(f"{sf_dir}/orders.parquet")
+    c_sch = pq.read_schema(f"{sf_dir}/customer.parquet")
+    li_sch = pq.read_schema(f"{sf_dir}/lineitem.parquet")
+    oc_schema = pa.schema(
+        [
+            pa.field("o_orderkey", o_sch.field("o_orderkey").type),
+            pa.field("o_custkey", o_sch.field("o_custkey").type),
+            pa.field("c_nationkey", c_sch.field("c_nationkey").type),
+        ]
+    )
+    li_schema = pa.schema(
+        [
+            pa.field("l_orderkey", li_sch.field("l_orderkey").type),
+            pa.field("l_suppkey", li_sch.field("l_suppkey").type),
+            pa.field("r4", pa.int64()),
+        ]
+    )
+    lioc = lookup_join(
+        li, oc, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"},
+        left_schema=li_schema, right_schema=oc_schema,
+    )
+    per_supp = grouped_agg(
+        lioc, ["l_suppkey", "c_nationkey"], {"r4": ("r4", "sum")}
+    )
+    supp = _read_pq(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    per_supp_schema = pa.schema(
+        [
+            pa.field("l_suppkey", li_sch.field("l_suppkey").type),
+            pa.field("c_nationkey", c_sch.field("c_nationkey").type),
+            pa.field("r4", pa.int64()),
+        ]
+    )
+    js = lookup_join(
+        per_supp, supp, "l_suppkey", "s_suppkey", {"s_nationkey": "s_nationkey"},
+        left_schema=per_supp_schema,
+    )
+    flows = grouped_agg(
+        js.map_batches(
+            lambda t: t.select(["s_nationkey", "c_nationkey", "r4"]),
+            batch_format="pyarrow",
+        ),
+        ["s_nationkey", "c_nationkey"],
+        {"r4": ("r4", "sum")},
+        num_parts=4,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        names = ray.get(nref)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        r4 = t.column("r4").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[int(k)] for k in sn], type=pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[int(k)] for k in cn], type=pa.string()
+                ),
+                "revenue_cents": pa.array(r4 // 100, type=pa.int64()),
+            }
+        )
+
+    return flows.map_batches(finish, batch_format="pyarrow")
+
+
+TRADE_FLOWS_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                     AS BIGINT)) // 100 AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""

@@ -90,3 +90,49 @@ def test_lang_source_pmi_bruteforce(ray_session, tmp_path_factory):
     assert got_d == want
     # the planted correlation is visible: aa-s0 strongly positive
     assert got_d[("aa", "s0")][1] > 500_000
+
+
+# ---------------------------------------------------------------------------
+# trade_flows (wave 45): exact-units property + cross/same-nation sanity
+# ---------------------------------------------------------------------------
+
+
+def test_trade_flows_exact_units(ray_session, tmp_path_factory):
+    from osmwaterwayextractor_ray.pipelines import relational2
+
+    # tiny star with hand-computable flows incl. a discount that makes
+    # the 1e-4-unit exactness matter (19.99 * 0.97)
+    d = tmp_path_factory.mktemp("tf_tables")
+    pd.DataFrame(
+        {"n_nationkey": np.array([0, 1], dtype=np.int32),
+         "n_name": ["AAA", "BBB"],
+         "n_regionkey": np.array([0, 0], dtype=np.int32)}
+    ).to_parquet(d / "nation.parquet", index=False)
+    pd.DataFrame(
+        {"c_custkey": [10, 11], "c_nationkey": np.array([0, 1], dtype=np.int32)}
+    ).to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame(
+        {"s_suppkey": [20, 21], "s_nationkey": np.array([0, 1], dtype=np.int32)}
+    ).to_parquet(d / "supplier.parquet", index=False)
+    pd.DataFrame(
+        {"o_orderkey": [1, 2], "o_custkey": [10, 11]}
+    ).to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_suppkey": [20, 21, 20],
+            "l_extendedprice": [19.99, 100.00, 50.50],
+            "l_discount": [0.03, 0.00, 0.10],
+        }
+    ).to_parquet(d / "lineitem.parquet", index=False)
+    got = relational2.trade_flows(str(d)).to_pandas()
+    got_d = {
+        (r["supp_nation"], r["cust_nation"]): int(r["revenue_cents"])
+        for _, r in got.iterrows()
+    }
+    # 19.99*0.97 = 19.3903 -> 193903 quarter-units -> 1939 cents (trunc)
+    assert got_d == {
+        ("AAA", "AAA"): (1999 * 97) // 100,
+        ("BBB", "AAA"): 10000,
+        ("AAA", "BBB"): (5050 * 90) // 100,
+    }
