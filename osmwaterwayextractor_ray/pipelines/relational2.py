@@ -785,7 +785,6 @@ def trade_flows(sf_dir: str):
     -> one more lookup_join + an O(nations²) rollup; nation names attach
     from a 25-row broadcast dict. Explicit schemas keep the whole tail
     one streaming launch (no schema-probe re-execution)."""
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray
 

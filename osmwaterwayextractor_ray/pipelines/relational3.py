@@ -1051,6 +1051,13 @@ def _read_pq(path, columns=None, **kw):
 _LR_SCALE = 1_000_000  # micro-cents per coefficient unit
 
 
+def _trunc_div_arr(a: np.ndarray, b: int) -> np.ndarray:
+    """Vectorized truncate-toward-zero division — DuckDB's ``//`` (numpy
+    ``//`` floors; they differ for negative epochs)."""
+    q = np.abs(a) // b
+    return np.where(a >= 0, q, -q)
+
+
 def _trunc_div(a: int, b: int) -> int:
     """Integer division truncating toward zero — DuckDB's ``//``
     semantics (Python's ``//`` floors; they differ on negatives).
@@ -1324,7 +1331,7 @@ def retention_cohorts(sf_dir: str):
         return pa.table(
             {
                 "user_id": t["user_id"],
-                "wk": pa.array(ts // _WEEK_US, type=pa.int64()),
+                "wk": pa.array(_trunc_div_arr(ts, _WEEK_US), type=pa.int64()),
             }
         )
 
@@ -1573,9 +1580,10 @@ def events_percent_rank(sf_dir: str):
         pos = np.arange(len(et), dtype=np.int64) - np.repeat(tstart, sizes)
         # RANK ties: a row's rank is the position of the first row with an
         # equal (type, value)
-        vstart = np.flatnonzero(
-            np.r_[True, (et[1:] != et[:-1]) | (v[1:] != v[:-1])]
-        )
+        # value boundary: NaN != NaN is True in numpy but DuckDB RANK
+        # ties all NaNs together (they sort last on both sides)
+        vdiff = (v[1:] != v[:-1]) & ~(np.isnan(v[1:]) & np.isnan(v[:-1]))
+        vstart = np.flatnonzero(np.r_[True, (et[1:] != et[:-1]) | vdiff])
         vsizes = np.diff(np.r_[vstart, len(et)])
         rank0 = np.repeat(pos[vstart], vsizes)  # 0-based shared rank
         n = np.repeat(sizes, sizes)
@@ -1631,8 +1639,6 @@ def fk_violations(sf_dir: str):
     the fact rows), parent keys collapse to a distinct set, and ONE
     lookup_join + filtered sum yields the orphan row count — the exact
     anti-join-count plan (Bloom screens can't give exact counts)."""
-    import pyarrow.compute as pc
-
     from osmwaterwayextractor_ray.stages.fastagg import (
         distinct,
         grouped_agg,
@@ -1737,7 +1743,7 @@ def hourly_active_users(sf_dir: str):
         )
         return pa.table(
             {
-                "hour": pa.array(ts // _HOUR_US_, type=pa.int64()),
+                "hour": pa.array(_trunc_div_arr(ts, _HOUR_US_), type=pa.int64()),
                 "user_id": t["user_id"],
             }
         )

@@ -3562,16 +3562,19 @@ def vocab_drift(sf_dir: str):
         "vocab_drift_counts",
     )
 
-    def tot(ds_, col):
-        def part(t: pa.Table) -> pa.Table:
-            v = t.column(col).to_numpy(zero_copy_only=False)
-            return pa.table({"s": pa.array([int(v.sum())], type=pa.int64())})
-
-        return sum(
-            int(p["s"]) for p in ds_.map_batches(part, batch_format="pyarrow").take_all()
+    def tot2(t: pa.Table) -> pa.Table:
+        a = t.column("o_a").to_numpy(zero_copy_only=False)
+        b = t.column("o_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sa": pa.array([int(a.sum())], type=pa.int64()),
+                "sb": pa.array([int(b.sum())], type=pa.int64()),
+            }
         )
 
-    n_a, n_b = tot(counts, "o_a"), tot(counts, "o_b")
+    parts_ = counts.map_batches(tot2, batch_format="pyarrow").take_all()
+    n_a = sum(int(p["sa"]) for p in parts_)
+    n_b = sum(int(p["sb"]) for p in parts_)
 
     def flag(t: pa.Table) -> pa.Table:
         oa = t.column("o_a").to_numpy(zero_copy_only=False)

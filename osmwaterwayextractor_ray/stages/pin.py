@@ -49,10 +49,17 @@ def _spill(ds, name: str):
         # write_parquet emits NO files for an empty dataset and
         # read_parquet refuses an empty dir — iterative pipelines (scc's
         # peel rounds, bowtie) legitimately pin empty intermediates, so
-        # hand back a typed empty dataset instead
+        # hand back a typed empty dataset instead. The schema() probe
+        # re-executes the lineage SINCE THE NEAREST UPSTREAM PIN (pins
+        # cut lineage), which is bounded and only paid on the empty path.
         import pyarrow as pa
 
         schema = ds.schema()
+        if schema is None:
+            raise ValueError(
+                f"pin({name!r}): empty spill with unknown schema — cannot "
+                "type the empty dataset"
+            )
         empty = pa.Table.from_arrays(
             [pa.array([], type=f.type) for f in pa.schema(schema.base_schema)],
             schema=pa.schema(schema.base_schema),
