@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         geo,
         multimodal,
         pages,
+        quality,
         relational,
         relational2,
         relational3,
@@ -253,6 +254,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": webgraph.degree_assortativity,
         "source_lang_entropy": webtext.source_lang_entropy,
         "trade_flows": relational2.trade_flows,
+        "cdc_upsert": relational3.cdc_upsert,
+        "scd2_history": relational3.scd2_history,
+        "table_profile": quality.table_profile,
+        "fd_audit": quality.fd_audit,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         geo,
         multimodal,
         pages,
+        quality,
         relational,
         relational2,
         relational3,
@@ -430,6 +436,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": webgraph.DEGREE_ASSORTATIVITY_SQL,
         "source_lang_entropy": webtext.SOURCE_LANG_ENTROPY_SQL,
         "trade_flows": relational2.TRADE_FLOWS_SQL,
+        "cdc_upsert": relational3.CDC_UPSERT_SQL,
+        "scd2_history": relational3.SCD2_HISTORY_SQL,
+        "table_profile": quality.TABLE_PROFILE_SQL,
+        "fd_audit": quality.FD_AUDIT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

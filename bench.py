@@ -241,6 +241,10 @@ QUERY_SET = [
     "degree_assortativity",
     "source_lang_entropy",
     "trade_flows",
+    "cdc_upsert",
+    "scd2_history",
+    "table_profile",
+    "fd_audit",
 ]
 
 

@@ -2006,3 +2006,193 @@ SELECT event_type AS cur_type, next_type,
 FROM o WHERE next_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC change-log compaction + SCD2 history build (wave 46)
+# ---------------------------------------------------------------------------
+
+_CDC_TOMBSTONE = "error"  # the change-log delete marker
+
+
+def cdc_upsert(sf_dir: str):
+    """Change-data-capture compaction (warehouse MERGE INTO semantics):
+    the events stream is a keyed change log over a per-user profile
+    store — every event upserts its user's row; ``error`` events are
+    tombstones that DELETE the key. Applying the log = keep each key's
+    LAST change under the total (ts, event_id) order and drop keys whose
+    last change is a tombstone. Returns (user_id, last_type, cents,
+    n_changes) for the surviving keys; n_changes counts every log entry
+    for the key, tombstones included.
+
+    One user-hash co-group; inside each bucket a single lexsort resolves
+    every key's last change and its change count from run lengths — no
+    per-key loop, and the log is shuffled exactly once."""
+    import pyarrow.compute as pc
+
+    N_PARTS = 16
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((uid % N_PARTS).astype(np.int64), type=pa.int64())
+        )
+
+    def compact(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "last_type": pa.array([], type=pa.string()),
+                    "cents": pa.array([], type=pa.int64()),
+                    "n_changes": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        is_last = np.r_[uid_s[1:] != uid_s[:-1], True]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        n_changes = np.diff(np.r_[starts, len(uid_s)])
+        last_idx = order[is_last]
+        last_type = pc.take(g.column("event_type").combine_chunks(),
+                            pa.array(last_idx, type=pa.int64()))
+        cents = _cents(
+            g.column("value").to_numpy(zero_copy_only=False)[last_idx]
+        )
+        keep = pc.not_equal(last_type, _CDC_TOMBSTONE).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_s[is_last][keep], type=pa.int64()),
+                "last_type": last_type.filter(pa.array(keep)),
+                "cents": pa.array(cents[keep], type=pa.int64()),
+                "n_changes": pa.array(n_changes[keep], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(compact, batch_format="pyarrow")
+    )
+
+
+CDC_UPSERT_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS last_type, cents,
+       CAST(n_changes AS BIGINT) AS n_changes
+FROM r WHERE rn = 1 AND event_type <> '{_CDC_TOMBSTONE}'
+"""
+
+
+def scd2_history(sf_dir: str):
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream (total (ts, event_id) order) into validity
+    intervals of its event_type — a new version starts exactly when the
+    type CHANGES; consecutive equal types merge into one interval.
+    Returns (user_id, event_type, valid_from, valid_to, version) with
+    valid_from/valid_to in epoch microseconds; the current (open)
+    interval has valid_to NULL. The standard dimension-table layout a
+    warehouse derives from any change stream.
+
+    One user-hash co-group; per bucket a lexsort + shifted type
+    comparison finds all change points, and intervals/versions fall out
+    of run arithmetic — no per-user loop."""
+    N_PARTS = 16
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((uid % N_PARTS).astype(np.int64), type=pa.int64())
+        )
+
+    def intervals(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "event_type": pa.array([], type=pa.string()),
+                    "valid_from": pa.array([], type=pa.int64()),
+                    "valid_to": pa.array([], type=pa.int64()),
+                    "version": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, et_s = uid[order], ts[order], et[order]
+        new_user = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        change = new_user | np.r_[False, et_s[1:] != et_s[:-1]]
+        ci = np.flatnonzero(change)
+        uid_c, ts_c, et_c = uid_s[ci], ts_s[ci], et_s[ci]
+        # valid_to = next change point's ts iff it belongs to the same user
+        same_next = np.r_[uid_c[1:] == uid_c[:-1], False]
+        vt = np.empty(len(ci), dtype=np.int64)
+        vt[:-1] = ts_c[1:] if len(ci) > 1 else 0
+        vt[-1] = 0
+        ustart = np.flatnonzero(np.r_[True, uid_c[1:] != uid_c[:-1]])
+        runs = np.diff(np.r_[ustart, len(ci)])
+        version = (
+            np.arange(len(ci), dtype=np.int64) - np.repeat(ustart, runs) + 1
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid_c, type=pa.int64()),
+                "event_type": pa.array(et_c.tolist(), type=pa.string()),
+                "valid_from": pa.array(ts_c, type=pa.int64()),
+                "valid_to": pa.array(vt, type=pa.int64(), mask=~same_next),
+                "version": pa.array(version, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(intervals, batch_format="pyarrow")
+    )
+
+
+SCD2_HISTORY_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type, ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS ver
+  FROM o WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, ts_us AS valid_from,
+       lead(ts_us) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+       CAST(ver AS BIGINT) AS version
+FROM chg
+"""
