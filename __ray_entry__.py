@@ -258,6 +258,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": relational3.scd2_history,
         "table_profile": quality.table_profile,
         "fd_audit": quality.fd_audit,
+        "k_anonymity": quality.k_anonymity,
+        "key_skew_audit": quality.key_skew_audit,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -440,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": relational3.SCD2_HISTORY_SQL,
         "table_profile": quality.TABLE_PROFILE_SQL,
         "fd_audit": quality.FD_AUDIT_SQL,
+        "k_anonymity": quality.K_ANONYMITY_SQL,
+        "key_skew_audit": quality.KEY_SKEW_AUDIT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

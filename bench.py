@@ -245,6 +245,8 @@ QUERY_SET = [
     "scd2_history",
     "table_profile",
     "fd_audit",
+    "k_anonymity",
+    "key_skew_audit",
 ]
 
 

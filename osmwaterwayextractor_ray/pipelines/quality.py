@@ -256,6 +256,187 @@ def fd_audit(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# k_anonymity (wave 48)
+# ---------------------------------------------------------------------------
+
+_KA_QI = ["c_nationkey", "c_mktsegment"]  # quasi-identifier columns
+_KA_K = 5
+
+
+def k_anonymity(sf_dir: str):
+    """k-anonymity audit over the customer quasi-identifiers
+    (nationkey, mktsegment) — the privacy gate a training-data release
+    runs: every row in an equivalence class smaller than k is
+    re-identifiable to within that class. Returns ONE row:
+    (n_rows, n_classes, k_min, n_rows_below_k, n_classes_below_k) with
+    k = 5.
+
+    One grouped count over the QI columns (O(classes) rows move, never
+    the table) + an O(blocks) fold of five integer counters."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/customer.parquet", columns=_KA_QI)
+
+    def ones(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{c: t[c] for c in _KA_QI},
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    classes = grouped_agg(
+        ds.map_batches(ones, batch_format="pyarrow", batch_size=65536),
+        _KA_QI,
+        {"n": ("one", "sum")},
+        num_parts=8,
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        below = n < _KA_K
+        return pa.table(
+            {
+                "n_rows": pa.array([int(n.sum())], type=pa.int64()),
+                "n_classes": pa.array([len(n)], type=pa.int64()),
+                "k_min": pa.array(
+                    [int(n.min()) if len(n) else None], type=pa.int64()
+                ),
+                "n_rows_below_k": pa.array(
+                    [int(n[below].sum())], type=pa.int64()
+                ),
+                "n_classes_below_k": pa.array(
+                    [int(below.sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = classes.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "n_classes": [int(parts["n_classes"].sum())],
+            "k_min": [int(parts["k_min"].min())],
+            "n_rows_below_k": [int(parts["n_rows_below_k"].sum())],
+            "n_classes_below_k": [int(parts["n_classes_below_k"].sum())],
+        }
+    )
+    return out.astype(np.int64)
+
+
+K_ANONYMITY_SQL = f"""
+WITH g AS (
+  SELECT {', '.join(_KA_QI)}, count(*) AS n FROM customer GROUP BY ALL
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(min(n) AS BIGINT) AS k_min,
+       CAST(coalesce(sum(n) FILTER (n < {_KA_K}), 0) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(coalesce(count(*) FILTER (n < {_KA_K}), 0) AS BIGINT)
+         AS n_classes_below_k
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# key_skew_audit (wave 48)
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+
+def key_skew_audit(sf_dir: str):
+    """Shuffle-key skew profiler for lineitem.l_partkey — the hot-key
+    audit a distributed engine runs before picking a partitioning key
+    (this repo's own salting stages consume exactly this signal).
+    Returns the exact _SKEW_TOPK heaviest keys under the total
+    (count desc, key asc) order as (rank, l_partkey, n_rows, share_ppm)
+    with share_ppm = n·1e6 // total — integer parts-per-million, no
+    float shares.
+
+    One O(distinct keys) grouped-count shuffle; after it each key is
+    ONE row, so a per-block partial top-k is a sound superset and the
+    driver merges O(blocks × k) rows plus O(blocks) total partials —
+    the table itself never moves."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    counts = pin(
+        grouped_agg(
+            ds.map_batches(
+                lambda t: pa.table(
+                    {
+                        "l_partkey": t["l_partkey"],
+                        "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+                batch_size=65536,
+            ),
+            ["l_partkey"],
+            {"n": ("one", "sum")},
+            num_parts=8,
+        ),
+        "skew_counts",
+    )
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:_SKEW_TOPK]
+        # first row carries the block's count total so the driver can
+        # reconstruct the exact grand total from O(blocks) integers
+        bt = np.zeros(len(order), dtype=np.int64)
+        if len(order):
+            bt[0] = int(n.sum())
+        return pa.table(
+            {
+                "l_partkey": pa.array(k[order], type=pa.int64()),
+                "n": pa.array(n[order], type=pa.int64()),
+                "block_total": pa.array(bt, type=pa.int64()),
+            }
+        )
+
+    parts = counts.map_batches(
+        partial_top, batch_format="pyarrow"
+    ).to_pandas()
+    total = int(parts["block_total"].sum())
+    top = parts.sort_values(
+        ["n", "l_partkey"], ascending=[False, True]
+    ).head(_SKEW_TOPK)
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "l_partkey": top["l_partkey"].to_numpy(dtype=np.int64),
+            "n_rows": top["n"].to_numpy(dtype=np.int64),
+            "share_ppm": (
+                top["n"].to_numpy(dtype=np.int64) * 1_000_000 // total
+            ),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+KEY_SKEW_AUDIT_SQL = f"""
+WITH c AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT l_partkey, n,
+         row_number() OVER (ORDER BY n DESC, l_partkey) AS rank
+  FROM c
+)
+SELECT CAST(rank AS BIGINT) AS rank, l_partkey, n AS n_rows,
+       CAST(n * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM r, t WHERE rank <= {_SKEW_TOPK}
+"""
+
+
 FD_AUDIT_SQL = "\nUNION ALL\n".join(
     f"""
 SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
