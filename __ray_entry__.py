@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_audit": quality.fd_audit,
         "k_anonymity": quality.k_anonymity,
         "key_skew_audit": quality.key_skew_audit,
+        "source_jaccard": textops.source_jaccard,
+        "cumulative_distinct_users": relational3.cumulative_distinct_users,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -444,6 +446,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_audit": quality.FD_AUDIT_SQL,
         "k_anonymity": quality.K_ANONYMITY_SQL,
         "key_skew_audit": quality.KEY_SKEW_AUDIT_SQL,
+        "source_jaccard": textops.SOURCE_JACCARD_SQL,
+        "cumulative_distinct_users": relational3.CUMULATIVE_DISTINCT_USERS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

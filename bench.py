@@ -247,6 +247,8 @@ QUERY_SET = [
     "fd_audit",
     "k_anonymity",
     "key_skew_audit",
+    "source_jaccard",
+    "cumulative_distinct_users",
 ]
 
 

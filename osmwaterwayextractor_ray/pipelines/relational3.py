@@ -2196,3 +2196,76 @@ SELECT user_id, event_type, ts_us AS valid_from,
        CAST(ver AS BIGINT) AS version
 FROM chg
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative distinct users (wave 49)
+# ---------------------------------------------------------------------------
+
+_DAY_US_ = 86_400_000_000
+
+
+def cumulative_distinct_users(sf_dir: str):
+    """Growth-curve audit: per day, how many users were seen for the
+    FIRST time, and the running total of distinct users up to that day
+    — the exact version of the cumulative-DAU dashboard query. Returns
+    (day, new_users, cum_users) with day = first_ts // 1 day (epoch
+    days, truncating division matching DuckDB //).
+
+    One O(users) grouped-min shuffle (each user's first event ts) + an
+    O(days) grouped count; the prefix sum runs on the driver over
+    O(days) integers only."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {"user_id": t["user_id"], "ts_us": pa.array(ts, type=pa.int64())}
+        )
+
+    first = grouped_agg(
+        ds.map_batches(to_us, batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        {"first_us": ("ts_us", "min")},
+        num_parts=8,
+    )
+
+    def days(t: pa.Table) -> pa.Table:
+        f = t.column("first_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(_trunc_div_arr(f, _DAY_US_), type=pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per_day = grouped_agg(
+        first.map_batches(days, batch_format="pyarrow"),
+        ["day"],
+        {"new_users": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    per_day["day"] = per_day["day"].astype(np.int64)
+    per_day["new_users"] = per_day["new_users"].astype(np.int64)
+    per_day["cum_users"] = per_day["new_users"].cumsum().astype(np.int64)
+    return per_day
+
+
+CUMULATIVE_DISTINCT_USERS_SQL = f"""
+WITH f AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY 1
+),
+d AS (
+  SELECT first_us // {_DAY_US_} AS day,
+         CAST(count(*) AS BIGINT) AS new_users
+  FROM f GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""

@@ -2259,3 +2259,143 @@ FROM (SELECT doc_id, regexp_replace(COALESCE(text, ''), '[0-9]', '0', 'g') AS t
       FROM documents)
 GROUP BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# source token-set Jaccard similarity (wave 49)
+# ---------------------------------------------------------------------------
+
+
+def source_jaccard(sf_dir: str):
+    """Exact pairwise Jaccard similarity between the distinct-token SETS
+    of every source pair — the corpus-overlap audit behind mixture
+    design (two crawls with jacc -> 1 are the same corpus twice).
+    Returns (src_a, src_b, inter, union_n, jacc_ppm) for every pair
+    sharing at least one token, src_a < src_b, with
+    jacc_ppm = |A∩B|·1e6 // |A∪B| — integer parts-per-million.
+
+    Shape: one distinct (source, tok) shuffle (O(sources × vocab) rows,
+    never the corpus); per-source set sizes are an O(sources) driver
+    dict; intersections come from ``bucketed_pairs`` over each token's
+    source list + ONE ``pair_counts`` shuffle — at most
+    C(n_sources, 2) rows per token, bounded because the source
+    dimension is small. (A large-cardinality pair dimension would use
+    the posting-count plan from ngram_jaccard_neardup instead.)
+
+    NULL sources coalesce to '' on both sides (the host_keywords
+    lesson: fastagg's grouped_agg drops null keys, SQL keeps them)."""
+    from osmwaterwayextractor_ray.functions.text import tokenize
+    from osmwaterwayextractor_ray.stages.fastagg import (
+        bucketed_pairs,
+        distinct,
+        grouped_agg,
+        pair_counts,
+    )
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_documents(sf_dir, ["source", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        s_out: list[str] = []
+        t_out: list[str] = []
+        for s, t in zip(srcs, texts):
+            s = "" if s is None else s
+            for tk in set(tokenize(t or "")):
+                s_out.append(s)
+                t_out.append(tk)
+        return pa.table(
+            {
+                "source": pa.array(s_out, type=pa.string()),
+                "tok": pa.array(t_out, type=pa.string()),
+            }
+        )
+
+    st = pin(
+        distinct(
+            ds.map_batches(toks, batch_format="pyarrow", batch_size=8192),
+            ["source", "tok"],
+            num_parts=16,
+        ),
+        "src_jacc_st",
+    )
+
+    sizes = grouped_agg(
+        st.map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t["source"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["source"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    names = sorted(sizes["source"].tolist())  # ASCII sort == SQL VARCHAR <
+    sid = {s: i for i, s in enumerate(names)}
+    n_by_sid = np.zeros(len(names), dtype=np.int64)
+    for s, n in zip(sizes["source"], sizes["n"]):
+        n_by_sid[sid[s]] = int(n)
+
+    with_ids = st.map_batches(
+        lambda t: pa.table(
+            {
+                "tok": t["tok"],
+                "sid": pa.array(
+                    [sid[s] for s in t.column("source").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    inter = pair_counts(
+        bucketed_pairs(with_ids, ["tok"], "sid", "sa", "sb", num_parts=16),
+        "sa",
+        "sb",
+        count_col="inter",
+        num_parts=4,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sa = t.column("sa").to_numpy(zero_copy_only=False)
+        sb = t.column("sb").to_numpy(zero_copy_only=False)
+        iv = t.column("inter").to_numpy(zero_copy_only=False)
+        union = n_by_sid[sa] + n_by_sid[sb] - iv
+        return pa.table(
+            {
+                "src_a": pa.array([names[i] for i in sa], type=pa.string()),
+                "src_b": pa.array([names[i] for i in sb], type=pa.string()),
+                "inter": pa.array(iv, type=pa.int64()),
+                "union_n": pa.array(union, type=pa.int64()),
+                "jacc_ppm": pa.array(
+                    iv * 1_000_000 // union, type=pa.int64()
+                ),
+            }
+        )
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+SOURCE_JACCARD_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT coalesce(source, '') AS source, u.tok
+  FROM documents,
+       UNNEST(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                          x -> x <> '')) AS u(tok)
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+i AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, inter, sa.n + sb.n - inter AS union_n,
+       CAST(inter * 1000000 // (sa.n + sb.n - inter) AS BIGINT) AS jacc_ppm
+FROM i JOIN sz sa ON sa.source = i.src_a JOIN sz sb ON sb.source = i.src_b
+"""
