@@ -262,6 +262,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_audit": quality.key_skew_audit,
         "source_jaccard": textops.source_jaccard,
         "cumulative_distinct_users": relational3.cumulative_distinct_users,
+        "skyline_parts": relational3.skyline_parts,
+        # distributed PCA (driver eigensolve on exact integer moments);
+        # rows-only for the driver — pinned vs an independent reference
+        # + block-invariance tests in tests/test_wave50.py
+        "pca_project": embeddings.pca_project,
         # --- embeddings ---
         "embed_topk": embeddings.embed_topk,
         "embed_topk_ivf": embeddings.embed_topk_ivf,
@@ -448,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_audit": quality.KEY_SKEW_AUDIT_SQL,
         "source_jaccard": textops.SOURCE_JACCARD_SQL,
         "cumulative_distinct_users": relational3.CUMULATIVE_DISTINCT_USERS_SQL,
+        "skyline_parts": relational3.SKYLINE_PARTS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

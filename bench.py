@@ -249,6 +249,8 @@ QUERY_SET = [
     "key_skew_audit",
     "source_jaccard",
     "cumulative_distinct_users",
+    "skyline_parts",
+    "pca_project",
 ]
 
 

@@ -1218,3 +1218,116 @@ FROM q,
 WHERE j >= i
 GROUP BY i, j
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA projection (wave 50)
+# ---------------------------------------------------------------------------
+
+_PCA_K = 2  # reported principal components
+
+
+def pca_project(sf_dir: str):
+    """Distributed PCA: project every embedding onto the corpus's top-2
+    principal components — the classic spectral front-end (whitening /
+    visualization / spectral dedup). Returns (vec_id, pc1, pc2) in
+    EXACT integers (see units below), bit-identical under any block
+    structure or num_cpus.
+
+    Plan (the 10^12-row shape): one streaming pass accumulates the
+    exact integer moment partials on the 1e-6 grid — per-dim sums S1
+    and the upper-triangle second moment QᵀQ (the embed_gram kernel,
+    same float64-exactness budget, fail-loud) — reduced by ONE O(d²)
+    grouped sum. The driver forms the covariance from the exact
+    moments, runs the O(d³) eigensolve on the d×d matrix (d=64), fixes
+    each eigenvector's sign (largest-|component| positive) and
+    quantizes it to the 1e-6 grid. A second streaming pass computes
+
+        pc_k = Σ_d (n·q_d − S1_d) · w_kd        (pure int64 numpy)
+
+    — i.e. n × grid² × (centered coordinate · eigenvector): integer
+    matmul is exact and associative, so no BLAS/blocking effect can
+    leak into the result. Nothing corpus-sized ever leaves the workers;
+    the driver holds O(d²) integers.
+
+    No SQL twin (eigensolve); pinned by an independent single-process
+    reference + planted-structure + block-invariance tests."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    iu, ju = np.triu_indices(DIM)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        q = np.floor(mat * 1e6 + 0.5)
+        maxq = float(np.abs(q).max(initial=0.0))
+        if len(q) * maxq * maxq >= 2**53:
+            raise ValueError("pca_project: per-batch exactness budget exceeded")
+        G = (q.T @ q)[iu, ju].astype(np.int64)
+        s1 = q.sum(axis=0).astype(np.int64)
+        # rows: (1, d) second moments; (0, d) first moments; (-1, 0) count
+        i_out = np.r_[np.ones(len(G), dtype=np.int64), np.zeros(DIM, dtype=np.int64), [-1]]
+        j_out = np.r_[iu * DIM + ju, np.arange(DIM, dtype=np.int64), [0]]
+        s_out = np.r_[G, s1, [len(ids)]]
+        return pa.table(
+            {
+                "i": pa.array(i_out, type=pa.int64()),
+                "j": pa.array(j_out, type=pa.int64()),
+                "s": pa.array(s_out, type=pa.int64()),
+            }
+        )
+
+    mom = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=8192),
+        ["i", "j"],
+        {"s": ("s", "sum")},
+        num_parts=4,
+    ).to_pandas()
+
+    n = int(mom.loc[mom["i"] == -1, "s"].iloc[0])
+    s1 = np.zeros(DIM, dtype=np.int64)
+    for _, r in mom[mom["i"] == 0].iterrows():
+        s1[int(r["j"])] = int(r["s"])
+    G = np.zeros((DIM, DIM), dtype=np.int64)
+    for _, r in mom[mom["i"] == 1].iterrows():
+        a, b = divmod(int(r["j"]), DIM)
+        G[a, b] = G[b, a] = int(r["s"])
+    # covariance from exact integers (float64 only on the driver, once)
+    cov = (G.astype(np.float64) - np.outer(s1, s1).astype(np.float64) / n) / n
+    evals, evecs = np.linalg.eigh(cov)
+    W = evecs[:, ::-1][:, :_PCA_K]  # eigh is ascending; take the top-K
+    # sign convention: largest-|component| positive (first index on ties)
+    for k in range(_PCA_K):
+        a = np.argmax(np.abs(W[:, k]))
+        if W[a, k] < 0:
+            W[:, k] = -W[:, k]
+    wq = np.floor(W * 1e6 + 0.5).astype(np.int64)  # (d, K) integer grid
+
+    import ray
+
+    ref = ray.put((int(n), s1, wq))
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_, s1_, wq_ = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        # int64 budget: |Σ_d (n·q − S1)·w| ≤ D · 2n·max|q| · max|w|
+        bound = DIM * 2 * n_ * int(np.abs(q).max(initial=0)) * int(
+            np.abs(wq_).max(initial=0)
+        )
+        if bound >= 2**63:
+            raise ValueError(
+                "pca_project: int64 projection budget exceeded — rescale "
+                "the grid (corpus too large for the 1e-6 × n encoding)"
+            )
+        centered = q * n_ - s1_[None, :]  # exact: n·q − S1
+        p = centered @ wq_  # int64 matmul — exact, order-free
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "pc1": pa.array(p[:, 0], type=pa.int64()),
+                "pc2": pa.array(p[:, 1], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=8192)

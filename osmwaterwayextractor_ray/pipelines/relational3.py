@@ -2269,3 +2269,115 @@ SELECT day, new_users,
        CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier) query (wave 50)
+# ---------------------------------------------------------------------------
+
+
+def _skyline_kernel(t: pa.Table) -> pa.Table:
+    """Exact 2-D skyline (maximize p_size, minimize price_cents) of one
+    table: sort by (size desc, price asc), per-size min price via
+    reduceat, keep a size iff its min price is strictly below the
+    running min over all larger sizes (ties on (size, price) all
+    survive — dominance needs one strict inequality)."""
+    if t.num_rows == 0:
+        return t
+    size = t.column("p_size").to_numpy(zero_copy_only=False)
+    price = t.column("price_cents").to_numpy(zero_copy_only=False)
+    order = np.lexsort((price, -size))
+    size_s, price_s = size[order], price[order]
+    sstart = np.flatnonzero(np.r_[True, size_s[1:] != size_s[:-1]])
+    smin = price_s[sstart]  # per-size min (price asc within size)
+    # running min over strictly larger sizes (exclusive prefix)
+    prev = np.r_[np.iinfo(np.int64).max, np.minimum.accumulate(smin)[:-1]]
+    keep_size = smin < prev
+    sizes_n = np.diff(np.r_[sstart, len(size_s)])
+    row_keep = np.repeat(keep_size, sizes_n) & (
+        price_s == np.repeat(smin, sizes_n)
+    )
+    idx = pa.array(order[row_keep], type=pa.int64())
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "p_partkey": pc.take(t.column("p_partkey").combine_chunks(), idx),
+            "p_size": pc.take(t.column("p_size").combine_chunks(), idx),
+            "price_cents": pc.take(
+                t.column("price_cents").combine_chunks(), idx
+            ),
+        }
+    )
+
+
+def skyline_parts(sf_dir: str):
+    """Skyline (Pareto-frontier) query over parts: every part for which
+    no other part has size >= AND price <= with at least one strict —
+    i.e. the bigger-and-cheaper frontier, the classic multi-objective
+    short-list operator. Returns (p_partkey, p_size, price_cents); all
+    ties on a frontier point survive.
+
+    Distributed plan: a per-block partial skyline first (sound — a
+    globally non-dominated point is non-dominated within its block, so
+    the local skyline is a superset of the global one's members there),
+    then ONE tiny final pass over the O(blocks × distinct sizes)
+    survivors. The parts table itself never shuffles."""
+    ds = _read_pq(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _skyline_kernel(
+            pa.table(
+                {
+                    "p_partkey": t["p_partkey"],
+                    "p_size": pa.array(
+                        t.column("p_size")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                    "price_cents": pa.array(
+                        _cents(
+                            t.column("p_retailprice").to_numpy(
+                                zero_copy_only=False
+                            )
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+
+    partial = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__part", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        )
+
+    return (
+        partial.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: _skyline_kernel(g.drop_columns(["__part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SKYLINE_PARTS_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+)
+SELECT p_partkey, p_size, price_cents FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+    AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
+)
+"""
