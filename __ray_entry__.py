@@ -263,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": textops.source_jaccard,
         "cumulative_distinct_users": relational3.cumulative_distinct_users,
         "skyline_parts": relational3.skyline_parts,
+        "rfm_segments": relational3.rfm_segments,
+        "rrf_search": webtext.rrf_search,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -454,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "source_jaccard": textops.SOURCE_JACCARD_SQL,
         "cumulative_distinct_users": relational3.CUMULATIVE_DISTINCT_USERS_SQL,
         "skyline_parts": relational3.SKYLINE_PARTS_SQL,
+        "rfm_segments": relational3.RFM_SEGMENTS_SQL,
+        "rrf_search": webtext.RRF_SEARCH_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

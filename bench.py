@@ -251,6 +251,8 @@ QUERY_SET = [
     "cumulative_distinct_users",
     "skyline_parts",
     "pca_project",
+    "rfm_segments",
+    "rrf_search",
 ]
 
 

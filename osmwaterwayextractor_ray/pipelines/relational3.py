@@ -2381,3 +2381,220 @@ WHERE NOT EXISTS (
     AND (b.p_size > a.p_size OR b.price_cents < a.price_cents)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (wave 51)
+# ---------------------------------------------------------------------------
+
+_RFM_K = 5  # quintile scores
+# (score column, metric column, descending?, bucket shift)
+_RFM_DIMS = [
+    ("r_score", "recency_days", False, 0),
+    ("f_score", "frequency", True, 0),
+    ("m_score", "monetary_cents", True, 12),
+]
+
+
+def rfm_segments(sf_dir: str):
+    """RFM customer segmentation — the classic marketing-analytics
+    operator: per customer the Recency (days since last order vs the
+    corpus max date), Frequency (order count) and Monetary (exact cents)
+    metrics, each scored into exact SQL-NTILE(5) quintiles under total
+    orders (r: recency asc — 1 = most recent; f/m: metric desc — 1 =
+    most frequent / biggest spender; ties by custkey asc). Returns
+    (c_custkey, recency_days, frequency, monetary_cents, r_score,
+    f_score, m_score).
+
+    Scale shape: one O(customers) grouped agg builds the metric table
+    (pinned); ONE combined bucket-count pass gives the driver
+    O(Σ buckets) integers for the three exact global-rank offset maps
+    (the zipf_fit coarse-bucket device — negated keys make descending
+    buckets order-preserving under arithmetic >>); then three bucket
+    co-group passes attach the scores with pure rank arithmetic.
+    Customer rows shuffle 3×; order rows once; nothing reaches the
+    driver but bucket counts. Bucket shifts size the per-task groups —
+    a degenerate all-one-value dimension degrades to one task for that
+    pass (same caveat as grouped_percentiles)."""
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "ts_us": pa.array(us, type=pa.int64()),
+                "cents": pa.array(
+                    _cents(
+                        t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                    ),
+                    type=pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    prepped = pin(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        "rfm_prepped",
+    )
+    per_cust = grouped_agg(
+        prepped,
+        ["c_custkey"],
+        {
+            "last_us": ("ts_us", "max"),
+            "frequency": ("one", "sum"),
+            "monetary_cents": ("cents", "sum"),
+        },
+        num_parts=8,
+    )
+    # global max order date: O(blocks) integers to the driver
+    mx_parts = prepped.map_batches(
+        lambda t: pa.table(
+            {
+                "mx": pa.array(
+                    [int(t.column("ts_us").to_numpy(zero_copy_only=False).max())]
+                    if t.num_rows
+                    else [],
+                    type=pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    mx_us = int(mx_parts["mx"].max())
+
+    def recency(t: pa.Table) -> pa.Table:
+        last = t.column("last_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "recency_days": pa.array(
+                    _trunc_div_arr(mx_us - last, _DAY_US_), type=pa.int64()
+                ),
+                "frequency": t["frequency"],
+                "monetary_cents": t["monetary_cents"],
+            }
+        )
+
+    metrics = pin(
+        per_cust.map_batches(recency, batch_format="pyarrow"), "rfm_metrics"
+    )
+
+    # ONE combined bucket-count pass for all three dims
+    def bcounts(t: pa.Table) -> pa.Table:
+        dims, bs = [], []
+        for di, (_, metric, desc, shift) in enumerate(_RFM_DIMS):
+            v = t.column(metric).to_numpy(zero_copy_only=False)
+            key = -v if desc else v
+            dims.append(np.full(len(v), di, dtype=np.int64))
+            bs.append(key >> shift)
+        return pa.table(
+            {
+                "dim": pa.array(np.concatenate(dims), type=pa.int64()),
+                "b": pa.array(np.concatenate(bs), type=pa.int64()),
+                "one": pa.array(
+                    np.ones(3 * t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    counts = grouped_agg(
+        metrics.map_batches(bcounts, batch_format="pyarrow"),
+        ["dim", "b"],
+        {"n": ("one", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    offs_by_dim: list[dict[int, int]] = []
+    n_total = 0
+    for di in range(len(_RFM_DIMS)):
+        grp = counts[counts["dim"] == di].sort_values("b")
+        c = grp["n"].to_numpy(dtype=np.int64)
+        ex = np.cumsum(c) - c
+        offs_by_dim.append(
+            {int(b): int(o) for b, o in zip(grp["b"].to_numpy(), ex)}
+        )
+        n_total = int(c.sum())
+    refs = ray.put((offs_by_dim, n_total))
+
+    out = metrics
+    for di, (out_col, metric, desc, shift) in enumerate(_RFM_DIMS):
+
+        def tag(t: pa.Table, _m=metric, _d=desc, _s=shift) -> pa.Table:
+            v = t.column(_m).to_numpy(zero_copy_only=False)
+            key = -v if _d else v
+            return t.append_column(
+                "__rb", pa.array(key >> _s, type=pa.int64())
+            )
+
+        def score(
+            g: pa.Table, _di=di, _m=metric, _d=desc, _c=out_col
+        ) -> pa.Table:
+            if g.num_rows == 0:
+                return g.drop_columns(["__rb"]).append_column(
+                    _c, pa.array([], type=pa.int64())
+                )
+            offs, n = ray.get(refs)
+            v = g.column(_m).to_numpy(zero_copy_only=False)
+            key = -v if _d else v
+            ck = g.column("c_custkey").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ck, key))
+            inv = np.empty_like(order)
+            inv[order] = np.arange(len(order))
+            b = int(g.column("__rb")[0].as_py())
+            rank0 = offs[_di][b] + inv  # 0-based global rank per row
+            base, rem = n // _RFM_K, n % _RFM_K
+            cut = rem * (base + 1)
+            tile = np.where(
+                rank0 < cut,
+                rank0 // (base + 1),
+                rem + (rank0 - cut) // np.maximum(base, 1),
+            ) + 1
+            return g.drop_columns(["__rb"]).append_column(
+                _c, pa.array(tile.astype(np.int64), type=pa.int64())
+            )
+
+        out = (
+            out.map_batches(tag, batch_format="pyarrow")
+            .groupby("__rb")
+            .map_groups(score, batch_format="pyarrow")
+        )
+    return out
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH m AS (
+  SELECT o_custkey AS c_custkey,
+         max(epoch_us(o_orderdate)) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+),
+g AS (SELECT max(last_us) AS mx FROM m),
+r AS (
+  SELECT c_custkey,
+         CAST((g.mx - last_us) // {_DAY_US_} AS BIGINT) AS recency_days,
+         frequency, monetary_cents
+  FROM m, g
+)
+SELECT c_custkey, recency_days, frequency, monetary_cents,
+  CAST(ntile({_RFM_K}) OVER (ORDER BY recency_days, c_custkey) AS BIGINT)
+    AS r_score,
+  CAST(ntile({_RFM_K}) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT)
+    AS f_score,
+  CAST(ntile({_RFM_K}) OVER (ORDER BY monetary_cents DESC, c_custkey)
+    AS BIGINT) AS m_score
+FROM r
+"""

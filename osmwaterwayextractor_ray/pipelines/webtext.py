@@ -4037,3 +4037,110 @@ SELECT c.source, t.n_docs,
 FROM c JOIN t USING (source)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# reciprocal rank fusion (wave 51)
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_PR_K = 50  # authority candidates taken from the PageRank top-K
+_RRF_OUT_K = 10  # fused results per query term
+
+
+def rrf_search(sf_dir: str):
+    """Reciprocal rank fusion (Cormack 2009) of the lexical and the
+    authority ranking — the hybrid-retrieval combiner: per BM25 query
+    term, fuse that term's BM25 top-k with the global PageRank top-K by
+
+        rrf_micro(doc) = Σ_lists 1e6 // (60 + rank_in_list)
+
+    (a list a doc is absent from contributes 0; candidates = the union
+    of both lists). Returns the fused top-10 per term as
+    (term, rank, doc_id, rrf_micro) — all-integer scores, exact ties by
+    doc_id asc.
+
+    Scale shape: both rankings stay fully distributed (bm25_search's
+    per-block partial top-k; pagerank's fixed-point iterations); fusion
+    itself touches only O(terms × k + K) driver rows — the same
+    contract as rank_agreement."""
+    from osmwaterwayextractor_ray.pipelines.webgraph import (
+        _driver_topk,
+        pagerank,
+    )
+
+    bm = bm25_search(sf_dir).to_pandas()
+    pr_top = _driver_topk(
+        pagerank(sf_dir).map_batches(
+            lambda t: t.select(["page_id", "pr"]), batch_format="pyarrow"
+        ),
+        "pr",
+        _RRF_PR_K,
+    )
+    rp = {int(r["page_id"]): i + 1 for i, r in enumerate(pr_top)}
+
+    out_rows = []
+    for term, grp in bm.groupby("term"):
+        rb = {
+            int(d): int(r) for d, r in zip(grp["doc_id"], grp["rank"])
+        }
+        cand = set(rb) | set(rp)
+        scored = sorted(
+            (
+                -(
+                    (1_000_000 // (_RRF_C + rb[d]) if d in rb else 0)
+                    + (1_000_000 // (_RRF_C + rp[d]) if d in rp else 0)
+                ),
+                d,
+            )
+            for d in cand
+        )[:_RRF_OUT_K]
+        for i, (neg, d) in enumerate(scored):
+            out_rows.append((term, i + 1, d, -neg))
+    out = pd.DataFrame(
+        out_rows, columns=["term", "rank", "doc_id", "rrf_micro"]
+    )
+    for c in ("rank", "doc_id", "rrf_micro"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["term", "rank"]).reset_index(drop=True)
+
+
+def _rrf_sql() -> str:
+    from osmwaterwayextractor_ray.pipelines.webgraph import PAGERANK_SQL
+
+    return f"""
+WITH bm AS MATERIALIZED (SELECT * FROM ({BM25_SEARCH_SQL})),
+prs AS MATERIALIZED (SELECT * FROM ({PAGERANK_SQL})),
+prtop AS (
+  SELECT page_id AS doc_id,
+         row_number() OVER (ORDER BY pr DESC, page_id) AS rp
+  FROM prs QUALIFY rp <= {_RRF_PR_K}
+),
+cand AS (
+  SELECT t.term, p.doc_id
+  FROM (SELECT DISTINCT term FROM bm) t, (SELECT doc_id FROM prtop) p
+  UNION
+  SELECT term, doc_id FROM bm
+),
+sc AS (
+  SELECT c.term, c.doc_id,
+         COALESCE(1000000 // ({_RRF_C} + b.rank), 0)
+           + COALESCE(1000000 // ({_RRF_C} + p.rp), 0) AS rrf_micro
+  FROM cand c
+  LEFT JOIN bm b ON b.term = c.term AND b.doc_id = c.doc_id
+  LEFT JOIN prtop p ON p.doc_id = c.doc_id
+)
+SELECT term,
+       CAST(row_number() OVER (PARTITION BY term
+                               ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM sc QUALIFY rank <= {_RRF_OUT_K}
+"""
+
+
+# resolved lazily so the module keeps no import-time webgraph dependency
+def __getattr__(name):
+    if name == "RRF_SEARCH_SQL":
+        return _rrf_sql()
+    raise AttributeError(name)
