@@ -265,6 +265,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_parts": relational3.skyline_parts,
         "rfm_segments": relational3.rfm_segments,
         "rrf_search": webtext.rrf_search,
+        "peak_concurrency": relational3.peak_concurrency,
+        "robust_outliers": relational3.robust_outliers,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -458,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
         "skyline_parts": relational3.SKYLINE_PARTS_SQL,
         "rfm_segments": relational3.RFM_SEGMENTS_SQL,
         "rrf_search": webtext.RRF_SEARCH_SQL,
+        "peak_concurrency": relational3.PEAK_CONCURRENCY_SQL,
+        "robust_outliers": relational3.ROBUST_OUTLIERS_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

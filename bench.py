@@ -253,6 +253,8 @@ QUERY_SET = [
     "pca_project",
     "rfm_segments",
     "rrf_search",
+    "peak_concurrency",
+    "robust_outliers",
 ]
 
 

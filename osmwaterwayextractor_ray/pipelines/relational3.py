@@ -2598,3 +2598,197 @@ SELECT c_custkey, recency_days, frequency, monetary_cents,
     AS BIGINT) AS m_score
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (distributed sweep line) + robust MAD outliers (wave 52)
+# ---------------------------------------------------------------------------
+
+_PC_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute sessions
+_PC_SHIFT = 36  # sweep bucket width = 2^36 us ≈ 19.1 h
+
+
+def peak_concurrency(sf_dir: str):
+    """Maximum number of concurrently open sessions and the earliest
+    instant it is reached — the classic sweep-line capacity audit, with
+    each event opening a half-open session [ts, ts+30min). Returns ONE
+    row (peak, first_t_us).
+
+    Distributed exact prefix sum (the pack_chunks device): every event
+    emits (+1 at ts, −1 at ts+W) sweep points bucketed by time range
+    (t >> _PC_SHIFT — range partitioning, so bucket order IS time
+    order); each bucket sorts locally by (t, delta) (delta −1 first:
+    half-open intervals don't overlap end-to-start) and reports its
+    delta total, its max running prefix, and the first t attaining it —
+    O(buckets) integers to the driver, which offsets them by the
+    exclusive totals and picks the global peak (earliest bucket, then
+    earliest t, wins ties). Sweep points never leave their bucket."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg  # noqa: F401
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def sweep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        ts_all = np.r_[us, us + _PC_WINDOW_US]
+        d_all = np.r_[
+            np.ones(len(us), dtype=np.int64),
+            -np.ones(len(us), dtype=np.int64),
+        ]
+        return pa.table(
+            {
+                "t": pa.array(ts_all, type=pa.int64()),
+                "d": pa.array(d_all, type=pa.int64()),
+                "b": pa.array(ts_all >> _PC_SHIFT, type=pa.int64()),
+            }
+        )
+
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t))  # -1 sorts before +1 at equal t
+        t_s, d_s = t[order], d[order]
+        c = np.cumsum(d_s)
+        am = int(np.argmax(c))  # first index attaining the local max
+        return pa.table(
+            {
+                "b": pa.array([int(g.column("b")[0].as_py())], type=pa.int64()),
+                "total": pa.array([int(c[-1])], type=pa.int64()),
+                "max_prefix": pa.array([int(c[am])], type=pa.int64()),
+                "t_at_max": pa.array([int(t_s[am])], type=pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(sweep, batch_format="pyarrow", batch_size=65536)
+        .groupby("b")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    totals = stats["total"].to_numpy(dtype=np.int64)
+    offs = np.cumsum(totals) - totals  # exclusive prefix of earlier buckets
+    global_max = offs + stats["max_prefix"].to_numpy(dtype=np.int64)
+    peak = int(global_max.max())
+    first_idx = int(np.argmax(global_max == peak))  # earliest bucket wins
+    return pd.DataFrame(
+        {
+            "peak": np.array([peak], dtype=np.int64),
+            "first_t_us": np.array(
+                [int(stats["t_at_max"].iloc[first_idx])], dtype=np.int64
+            ),
+        }
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT epoch_us(ts) AS t, CAST(1 AS BIGINT) AS d FROM events
+  UNION ALL
+  SELECT epoch_us(ts) + {_PC_WINDOW_US}, CAST(-1 AS BIGINT) FROM events
+),
+sw AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+)
+SELECT CAST(max(c) AS BIGINT) AS peak,
+       CAST(min(t) FILTER (c = (SELECT max(c) FROM sw)) AS BIGINT)
+         AS first_t_us
+FROM sw
+"""
+
+
+def robust_outliers(sf_dir: str):
+    """Robust outlier screen per event type: exact median and MAD
+    (median absolute deviation, both percentile_disc-at-0.5 = the value
+    at rank ceil(n/2)) of value cents, and the count of rows with
+    |cents − med| > 3·MAD — the scale-free alternative to a z-score
+    that one giant outlier cannot poison. Returns (event_type,
+    med_cents, mad_cents, n_outliers).
+
+    One type-hash co-group (the events_percent_rank shape — the type
+    dimension bounds group sizes); each group resolves median, MAD and
+    the outlier count with two numpy sorts, all integers."""
+    N_PARTS = 8
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.functions.hashing import text_hash64
+
+        et = batch.column("event_type").to_pylist()
+        h = text_hash64(et).view(np.int64) & np.int64(0x7FFFFFFF)
+        return batch.append_column(
+            "__part", pa.array(h % N_PARTS, type=pa.int64())
+        )
+
+    def screen(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], type=pa.string()),
+                    "med_cents": pa.array([], type=pa.int64()),
+                    "mad_cents": pa.array([], type=pa.int64()),
+                    "n_outliers": pa.array([], type=pa.int64()),
+                }
+            )
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        cents = _cents(g.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((cents, et))
+        et_s, c_s = et[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, et_s[1:] != et_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(et_s)])
+        types, meds, mads, outs = [], [], [], []
+        for s, n in zip(starts, sizes):
+            vals = c_s[s : s + n]  # already sorted within the type
+            med = int(vals[(n + 1) // 2 - 1])
+            ad = np.sort(np.abs(vals - med))
+            mad = int(ad[(n + 1) // 2 - 1])
+            types.append(et_s[s])
+            meds.append(med)
+            mads.append(mad)
+            outs.append(int((ad > 3 * mad).sum()))
+        return pa.table(
+            {
+                "event_type": pa.array(types, type=pa.string()),
+                "med_cents": pa.array(meds, type=pa.int64()),
+                "mad_cents": pa.array(mads, type=pa.int64()),
+                "n_outliers": pa.array(outs, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(screen, batch_format="pyarrow")
+    )
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+med AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+  FROM c GROUP BY 1
+),
+dev AS (
+  SELECT c.event_type, abs(c.cents - m.med) AS ad, m.med
+  FROM c JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.event_type, CAST(max(d.med) AS BIGINT) AS med_cents,
+       CAST(max(m.mad) AS BIGINT) AS mad_cents,
+       CAST(coalesce(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+"""
