@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": webtext.rrf_search,
         "peak_concurrency": relational3.peak_concurrency,
         "robust_outliers": relational3.robust_outliers,
+        "column_correlations": quality.column_correlations,
+        "grouped_mode": relational3.grouped_mode,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -462,6 +464,8 @@ def oracle_sql() -> dict[str, str]:
         "rrf_search": webtext.RRF_SEARCH_SQL,
         "peak_concurrency": relational3.PEAK_CONCURRENCY_SQL,
         "robust_outliers": relational3.ROBUST_OUTLIERS_SQL,
+        "column_correlations": quality.COLUMN_CORRELATIONS_SQL,
+        "grouped_mode": relational3.GROUPED_MODE_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

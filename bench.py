@@ -255,6 +255,8 @@ QUERY_SET = [
     "rrf_search",
     "peak_concurrency",
     "robust_outliers",
+    "column_correlations",
+    "grouped_mode",
 ]
 
 

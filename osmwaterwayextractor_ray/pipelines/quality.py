@@ -448,3 +448,140 @@ FROM (
 )"""
     for name, table, lhs, rhs in _FDS
 )
+
+
+# ---------------------------------------------------------------------------
+# column_correlations (wave 53)
+# ---------------------------------------------------------------------------
+
+# (name, column, integer grid): correlation is scale-invariant, so each
+# column picks the coarsest grid that keeps it exact — price in whole
+# dollars (not cents) keeps every later product inside the HUGEINT/
+# big-int budgets documented below.
+_CC_COLS = [
+    ("qty", "l_quantity", 1),
+    ("price", "l_extendedprice", 1),
+    ("disc", "l_discount", 100),
+    ("tax", "l_tax", 100),
+]
+
+
+def column_correlations(sf_dir: str):
+    """Pairwise Pearson-correlation audit across the lineitem numeric
+    columns — the data-profiling pass that catches redundant /
+    leaking features before anything trains. ALL-INTEGER contract
+    (no float sqrt to drift): per pair, with exact moments
+    num = n·Sxy − Sx·Sy, da = n·Sxx − Sx², db = n·Syy − Sy²,
+
+        r2_ppm = sign(num) · (num² // max(da·db // 1e6, 1))
+
+    — i.e. signed r² in parts-per-million, computed with the identical
+    integer expression on both engines (Python big ints here, HUGEINT
+    in the twin). Returns (pair, n, r2_ppm), one row per column pair.
+
+    Shape: ONE streaming pass emits a 15-integer moment row per block
+    (the price_model device); the driver folds O(blocks) rows in Python
+    ints. Budgets (fail-loud): per-batch int64 partials need
+    rows·max(x·y) < 2^62 (price ≤ ~1.1e5 on the dollar grid → 65536-row
+    batches sit at ~7e14); num² and da·db stay under HUGEINT because the
+    dollar grid caps num at ~2e18 for n ≤ 1e6 rows."""
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=[c for _, c, _ in _CC_COLS]
+    )
+    k = len(_CC_COLS)
+    iu, ju = np.triu_indices(k, 1)
+
+    def moments(t: pa.Table) -> pa.Table:
+        cols = []
+        for _, col, grid in _CC_COLS:
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            cols.append(np.round(v * grid).astype(np.int64))
+        x = np.stack(cols, axis=1).astype(np.float64)
+        mx = float(np.abs(x).max(initial=0.0))
+        if t.num_rows * mx * mx >= 2**62:
+            raise ValueError("column_correlations: per-batch budget exceeded")
+        m = x.T @ x  # exact: bounded above
+        s = x.sum(axis=0)
+        names = (
+            ["n"]
+            + [f"s_{i}" for i in range(k)]
+            + [f"m_{i}_{i}" for i in range(k)]
+            + [f"m_{a}_{b}" for a, b in zip(iu, ju)]
+        )
+        vals = (
+            [t.num_rows]
+            + [int(v) for v in s]
+            + [int(m[i, i]) for i in range(k)]
+            + [int(m[a, b]) for a, b in zip(iu, ju)]
+        )
+        return pa.table(
+            {
+                "key": pa.array(names, type=pa.string()),
+                "v": pa.array(vals, type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    tot = {key: int(grp["v"].sum()) for key, grp in parts.groupby("key")}
+
+    n = tot["n"]
+    rows = []
+    for a, b in zip(iu, ju):
+        num = n * tot[f"m_{a}_{b}"] - tot[f"s_{a}"] * tot[f"s_{b}"]
+        da = n * tot[f"m_{a}_{a}"] - tot[f"s_{a}"] ** 2
+        db = n * tot[f"m_{b}_{b}"] - tot[f"s_{b}"] ** 2
+        r2 = num * num // max(da * db // 1_000_000, 1)
+        rows.append(
+            (
+                f"{_CC_COLS[a][0]}~{_CC_COLS[b][0]}",
+                n,
+                (-r2 if num < 0 else r2),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["pair", "n", "r2_ppm"])
+    out["n"] = out["n"].astype(np.int64)
+    out["r2_ppm"] = out["r2_ppm"].astype(np.int64)
+    return out
+
+
+def _cc_sql() -> str:
+    exprs = [
+        f"CAST(round({col} * {grid}) AS HUGEINT) AS x{i}"
+        for i, (_, col, grid) in enumerate(_CC_COLS)
+    ]
+    k = len(_CC_COLS)
+    iu, ju = np.triu_indices(k, 1)
+    sums = (
+        ["CAST(count(*) AS HUGEINT) AS n"]
+        + [f"sum(x{i}) AS s{i}" for i in range(k)]
+        + [f"sum(x{i} * x{i}) AS m{i}{i}" for i in range(k)]
+        + [f"sum(x{a} * x{b}) AS m{a}{b}" for a, b in zip(iu, ju)]
+    )
+    selects = []
+    for a, b in zip(iu, ju):
+        pair = f"{_CC_COLS[a][0]}~{_CC_COLS[b][0]}"
+        selects.append(f"""
+SELECT '{pair}' AS pair, CAST(n AS BIGINT) AS n,
+  CAST(CASE WHEN n * m{a}{b} - s{a} * s{b} < 0 THEN
+    -((n * m{a}{b} - s{a} * s{b}) * (n * m{a}{b} - s{a} * s{b})
+      // greatest((n * m{a}{a} - s{a} * s{a}) * (n * m{b}{b} - s{b} * s{b})
+                  // 1000000, 1))
+  ELSE
+    (n * m{a}{b} - s{a} * s{b}) * (n * m{a}{b} - s{a} * s{b})
+      // greatest((n * m{a}{a} - s{a} * s{a}) * (n * m{b}{b} - s{b} * s{b})
+                  // 1000000, 1)
+  END AS BIGINT) AS r2_ppm
+FROM g""")
+    return (
+        "WITH raw AS (SELECT "
+        + ", ".join(exprs)
+        + " FROM lineitem),\ng AS (SELECT "
+        + ", ".join(sums)
+        + " FROM raw)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+COLUMN_CORRELATIONS_SQL = _cc_sql()

@@ -2792,3 +2792,93 @@ SELECT d.event_type, CAST(max(d.med) AS BIGINT) AS med_cents,
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped mode (wave 53)
+# ---------------------------------------------------------------------------
+
+
+def grouped_mode(sf_dir: str):
+    """MODE per group — the most frequent value cents per event type
+    under the total (count desc, cents asc) tie-break, with its
+    occurrence count: the missing classic aggregate (SQL mode() with a
+    deterministic tie rule). Returns (event_type, mode_cents,
+    n_occurrences).
+
+    One O(distinct (type, cents)) grouped-count shuffle; after it every
+    (type, cents) is ONE row, so a per-block top-1 per type is a sound
+    superset and the driver merges O(blocks × types) rows."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    _cents(t.column("value").to_numpy(zero_copy_only=False)),
+                    type=pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "cents"],
+        {"n": ("one", "sum")},
+        num_parts=8,
+    )
+
+    def top1(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, -n, et))
+        et_s = et[order]
+        first = np.r_[True, et_s[1:] != et_s[:-1]]
+        idx = order[first]
+        return pa.table(
+            {
+                "event_type": pa.array(et[idx].tolist(), type=pa.string()),
+                "cents": pa.array(c[idx], type=pa.int64()),
+                "n": pa.array(n[idx], type=pa.int64()),
+            }
+        )
+
+    parts = counts.map_batches(top1, batch_format="pyarrow").to_pandas()
+    best = (
+        parts.sort_values(["event_type", "n", "cents"],
+                          ascending=[True, False, True])
+        .groupby("event_type", as_index=False)
+        .first()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": best["event_type"],
+            "mode_cents": best["cents"].astype(np.int64),
+            "n_occurrences": best["n"].astype(np.int64),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+GROUPED_MODE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+n AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, cents, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, cents) AS rn
+  FROM n
+)
+SELECT event_type, cents AS mode_cents, n AS n_occurrences
+FROM r WHERE rn = 1
+"""
