@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robust_outliers": relational3.robust_outliers,
         "column_correlations": quality.column_correlations,
         "grouped_mode": relational3.grouped_mode,
+        "events_moving_avg": relational3.events_moving_avg,
+        "ship_lag_hist": relational3.ship_lag_hist,
+        "customer_best_order": relational2.customer_best_order,
+        "brand_revenue_share": relational2.brand_revenue_share,
+        "watermark_audit": relational3.watermark_audit,
+        "table_fingerprint": relational3.table_fingerprint,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -466,6 +472,12 @@ def oracle_sql() -> dict[str, str]:
         "robust_outliers": relational3.ROBUST_OUTLIERS_SQL,
         "column_correlations": quality.COLUMN_CORRELATIONS_SQL,
         "grouped_mode": relational3.GROUPED_MODE_SQL,
+        "events_moving_avg": relational3.EVENTS_MOVING_AVG_SQL,
+        "ship_lag_hist": relational3.SHIP_LAG_HIST_SQL,
+        "customer_best_order": relational2.CUSTOMER_BEST_ORDER_SQL,
+        "brand_revenue_share": relational2.BRAND_REVENUE_SHARE_SQL,
+        "watermark_audit": relational3.WATERMARK_AUDIT_SQL,
+        "table_fingerprint": relational3.TABLE_FINGERPRINT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -257,6 +257,12 @@ QUERY_SET = [
     "robust_outliers",
     "column_correlations",
     "grouped_mode",
+    "events_moving_avg",
+    "ship_lag_hist",
+    "customer_best_order",
+    "brand_revenue_share",
+    "watermark_audit",
+    "table_fingerprint",
 ]
 
 

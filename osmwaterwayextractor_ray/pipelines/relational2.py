@@ -896,3 +896,190 @@ JOIN nation ns ON ns.n_nationkey = s.s_nationkey
 JOIN nation nc ON nc.n_nationkey = c.c_nationkey
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# greatest-per-group join + ratio-to-report share (wave 55)
+# ---------------------------------------------------------------------------
+
+
+def customer_best_order(sf_dir: str):
+    """Greatest-one-per-group WITH dimension attach: each customer's
+    single largest order (total cents desc, orderkey asc — a total key)
+    joined to the customer dimension. Returns (c_custkey, c_name,
+    c_mktsegment, o_orderkey, total_cents). Customers without orders
+    don't appear (inner semantics).
+
+    Per-block partial top-1 per customer (sound: order rows are unique),
+    ONE customer-hash co-group finishes the argmax, then a partitioned
+    hash join attaches the dimension — nothing broadcast, both sides
+    hash-bucketed."""
+    from osmwaterwayextractor_ray.stages.fastagg import hash_join
+
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    cust = _read_pq(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+    def top1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "total_cents": pa.array([], type=pa.int64()),
+                }
+            )
+        ck = t.column("c_custkey" if "c_custkey" in t.column_names
+                      else "o_custkey").to_numpy(zero_copy_only=False)
+        ok = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = (
+            t.column("total_cents").to_numpy(zero_copy_only=False)
+            if "total_cents" in t.column_names
+            else np.round(
+                t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+        )
+        order = np.lexsort((ok, -c, ck))
+        ck_s = ck[order]
+        first = np.r_[True, ck_s[1:] != ck_s[:-1]]
+        idx = order[first]
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[idx], type=pa.int64()),
+                "o_orderkey": pa.array(ok[idx], type=pa.int64()),
+                "total_cents": pa.array(c[idx], type=pa.int64()),
+            }
+        )
+
+    partial = orders.map_batches(top1, batch_format="pyarrow", batch_size=65536)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__part", pa.array((ck % 16).astype(np.int64), type=pa.int64())
+        )
+
+    best = (
+        partial.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: top1(g.drop_columns(["__part"])), batch_format="pyarrow"
+        )
+    )
+    return hash_join(
+        best,
+        cust,
+        on=["c_custkey"],
+        num_parts=16,
+    ).select_columns(
+        ["c_custkey", "c_name", "c_mktsegment", "o_orderkey", "total_cents"]
+    )
+
+
+CUSTOMER_BEST_ORDER_SQL = """
+WITH r AS (
+  SELECT o_custkey AS c_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY round(o_totalprice * 100) DESC,
+                                     o_orderkey) AS rn
+  FROM orders
+)
+SELECT r.c_custkey, c.c_name, c.c_mktsegment, r.o_orderkey, r.total_cents
+FROM r JOIN customer c ON c.c_custkey = r.c_custkey
+WHERE rn = 1
+"""
+
+
+def brand_revenue_share(sf_dir: str):
+    """Ratio-to-report: each part brand's share of its type's revenue —
+    the windowed share-of-total every BI layer ships (SUM OVER PARTITION
+    ratio), exact: revenue in 1e-4 units (cents·(100−disc_pct), the
+    trade_flows device) and share_ppm = brand·1e6 // type_total.
+    Returns (p_type, p_brand, rev_1e4, share_ppm).
+
+    One partitioned hash join (lineitem ⋈ part on partkey — nothing
+    broadcast), an O(types × brands) grouped sum, and the per-type
+    totals ride an O(cells) second aggregate joined back by type."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = _read_pq(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_brand"]
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = np.round(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_1e4": pa.array(cents * (100 - disc), type=pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(rev, batch_format="pyarrow", batch_size=65536),
+        part,
+        left_on=["l_partkey"],
+        right_on=["p_partkey"],
+        num_parts=16,
+    )
+    cells = grouped_agg(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "p_type": t["p_type"],
+                    "p_brand": t["p_brand"],
+                    "rev_1e4": t["rev_1e4"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["p_type", "p_brand"],
+        {"rev_1e4": ("rev_1e4", "sum")},
+        num_parts=4,
+    ).to_pandas()
+    # Python big ints for the ppm ratio: rev·1e6 can exceed int64 (the
+    # SQL twin widens to HUGEINT for the same step)
+    totals = {
+        t: int(g.sum()) for t, g in cells.groupby("p_type")["rev_1e4"]
+    }
+    cells["share_ppm"] = np.array(
+        [
+            int(r) * 1_000_000 // totals[t]
+            for t, r in zip(cells["p_type"], cells["rev_1e4"])
+        ],
+        dtype=np.int64,
+    )
+    cells["rev_1e4"] = cells["rev_1e4"].astype(np.int64)
+    return cells.reset_index(drop=True)
+
+
+BRAND_REVENUE_SHARE_SQL = """
+WITH c AS (
+  SELECT p_type, p_brand,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_1e4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+)
+SELECT p_type, p_brand, rev_1e4,
+       CAST(CAST(rev_1e4 AS HUGEINT) * 1000000
+            // sum(CAST(rev_1e4 AS HUGEINT)) OVER (PARTITION BY p_type)
+            AS BIGINT) AS share_ppm
+FROM c
+"""

@@ -2882,3 +2882,370 @@ r AS (
 SELECT event_type, cents AS mode_cents, n AS n_occurrences
 FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ROWS-frame moving average + ship-lag histogram (wave 54)
+# ---------------------------------------------------------------------------
+
+_MA_WINDOW = 4  # trailing ROWS window (current + 3 preceding)
+
+
+def events_moving_avg(sf_dir: str):
+    """Trailing ROWS-frame moving average — AVG(value) OVER (PARTITION
+    BY user ORDER BY ts, event_id ROWS 3 PRECEDING) — the row-count
+    window sibling of the time-based sliding window already covered.
+    Exact integers: ma_micro = (window cents sum · 1e6) // window size
+    (truncating division matching DuckDB's //; sums are int64 cents, so
+    the result is bit-stable under any block structure). Returns
+    (event_id, user_id, ma_micro).
+
+    One user-hash co-group; each bucket resolves every user with one
+    lexsort + cumsum-minus-shifted-cumsum — the prefix-difference
+    kernel, no per-row loop."""
+    N_PARTS = 16
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__part", pa.array((uid % N_PARTS).astype(np.int64), type=pa.int64())
+        )
+
+    def ma(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ma_micro": pa.array([], type=pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        cents = _cents(g.column("value").to_numpy(zero_copy_only=False))
+        order = np.lexsort((eid, ts, uid))
+        uid_s, eid_s, c_s = uid[order], eid[order], cents[order]
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(uid_s)])
+        gstart = np.repeat(starts, sizes)  # each row's user-start index
+        pos = np.arange(len(uid_s), dtype=np.int64) - gstart
+        cs = np.cumsum(c_s)
+        prev = np.r_[np.int64(0), cs[:-1]]
+        upfx = cs - prev[gstart]  # per-user inclusive prefix sum
+        # trailing window of size min(pos+1, W): subtract the prefix W
+        # rows back within the user (0 when the window reaches the start)
+        lag = pos - _MA_WINDOW
+        lag_val = np.where(lag >= 0, upfx[gstart + np.maximum(lag, 0)], 0)
+        win_sum = upfx - lag_val
+        w = np.minimum(pos + 1, _MA_WINDOW)
+        ma_micro = np.empty(len(win_sum), dtype=np.int64)
+        for k in range(1, _MA_WINDOW + 1):
+            m = w == k
+            ma_micro[m] = _trunc_div_arr(win_sum[m] * 1_000_000, k)
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, type=pa.int64()),
+                "user_id": pa.array(uid_s, type=pa.int64()),
+                "ma_micro": pa.array(ma_micro, type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+        .groupby("__part")
+        .map_groups(ma, batch_format="pyarrow")
+    )
+
+
+EVENTS_MOVING_AVG_SQL = f"""
+WITH w AS (
+  SELECT event_id, user_id,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS {_MA_WINDOW - 1} PRECEDING) AS s,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS {_MA_WINDOW - 1} PRECEDING) AS c
+  FROM events
+)
+SELECT event_id, user_id, CAST(s * 1000000 // c AS BIGINT) AS ma_micro
+FROM w
+"""
+
+
+_SL_DAY_US = 86_400_000_000
+
+
+def ship_lag_hist(sf_dir: str):
+    """Order-to-ship lag histogram per order priority — the fulfilment
+    SLA audit, and the registry's dedicated FACT-to-FACT join histogram
+    (lineitem ⋈ orders on orderkey, both sides too big to broadcast):
+    lag_days = (l_shipdate − o_orderdate) // 1 day (truncating, matching
+    DuckDB). Returns (o_orderpriority, lag_days, n_lineitems).
+
+    One partitioned hash join on orderkey (both sides hash-bucketed —
+    nothing broadcast) + an O(priorities × lags) grouped count."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, hash_join
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pa.array(us, type=pa.int64()),
+            }
+        )
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_us": pa.array(us, type=pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow", batch_size=65536),
+        orders.map_batches(o_prep, batch_format="pyarrow", batch_size=65536),
+        left_on=["l_orderkey"],
+        right_on=["o_orderkey"],
+        num_parts=16,
+    )
+
+    def lag(t: pa.Table) -> pa.Table:
+        d = _trunc_div_arr(
+            t.column("ship_us").to_numpy(zero_copy_only=False)
+            - t.column("order_us").to_numpy(zero_copy_only=False),
+            _SL_DAY_US,
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "lag_days": pa.array(d, type=pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return grouped_agg(
+        joined.map_batches(lag, batch_format="pyarrow"),
+        ["o_orderpriority", "lag_days"],
+        {"n_lineitems": ("one", "sum")},
+        num_parts=4,
+    )
+
+
+SHIP_LAG_HIST_SQL = f"""
+SELECT o_orderpriority,
+       CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // {_SL_DAY_US}
+            AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark audit + table fingerprints (wave 56)
+# ---------------------------------------------------------------------------
+
+_WM_LATENESS_US = 3_600_000_000  # allowed lateness: 1 h
+_WM_SHIFT = 16  # arrival buckets: 2^16 event_ids per sweep bucket
+
+
+def watermark_audit(sf_dir: str):
+    """Streaming watermark / late-data audit: treating event_id as the
+    ARRIVAL order and ts as event time, a row is LATE when its event
+    time sits more than the allowed lateness (1 h) behind the watermark
+    — the running max event time over everything that arrived strictly
+    before it. Returns ONE row (n_events, n_late, max_lag_us) with
+    max_lag_us the worst watermark lag observed (0 if arrivals are in
+    order) — the exact out-of-orderness audit every event-time streaming
+    pipeline runs to size its watermark delay.
+
+    Distributed exact prefix-MAX, two passes (the grouped_percentiles
+    offset device, with max for sum): pass 1 reduces each arrival-range
+    bucket (event_id >> 16 — bucket order IS arrival order) to its max
+    ts, and the driver forms the exclusive running max = the watermark
+    ENTERING each bucket (O(buckets) integers); pass 2 re-groups the
+    same buckets, seeds each bucket's running max with its incoming
+    watermark, and emits O(1) (n, n_late, max_lag) partials. Rows never
+    leave their bucket; the driver holds bucket scalars only."""
+    import ray
+
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": pa.array(ts, type=pa.int64()),
+                "__b": pa.array(eid >> _WM_SHIFT, type=pa.int64()),
+            }
+        )
+
+    tagged = pin(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=65536),
+        "wm_tagged",
+    )
+    bmaxes = (
+        grouped_agg(tagged, ["__b"], {"bmax": ("ts_us", "max")}, num_parts=4)
+        .to_pandas()
+        .sort_values("__b")
+        .reset_index(drop=True)
+    )
+    run = np.maximum.accumulate(bmaxes["bmax"].to_numpy(dtype=np.int64))
+    _NO_WM = -(1 << 62)  # "no watermark yet" sentinel (lags stay negative)
+    wm_in = {
+        int(b): (int(run[i - 1]) if i else _NO_WM)
+        for i, b in enumerate(bmaxes["__b"])
+    }
+    wm_ref = ray.put(wm_in)
+
+    def audit(g: pa.Table) -> pa.Table:
+        wm_map = ray.get(wm_ref)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        order = np.argsort(eid, kind="stable")  # event_ids unique
+        ts_s = ts[order]
+        seed = wm_map[int(g.column("__b")[0].as_py())]
+        prev = np.r_[np.int64(seed), np.maximum.accumulate(ts_s)[:-1]]
+        prev = np.maximum(prev, np.int64(seed))
+        lag = prev - ts_s
+        return pa.table(
+            {
+                "n": pa.array([len(ts_s)], type=pa.int64()),
+                "n_late": pa.array(
+                    [int((lag > _WM_LATENESS_US).sum())], type=pa.int64()
+                ),
+                "max_lag": pa.array(
+                    [int(max(int(lag.max()), 0))], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        tagged.groupby("__b")
+        .map_groups(audit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_events": np.array([int(parts["n"].sum())], dtype=np.int64),
+            "n_late": np.array([int(parts["n_late"].sum())], dtype=np.int64),
+            "max_lag_us": np.array(
+                [int(parts["max_lag"].max()) if len(parts) else 0],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+WATERMARK_AUDIT_SQL = f"""
+WITH w AS (
+  SELECT ts,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(CASE WHEN wm - epoch_us(ts) > {_WM_LATENESS_US}
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
+       CAST(greatest(coalesce(max(wm - epoch_us(ts)), 0), 0) AS BIGINT)
+         AS max_lag_us
+FROM w
+"""
+
+
+# order-independent per-table content fingerprints: sum of a keyed
+# multiplicative mix mod the Mersenne prime 2^61-1 — any row order /
+# block structure gives the same digest, and the expression is plain
+# integer arithmetic both engines evaluate exactly
+_FP_MOD = (1 << 61) - 1
+_FP_MIX = 2_654_435_761  # Knuth multiplicative constant
+_FP_TABLES = [
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+    ("events", "event_id"),
+]
+
+
+def table_fingerprint(sf_dir: str):
+    """Anti-entropy table fingerprints — the replication/transfer
+    verification primitive: per table an ORDER-INDEPENDENT digest
+    fp = Σ_rows ((key · 2654435761 + 1) mod (2^61−1)) mod (2^61−1) over
+    the table's primary key column, plus the exact row count. Two
+    replicas disagree ⇒ fingerprints differ (up to the prime-modulus
+    collision bound). Returns (tbl, n_rows, fp).
+
+    One streaming pass per table emitting an O(1) partial (count, sum
+    mod p) per block; the driver folds O(blocks) rows in Python ints —
+    commutative addition, so block structure cannot change the digest."""
+    rows = []
+    for tbl, key in _FP_TABLES:
+        ds = _read_pq(f"{sf_dir}/{tbl}.parquet", columns=[key])
+
+        def partial(t: pa.Table, _k=key) -> pa.Table:
+            v = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
+            mixed = (
+                v.astype(object) * _FP_MIX + 1
+            )  # object dtype -> Python big ints, no wrap
+            s = int(sum(int(x) % _FP_MOD for x in mixed) % _FP_MOD)
+            return pa.table(
+                {
+                    "n": pa.array([t.num_rows], type=pa.int64()),
+                    "s": pa.array([s], type=pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=65536
+        ).to_pandas()
+        fp = int(sum(int(x) for x in parts["s"]) % _FP_MOD)
+        rows.append((tbl, int(parts["n"].sum()), fp))
+    out = pd.DataFrame(rows, columns=["tbl", "n_rows", "fp"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["fp"] = out["fp"].astype(np.int64)
+    return out
+
+
+TABLE_FINGERPRINT_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum((CAST({key} AS HUGEINT) * {_FP_MIX} + 1) % {_FP_MOD})
+            % {_FP_MOD} AS BIGINT) AS fp
+FROM {tbl}"""
+    for tbl, key in _FP_TABLES
+)
