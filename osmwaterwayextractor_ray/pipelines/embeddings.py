@@ -1294,7 +1294,7 @@ def pca_project(sf_dir: str):
         G[a, b] = G[b, a] = int(r["s"])
     # covariance from exact integers (float64 only on the driver, once)
     cov = (G.astype(np.float64) - np.outer(s1, s1).astype(np.float64) / n) / n
-    evals, evecs = np.linalg.eigh(cov)
+    _, evecs = np.linalg.eigh(cov)
     W = evecs[:, ::-1][:, :_PCA_K]  # eigh is ascending; take the top-K
     # sign convention: largest-|component| positive (first index on ties)
     for k in range(_PCA_K):

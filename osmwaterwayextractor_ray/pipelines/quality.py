@@ -524,7 +524,11 @@ def column_correlations(sf_dir: str):
     parts = ds.map_batches(
         moments, batch_format="pyarrow", batch_size=65536
     ).to_pandas()
-    tot = {key: int(grp["v"].sum()) for key, grp in parts.groupby("key")}
+    # fold in Python ints: per-block partials are bounded by 2^62, so an
+    # int64 (pandas) sum across blocks could wrap silently
+    tot: dict[str, int] = {}
+    for key, v in zip(parts["key"], parts["v"]):
+        tot[key] = tot.get(key, 0) + int(v)
 
     n = tot["n"]
     rows = []

@@ -3219,14 +3219,26 @@ def table_fingerprint(sf_dir: str):
 
         def partial(t: pa.Table, _k=key) -> pa.Table:
             v = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
-            mixed = (
-                v.astype(object) * _FP_MIX + 1
-            )  # object dtype -> Python big ints, no wrap
-            s = int(sum(int(x) % _FP_MOD for x in mixed) % _FP_MOD)
+            if len(v) and int(v.max()) > (2**63 - 2) // _FP_MIX:
+                # keys this wide need big-int modmul — fall back to exact
+                # Python ints (same result, slower); below the bound the
+                # vectorized int64 product cannot wrap
+                s = 0
+                for x in v.tolist():
+                    s = (s + (x * _FP_MIX + 1) % _FP_MOD) % _FP_MOD
+            else:
+                mixed = (v * _FP_MIX + 1) % _FP_MOD
+                # vectorized exact mod-sum: split each value (< 2^61) into
+                # 32-bit halves — both int64 partial sums stay far below
+                # 2^63 for any batch size up to 2^18 rows, then recombine
+                # in Python ints
+                lo = int((mixed & 0xFFFFFFFF).sum())
+                hi = int((mixed >> 32).sum())
+                s = (lo + (hi << 32)) % _FP_MOD
             return pa.table(
                 {
                     "n": pa.array([t.num_rows], type=pa.int64()),
-                    "s": pa.array([s], type=pa.int64()),
+                    "s": pa.array([int(s)], type=pa.int64()),
                 }
             )
 
