@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue_share": relational2.brand_revenue_share,
         "watermark_audit": relational3.watermark_audit,
         "table_fingerprint": relational3.table_fingerprint,
+        "rolling_active_users": relational3.rolling_active_users,
+        "revenue_wow": relational3.revenue_wow,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -478,6 +480,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_revenue_share": relational2.BRAND_REVENUE_SHARE_SQL,
         "watermark_audit": relational3.WATERMARK_AUDIT_SQL,
         "table_fingerprint": relational3.TABLE_FINGERPRINT_SQL,
+        "rolling_active_users": relational3.ROLLING_ACTIVE_USERS_SQL,
+        "revenue_wow": relational3.REVENUE_WOW_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

@@ -263,6 +263,8 @@ QUERY_SET = [
     "brand_revenue_share",
     "watermark_audit",
     "table_fingerprint",
+    "rolling_active_users",
+    "revenue_wow",
 ]
 
 

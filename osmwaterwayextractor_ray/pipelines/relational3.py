@@ -3261,3 +3261,181 @@ SELECT '{tbl}' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
 FROM {tbl}"""
     for tbl, key in _FP_TABLES
 )
+
+
+# ---------------------------------------------------------------------------
+# rolling active users + week-over-week revenue growth (wave 57)
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW = 7  # trailing window in days
+_WEEK_US_ = 7 * 86_400_000_000
+
+
+def rolling_active_users(sf_dir: str):
+    """Trailing 7-day active users per day — the WAU dashboard series,
+    exact: for every day d that any user's activity window covers, the
+    number of distinct users active in [d−6, d]. Returns (day, wau).
+
+    Shape: one distinct (user, day) shuffle (O(users × active days) —
+    the corpus never moves), a ≤7× flat-map expansion of each active
+    day into the windows it serves, a second distinct to collapse
+    multi-activity windows, and an O(days) grouped count. Every step is
+    a bounded-fanout streaming pass — no per-day rescan."""
+    from osmwaterwayextractor_ray.stages.fastagg import distinct, grouped_agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def days(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(_trunc_div_arr(ts, _DAY_US_), type=pa.int64()),
+            }
+        )
+
+    ud = distinct(
+        ds.map_batches(days, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "day"],
+        num_parts=16,
+    )
+
+    def expand(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        reps = np.repeat(np.arange(_WAU_WINDOW, dtype=np.int64), n)
+        return pa.table(
+            {
+                "user_id": pa.array(np.tile(uid, _WAU_WINDOW), type=pa.int64()),
+                "wday": pa.array(np.tile(day, _WAU_WINDOW) + reps, type=pa.int64()),
+            }
+        )
+
+    uw = distinct(
+        ud.map_batches(expand, batch_format="pyarrow", batch_size=16384),
+        ["user_id", "wday"],
+        num_parts=16,
+    )
+    return grouped_agg(
+        uw.map_batches(
+            lambda t: pa.table(
+                {
+                    "day": t["wday"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["day"],
+        {"wau": ("one", "sum")},
+        num_parts=8,
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US_} AS day FROM events
+),
+w AS (
+  SELECT DISTINCT user_id, day + g.i AS wday
+  FROM ud, UNNEST(generate_series(0, {_WAU_WINDOW - 1})) AS g(i)
+)
+SELECT wday AS day, CAST(count(*) AS BIGINT) AS wau
+FROM w GROUP BY 1
+"""
+
+
+def revenue_wow(sf_dir: str):
+    """Week-over-week revenue growth — weekly order revenue (exact
+    cents) with the previous week's revenue and the integer ppm delta
+    ((cur − prev)·1e6 // prev; NULL for the first week and after gap
+    weeks, mirroring a strict LAG over observed weeks only). Returns
+    (week, total_cents, prev_cents, wow_ppm).
+
+    One O(weeks) grouped sum; the LAG chain runs on the driver over
+    O(weeks) integers (big-int ppm so cents·1e6 cannot wrap)."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    ds = _read_pq(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def weeks(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "week": pa.array(
+                    _trunc_div_arr(us, _WEEK_US_), type=pa.int64()
+                ),
+                "cents": pa.array(
+                    _cents(
+                        t.column("o_totalprice").to_numpy(zero_copy_only=False)
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    wk = (
+        grouped_agg(
+            ds.map_batches(weeks, batch_format="pyarrow", batch_size=65536),
+            ["week"],
+            {"total_cents": ("cents", "sum")},
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values("week")
+        .reset_index(drop=True)
+    )
+    wk["week"] = wk["week"].astype(np.int64)
+    wk["total_cents"] = wk["total_cents"].astype(np.int64)
+    prev, ppm = [], []
+    for i in range(len(wk)):
+        if i and int(wk["week"].iloc[i]) == int(wk["week"].iloc[i - 1]) + 1:
+            p = int(wk["total_cents"].iloc[i - 1])
+            prev.append(p)
+            # _trunc_div: negative deltas must truncate like DuckDB //
+            ppm.append(
+                _trunc_div((int(wk["total_cents"].iloc[i]) - p) * 1_000_000, p)
+            )
+        else:
+            prev.append(None)
+            ppm.append(None)
+    # float64-with-NaN (DuckDB's own fetchdf convention for a nullable
+    # BIGINT) — the pandas Int64 extension dtype breaks numpy consumers
+    wk["prev_cents"] = np.array(
+        [np.nan if p is None else float(p) for p in prev], dtype=np.float64
+    )
+    wk["wow_ppm"] = np.array(
+        [np.nan if p is None else float(p) for p in ppm], dtype=np.float64
+    )
+    return wk
+
+
+REVENUE_WOW_SQL = f"""
+WITH w AS (
+  SELECT epoch_us(o_orderdate) // {_WEEK_US_} AS week,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY 1
+),
+l AS (
+  SELECT week, total_cents,
+         lag(week) OVER (ORDER BY week) AS pw,
+         lag(total_cents) OVER (ORDER BY week) AS pc
+  FROM w
+)
+SELECT week, total_cents,
+       CASE WHEN pw = week - 1 THEN pc END AS prev_cents,
+       CASE WHEN pw = week - 1 THEN
+         CAST((CAST(total_cents AS HUGEINT) - pc) * 1000000 // pc AS BIGINT)
+       END AS wow_ppm
+FROM l
+"""
