@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": embeddings.semdedup,
         # --- multimodal plumbing (decode stubbed; see pipelines/multimodal) ---
         "media_features": multimodal.media_features,
+        # perceptual-hash near-dup (stub decode; hash not SQL-expressible)
+        # — rows-only; brute-force popcount reference in tests/test_wave58.py
+        "media_phash_neardup": multimodal.media_phash_neardup,
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,

@@ -265,6 +265,7 @@ QUERY_SET = [
     "table_fingerprint",
     "rolling_active_users",
     "revenue_wow",
+    "media_phash_neardup",
 ]
 
 

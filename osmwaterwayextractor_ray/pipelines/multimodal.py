@@ -339,3 +339,126 @@ SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents GROUP BY text
 """
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup over the media modality (wave 58)
+# ---------------------------------------------------------------------------
+
+
+def _phash_stub(payload: bytes) -> int:
+    """STUB perceptual hash — the deterministic stand-in for a real
+    pHash (DCT of a decoded thumbnail): split the byte stream into 64
+    contiguous cells, bit i = (cell mean > global mean), integer
+    arithmetic only. Near-identical payloads flip few cells, so the
+    hamming distance behaves like a perceptual distance for the fake
+    modality; a real deployment swaps this for a decoded-pixel DCT
+    inside the same actor."""
+    b = np.frombuffer(payload.ljust(64, b"\0"), dtype=np.uint8)
+    idx = (np.arange(65, dtype=np.int64) * len(b)) // 64
+    sums = np.add.reduceat(b.astype(np.int64), idx[:-1])
+    counts = np.diff(idx)
+    means = sums // counts
+    bits = means > (int(means.sum()) // 64)
+    h = 0
+    for i in range(64):
+        if bits[i]:
+            h |= 1 << i
+    return h
+
+
+class MediaPHasher:
+    """Actor-pool stage: decode (stub / PIL probe, the multimodal
+    convention) + perceptual fingerprint per payload."""
+
+    def __init__(self):
+        self._pil_image = _probe_pil()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        mtypes = batch.column("media_type").to_pylist()
+        hs = np.empty(len(payloads), dtype=np.uint64)
+        for i, (p, mt) in enumerate(zip(payloads, mtypes)):
+            if mt != "image/fake":
+                raise NotImplementedError(
+                    f"no perceptual hash for media type {mt!r} here"
+                )
+            hs[i] = _phash_stub(p or b"")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "phash": pa.array(hs.view(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def _media_with_planted_copies(sf_dir: str):
+    """media_from_documents ∪ planted copies: an exact byte-copy
+    (doc_id + 1_000_000 — hamming 0 by construction) and a one-byte
+    perturbation (doc_id + 2_000_000 — perceptually near) for every
+    doc_id % 10 == 0, so the near-dup join has known positives at any
+    scale without quadratic output."""
+    media = media_from_documents(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        mts = batch.column("media_type").to_pylist()
+        out_id = list(ids)
+        out_p = list(payloads)
+        out_mt = list(mts)
+        for did, p, mt in zip(ids.tolist(), payloads, mts):
+            if did % 10:
+                continue
+            p = p or b""
+            out_id.append(did + 1_000_000)
+            out_p.append(p)
+            out_mt.append(mt)
+            flipped = bytearray(p.ljust(1, b"\0"))
+            flipped[0] ^= 0x01
+            out_id.append(did + 2_000_000)
+            out_p.append(bytes(flipped))
+            out_mt.append(mt)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "media_type": pa.array(out_mt, type=pa.string()),
+                "payload": pa.array(out_p, type=pa.binary()),
+            }
+        )
+
+    return media.map_batches(plant, batch_format="pyarrow")
+
+
+def media_phash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Perceptual near-duplicate join over the media modality — the
+    image-dedup stage of a multimodal training pipeline: per-payload
+    64-bit perceptual hash (actor pool, decode state per actor), then
+    the EXACT hamming <= 3 self-join via `fastagg.hamming_selfjoin`
+    (4-block pigeonhole band + popcount verify — the simhash_neardup
+    plan over binary payloads). Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b, over the planted-copy corpus.
+
+    Payloads leave the scan only as 16 bytes/row (id + hash); nothing
+    blob-sized shuffles. No SQL twin (the perceptual hash is not
+    SQL-expressible) — pinned by a brute-force O(n²) popcount reference
+    and planted exact-copy positives in tests/test_wave58.py."""
+    from osmwaterwayextractor_ray.stages.fastagg import hamming_selfjoin
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    media = _media_with_planted_copies(sf_dir)
+    prints = pin(
+        media.map_batches(
+            MediaPHasher,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, pool_max()),
+        ),
+        "media_phash_prints",
+    )
+    pairs = hamming_selfjoin(prints, "doc_id", "phash", max_hamming)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
+    )

@@ -707,3 +707,84 @@ def joined_schema(left_ds, right_ds, take_cols: dict[str, str]) -> pa.Schema:
     for rc, out in take_cols.items():
         fields.append(pa.field(out, rsch.field(rc).type))
     return pa.schema(fields)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR, Hacker's Delight 5-2)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def hamming_selfjoin(prints, id_col: str, hash_col: str, max_hamming: int = 3):
+    """EXACT all-pairs hamming join over a (id, 64-bit hash) table: every
+    unordered pair with popcount(h_a ^ h_b) <= max_hamming, as
+    (id_a, id_b, hamming) with id_a < id_b.
+
+    The Manku/Jain/Sarma WWW'07 block-permutation scheme (the
+    simhash_neardup plan, generalized): the 64-bit hash splits into 4
+    16-bit blocks; a pair within hamming 3 differs in at most 3 blocks,
+    so at least one block matches — banding each id under its 4
+    (block, value) keys and pairing within buckets is a complete cover.
+    Candidates dedup through one ``pair_counts`` shuffle; the popcount
+    verify ships fingerprints via two skinny Arrow lookup_joins.
+    ``prints`` MUST be pinned/materialized (it feeds the band stage and
+    both verify sides). Same scale trade as simhash_neardup: a 16-bit
+    block value shared by m ids contributes O(m²) candidates — run exact
+    dedup first on duplicate-heavy inputs."""
+    if max_hamming >= 4:
+        raise ValueError("4-block pigeonhole cover requires max_hamming <= 3")
+
+    def blocks(batch: pa.Table) -> pa.Table:
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_b, out_k, out_id = [], [], []
+        for b in range(4):
+            out_b.append(np.full(len(h), b, dtype=np.int32))
+            out_k.append(
+                ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+            out_id.append(ids)
+        return pa.table(
+            {
+                "block": pa.array(np.concatenate(out_b), type=pa.int32()),
+                "key": pa.array(np.concatenate(out_k), type=pa.int64()),
+                "id": pa.array(np.concatenate(out_id), type=pa.int64()),
+            }
+        )
+
+    banded = prints.map_batches(blocks, batch_format="pyarrow", batch_size=65536)
+    cand = bucketed_pairs(banded, ["block", "key"], "id", "id_a", "id_b")
+    counted = pair_counts(cand, "id_a", "id_b", "n_blocks")
+    cand = counted.map_batches(
+        lambda t: t.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    ).materialize()
+
+    paired = lookup_join(cand, prints, "id_a", id_col, {hash_col: "h_a"})
+    paired = lookup_join(
+        paired, prints, "id_b", id_col, {hash_col: "h_b"},
+        left_schema=joined_schema(cand, prints, {hash_col: "h_a"}),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ha = batch.column("h_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        hb = batch.column("h_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        ham = popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], type=pa.int64()),
+                "id_b": pa.array(b[keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep], type=pa.int64()),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow", batch_size=65536)
