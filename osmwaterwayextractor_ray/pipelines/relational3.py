@@ -1845,9 +1845,8 @@ def grouped_percentiles(sf_dir: str):
         n = int(c.sum())
         targets[et] = [(p, (n * p + 99) // 100) for p in _GP_PCTS]
 
-    import ray
-
-    ref = ray.put((offs, targets))
+    # O(types x buckets) small — close over directly (a ray.put dict
+    # pays a deserializing ray.get per map_groups GROUP; see rfm_segments)
 
     def tag(t: pa.Table) -> pa.Table:
         et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
@@ -1868,7 +1867,7 @@ def grouped_percentiles(sf_dir: str):
                     "cents": pa.array([], type=pa.int64()),
                 }
             )
-        o_map, t_map = ray.get(ref)
+        o_map, t_map = offs, targets
         et_all = np.asarray(g.column("event_type").to_pylist(), dtype=object)
         b_all = g.column("b").to_numpy(zero_copy_only=False)
         c_all = g.column("cents").to_numpy(zero_copy_only=False)
@@ -2416,8 +2415,6 @@ def rfm_segments(sf_dir: str):
     driver but bucket counts. Bucket shifts size the per-task groups —
     a degenerate all-one-value dimension degrades to one task for that
     pass (same caveat as grouped_percentiles)."""
-    import ray
-
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
     from osmwaterwayextractor_ray.stages.pin import pin
 
@@ -2526,7 +2523,10 @@ def rfm_segments(sf_dir: str):
             {int(b): int(o) for b, o in zip(grp["b"].to_numpy(), ex)}
         )
         n_total = int(c.sum())
-    refs = ray.put((offs_by_dim, n_total))
+    # the offset maps are O(buckets) small — close over them directly:
+    # a ray.put'd dict costs a deserializing ray.get PER GROUP inside
+    # map_groups (measured 15 s at sf0.1: ~2500 groups x 3 passes),
+    # while a closure ships once per task
 
     out = metrics
     for di, (out_col, metric, desc, shift) in enumerate(_RFM_DIMS):
@@ -2545,7 +2545,7 @@ def rfm_segments(sf_dir: str):
                 return g.drop_columns(["__rb"]).append_column(
                     _c, pa.array([], type=pa.int64())
                 )
-            offs, n = ray.get(refs)
+            offs, n = offs_by_dim, n_total
             v = g.column(_m).to_numpy(zero_copy_only=False)
             key = -v if _d else v
             ck = g.column("c_custkey").to_numpy(zero_copy_only=False)
@@ -3093,8 +3093,6 @@ def watermark_audit(sf_dir: str):
     same buckets, seeds each bucket's running max with its incoming
     watermark, and emits O(1) (n, n_late, max_lag) partials. Rows never
     leave their bucket; the driver holds bucket scalars only."""
-    import ray
-
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
     from osmwaterwayextractor_ray.stages.pin import pin
 
@@ -3130,10 +3128,8 @@ def watermark_audit(sf_dir: str):
         int(b): (int(run[i - 1]) if i else _NO_WM)
         for i, b in enumerate(bmaxes["__b"])
     }
-    wm_ref = ray.put(wm_in)
-
     def audit(g: pa.Table) -> pa.Table:
-        wm_map = ray.get(wm_ref)
+        wm_map = wm_in  # O(buckets) closure — see the rfm_segments note
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         order = np.argsort(eid, kind="stable")  # event_ids unique
