@@ -209,13 +209,33 @@ def fd_audit(sf_dir: str):
     Per FD: one distinct (lhs, rhs) shuffle (O(distinct pairs) rows
     move, never the table), a grouped count per lhs, and an O(blocks)
     partial reduction of the two counters — values never reach the
-    driver."""
+    driver.
+
+    NULL contract (explicit on BOTH sides, the host_keywords lesson):
+    rows with a NULL anywhere in the dependency are excluded — a NULL
+    lhs has no identity to violate and a missing rhs is not evidence
+    either way. (fastagg's distinct keeps NULL rhs while SQL's
+    count(DISTINCT) drops it, and grouped_agg drops NULL lhs keys while
+    GROUP BY keeps them — filtering up front keeps the engines
+    agreeing on any data shape.)"""
+    import pyarrow.compute as pc
+
     from osmwaterwayextractor_ray.stages.fastagg import distinct, grouped_agg
 
     rows = []
     for name, table, lhs, rhs in _FDS:
+
+        def drop_nulls(t: pa.Table, _cols=tuple(lhs + [rhs])) -> pa.Table:
+            mask = None
+            for c in _cols:
+                v = pc.is_valid(t.column(c))
+                mask = v if mask is None else pc.and_(mask, v)
+            return t.filter(mask)
+
         pairs = distinct(
-            _read_pq(f"{sf_dir}/{table}.parquet", columns=lhs + [rhs]),
+            _read_pq(
+                f"{sf_dir}/{table}.parquet", columns=lhs + [rhs]
+            ).map_batches(drop_nulls, batch_format="pyarrow", batch_size=65536),
             lhs + [rhs],
             num_parts=16,
         )
@@ -444,7 +464,9 @@ SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
          AS n_violating
 FROM (
   SELECT {', '.join(lhs)}, count(DISTINCT {rhs}) AS nd
-  FROM {table} GROUP BY {', '.join(lhs)}
+  FROM {table}
+  WHERE {' AND '.join(c + ' IS NOT NULL' for c in lhs + [rhs])}
+  GROUP BY {', '.join(lhs)}
 )"""
     for name, table, lhs, rhs in _FDS
 )
@@ -481,10 +503,11 @@ def column_correlations(sf_dir: str):
 
     Shape: ONE streaming pass emits a 15-integer moment row per block
     (the price_model device); the driver folds O(blocks) rows in Python
-    ints. Budgets (fail-loud): per-batch int64 partials need
-    rows·max(x·y) < 2^62 (price ≤ ~1.1e5 on the dollar grid → 65536-row
-    batches sit at ~7e14); num² and da·db stay under HUGEINT because the
-    dollar grid caps num at ~2e18 for n ≤ 1e6 rows."""
+    ints. Budgets (fail-loud): the per-batch partials accumulate in
+    float64 BLAS, exact only while rows·max(x)² < 2^53 (price ≤ ~1.1e5
+    on the dollar grid → 65536-row batches sit at ~7e14); num² and
+    da·db stay under HUGEINT because the dollar grid caps num at ~2e18
+    for n ≤ 1e6 rows."""
     ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=[c for _, c, _ in _CC_COLS]
     )
@@ -498,7 +521,9 @@ def column_correlations(sf_dir: str):
             cols.append(np.round(v * grid).astype(np.int64))
         x = np.stack(cols, axis=1).astype(np.float64)
         mx = float(np.abs(x).max(initial=0.0))
-        if t.num_rows * mx * mx >= 2**62:
+        # the partials accumulate in float64 BLAS, exact only below 2^53
+        # (the pca_project bound — NOT int64's 2^62)
+        if t.num_rows * mx * mx >= 2**53:
             raise ValueError("column_correlations: per-batch budget exceeded")
         m = x.T @ x  # exact: bounded above
         s = x.sum(axis=0)

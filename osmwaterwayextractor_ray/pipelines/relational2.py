@@ -970,6 +970,10 @@ def customer_best_order(sf_dir: str):
         .map_groups(
             lambda g: top1(g.drop_columns(["__part"])), batch_format="pyarrow"
         )
+        # lazy shuffle output feeding hash_join would pay the schema-probe
+        # double execution (CLAUDE.md / NOTES_r3 #16); the argmax result
+        # is O(customers) skinny rows — materialize it
+        .materialize()
     )
     return hash_join(
         best,

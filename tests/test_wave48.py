@@ -53,3 +53,41 @@ def test_key_skew_audit_bruteforce(ray_session, tmp_path_factory):
     assert list(got["l_partkey"]) == want_keys
     assert list(got["n_rows"]) == want_n
     assert list(got["share_ppm"]) == [n * 1_000_000 // total for n in want_n]
+
+
+def test_fd_audit_null_contract(ray_session, tmp_path_factory):
+    """NULL lhs/rhs rows are excluded on BOTH sides (engine == SQL):
+    a lhs mapping to {5, NULL} holds; a NULL-lhs row adds no group."""
+    import duckdb
+
+    from osmwaterwayextractor_ray.pipelines.quality import _FDS, FD_AUDIT_SQL
+
+    d = tmp_path_factory.mktemp("fdnull")
+    li = pd.DataFrame(
+        {
+            "l_orderkey": pd.array([1, 1, 2, None, 3, 3], dtype="Int64"),
+            "l_partkey": pd.array([10, 10, 20, 30, 40, 40], dtype="Int64"),
+            "l_suppkey": pd.array([5, None, 7, 8, 9, 11], dtype="Int64"),
+            "l_linenumber": pd.array([1, 2, 1, 1, 1, 1], dtype="Int32"),
+            "l_returnflag": ["N", "N", "A", "R", "N", None],
+        }
+    )
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        li[c] = 1.0
+    li["l_linestatus"] = "O"
+    li["l_shipdate"] = pd.Timestamp("2024-01-01")
+    li.to_parquet(d / "lineitem.parquet", index=False)
+
+    got = quality.fd_audit(str(d)).set_index("fd")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet')"
+    )
+    want = con.sql(FD_AUDIT_SQL).df().set_index("fd")
+    for name, *_ in _FDS:
+        assert int(got.loc[name, "n_lhs"]) == int(want.loc[name, "n_lhs"]), name
+        assert int(got.loc[name, "n_violating"]) == int(
+            want.loc[name, "n_violating"]
+        ), name
+    # partkey 10 maps to {5, NULL} -> holds after NULL exclusion
+    assert int(got.loc["l_partkey->l_suppkey", "n_violating"]) == 1  # only 40
