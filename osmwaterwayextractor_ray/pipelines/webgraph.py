@@ -3636,7 +3636,16 @@ def degree_assortativity(sf_dir: str):
     sxy = sum(int(p["sxy"]) for p in parts)
     den = n * sxx - sx * sx
     if den == 0:
-        raise ValueError("degree_assortativity: constant out-degree design")
+        # constant out-degree design: the slope is undefined, not an
+        # error — report NULL coefficients (the sf0.1 synthesized graph
+        # IS constant-out-degree; the SQL twin's NULLIF matches)
+        return pa.table(
+            {
+                "n_edges": pa.array([n], type=pa.int64()),
+                "slope_micro": pa.array([None], type=pa.int64()),
+                "intercept_micro": pa.array([None], type=pa.int64()),
+            }
+        )
     return pa.table(
         {
             "n_edges": pa.array([n], type=pa.int64()),
@@ -3667,9 +3676,9 @@ s AS (
   FROM j
 )
 SELECT CAST(n AS BIGINT) AS n_edges,
-       CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+       CAST(((n * sxy - sx * sy) * 1000000) // NULLIF(n * sxx - sx * sx, 0)
             AS BIGINT) AS slope_micro,
-       CAST(((sxx * sy - sx * sxy) * 1000000) // (n * sxx - sx * sx)
+       CAST(((sxx * sy - sx * sxy) * 1000000) // NULLIF(n * sxx - sx * sx, 0)
             AS BIGINT) AS intercept_micro
 FROM s
 """

@@ -71,12 +71,17 @@ def test_degree_assortativity_bruteforce(ray_session, graph_dir):
     assert int(got["intercept_micro"]) == intercept
 
 
-def test_degree_assortativity_degenerate_raises(ray_session, tmp_path_factory):
-    # constant out-degree (n=60 rule graph): den == 0 must fail loud
+def test_degree_assortativity_degenerate_nulls(ray_session, tmp_path_factory):
+    # constant out-degree (n=60 rule graph): den == 0 -> the slope is
+    # undefined; the op reports NULL coefficients instead of raising
+    # (the sf0.1 synthesized graph IS constant-out-degree, so a raise
+    # crashed the bench suite; the SQL twin's NULLIF produces the same
+    # NULLs)
     d = tmp_path_factory.mktemp("da_docs_const")
     _make_docs(60).to_parquet(d / "documents.parquet", index=False)
-    with pytest.raises(ValueError, match="constant out-degree"):
-        webgraph.degree_assortativity(str(d))
+    got = webgraph.degree_assortativity(str(d)).to_pandas().iloc[0]
+    assert int(got["n_edges"]) > 0
+    assert pd.isna(got["slope_micro"]) and pd.isna(got["intercept_micro"])
 
 
 def test_source_lang_entropy_bruteforce(ray_session, tmp_path_factory):
