@@ -1634,77 +1634,120 @@ def fk_violations(sf_dir: str):
     the number of child ROWS whose key has no parent. Returns
     (relation, n_orphans), one row per edge, zero counts included.
 
-    Shape per edge: the child collapses to (key, row_count) partials in
-    one skinny grouped_agg (the shuffle moves O(distinct keys), never
-    the fact rows), parent keys collapse to a distinct set, and ONE
-    lookup_join + filtered sum yields the orphan row count — the exact
-    anti-join-count plan (Bloom screens can't give exact counts)."""
+    Shape (ALL edges batched through one pass per role — the per-edge
+    loop paid ~30 serial barrier launches and measured 6.4 s at
+    sf0.1/32): every child table is read once and emits packed
+    (edge << 56 | key, row_count) partials for each edge it carries;
+    ONE grouped_agg collapses them to O(distinct keys) rows; parents
+    union into ONE distinct; ONE lookup_join (inner) + per-edge block
+    partials give matched row counts, and orphans = total − matched.
+    The pack is fail-loud for keys ≥ 2^56 or negative (exact anti-join
+    counts — Bloom screens can't give exact counts)."""
     from osmwaterwayextractor_ray.stages.fastagg import (
         distinct,
         grouped_agg,
         lookup_join,
     )
+    from osmwaterwayextractor_ray.stages.pin import pin
 
-    names, counts = [], []
-    for name, child, ckey, parent, pkey in _FK_RELATIONS:
-        ch = _read_pq(f"{sf_dir}/{child}.parquet", columns=[ckey])
-
-        def norm(t: pa.Table, _k=ckey) -> pa.Table:
-            k = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
+    def packer(cols, edge_ids):
+        def fn(t: pa.Table) -> pa.Table:
+            eks = []
+            for col, ei in zip(cols, edge_ids):
+                k = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+                if len(k) and (int(k.min()) < 0 or int(k.max()) >= 1 << 56):
+                    raise ValueError("fk_violations: key outside the 56-bit pack")
+                eks.append((ei << 56) | k)
+            ek = np.concatenate(eks) if eks else np.empty(0, dtype=np.int64)
             return pa.table(
                 {
-                    "k": pa.array(k, type=pa.int64()),
-                    "one": pa.array(np.ones(len(k), dtype=np.int64)),
+                    "ek": pa.array(ek, type=pa.int64()),
+                    "one": pa.array(np.ones(len(ek), dtype=np.int64)),
                 }
             )
 
-        ckeys = grouped_agg(
-            ch.map_batches(norm, batch_format="pyarrow"),
-            ["k"],
-            {"n": ("one", "sum")},
-            num_parts=8,
+        return fn
+
+    # group edges by their child / parent table so each table reads once
+    child_tables: dict[str, tuple[list[str], list[int]]] = {}
+    parent_tables: dict[str, tuple[list[str], list[int]]] = {}
+    for ei, (name, child, ckey, parent, pkey) in enumerate(_FK_RELATIONS):
+        child_tables.setdefault(child, ([], []))[0].append(ckey)
+        child_tables[child][1].append(ei)
+        parent_tables.setdefault(parent, ([], []))[0].append(pkey)
+        parent_tables[parent][1].append(ei)
+
+    child_parts = [
+        _read_pq(f"{sf_dir}/{tbl}.parquet", columns=sorted(set(cols))).map_batches(
+            packer(cols, eids), batch_format="pyarrow", batch_size=65536
         )
-        pk = _read_pq(f"{sf_dir}/{parent}.parquet", columns=[pkey])
+        for tbl, (cols, eids) in child_tables.items()
+    ]
+    children = child_parts[0].union(*child_parts[1:])
+    ckeys = pin(
+        grouped_agg(children, ["ek"], {"n": ("one", "sum")}, num_parts=8),
+        "fk_ckeys",
+    )
 
-        def pnorm(t: pa.Table, _k=pkey) -> pa.Table:
-            k = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"k": pa.array(k, type=pa.int64())})
-
-        pkeys = distinct(
-            pk.map_batches(pnorm, batch_format="pyarrow"), ["k"], num_parts=8
-        ).map_batches(
-            lambda t: t.append_column(
-                "present", pa.array(np.ones(t.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
+    parent_parts = [
+        _read_pq(f"{sf_dir}/{tbl}.parquet", columns=sorted(set(cols))).map_batches(
+            packer(cols, eids), batch_format="pyarrow", batch_size=65536
         )
-        from osmwaterwayextractor_ray.stages.pin import pin
+        for tbl, (cols, eids) in parent_tables.items()
+    ]
+    parents = parent_parts[0].union(*parent_parts[1:])
+    pkeys = distinct(parents, ["ek"], num_parts=8).map_batches(
+        lambda t: pa.table(
+            {
+                "ek": t["ek"],
+                "present": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
-        ckeys = pin(ckeys, f"fk_{child}_{ckey}")
-        # lookup_join is INNER: orphan rows = total child rows - matched
-        joined = lookup_join(
-            ckeys, pkeys, "k", "k", {"present": "present"},
-            num_parts=8,
-            left_schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]),
-            right_schema=pa.schema([("k", pa.int64()), ("present", pa.int64())]),
-        )
+    joined = lookup_join(
+        ckeys, pkeys, "ek", "ek", {"present": "present"},
+        num_parts=8,
+        left_schema=pa.schema([("ek", pa.int64()), ("n", pa.int64())]),
+        right_schema=pa.schema([("ek", pa.int64()), ("present", pa.int64())]),
+    )
 
-        def n_sum(ds) -> int:
-            def part(t: pa.Table) -> pa.Table:
-                n = t.column("n").to_numpy(zero_copy_only=False)
-                return pa.table({"s": pa.array([int(n.sum())], type=pa.int64())})
-
-            return sum(
-                int(p["s"])
-                for p in ds.map_batches(part, batch_format="pyarrow").take_all()
+    def per_edge_sums(ds) -> dict[int, int]:
+        def part(t: pa.Table) -> pa.Table:
+            ek = t.column("ek").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            e = ek >> 56
+            order = np.argsort(e, kind="stable")
+            e_s, n_s = e[order], n[order]
+            starts = np.flatnonzero(np.r_[True, e_s[1:] != e_s[:-1]])
+            sums = np.add.reduceat(n_s, starts) if len(n_s) else n_s
+            return pa.table(
+                {
+                    "e": pa.array(e_s[starts], type=pa.int64()),
+                    "s": pa.array(sums, type=pa.int64()),
+                }
             )
 
-        names.append(name)
-        counts.append(n_sum(ckeys) - n_sum(joined))
+        out: dict[int, int] = {}
+        for p in ds.map_batches(part, batch_format="pyarrow").take_all():
+            out[int(p["e"])] = out.get(int(p["e"]), 0) + int(p["s"])
+        return out
+
+    totals = per_edge_sums(ckeys)
+    matched = per_edge_sums(joined)
     return pa.table(
         {
-            "relation": pa.array(names, type=pa.string()),
-            "n_orphans": pa.array(counts, type=pa.int64()),
+            "relation": pa.array(
+                [name for name, *_ in _FK_RELATIONS], type=pa.string()
+            ),
+            "n_orphans": pa.array(
+                [
+                    totals.get(ei, 0) - matched.get(ei, 0)
+                    for ei in range(len(_FK_RELATIONS))
+                ],
+                type=pa.int64(),
+            ),
         }
     )
 
