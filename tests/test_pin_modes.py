@@ -24,7 +24,12 @@ def _canon(res) -> pd.DataFrame:
      "corpus_datasheet",
      # waves 28-37 pin users: the FW-BW fixpoints, the near-dup-family
      # additions, and the rank devices
-     "scc", "bowtie", "trustrank", "hyperanf", "zipf_fit", "retention_cohorts"],
+     "scc", "bowtie", "trustrank", "hyperanf", "zipf_fit", "retention_cohorts",
+     # wave 46-58 pin users: the rank/offset devices, the skew profiler,
+     # the FK batch plan, and the media fingerprint near-dup
+     "rfm_segments", "grouped_percentiles", "watermark_audit",
+     "key_skew_audit", "source_jaccard", "fk_violations",
+     "media_phash_neardup"],
 )
 def test_pin_mode_invariance(qname, monkeypatch, tmp_path):
     import __ray_entry__ as em
