@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_fingerprint": relational3.table_fingerprint,
         "rolling_active_users": relational3.rolling_active_users,
         "revenue_wow": relational3.revenue_wow,
+        "rebalance_audit": quality.rebalance_audit,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "table_fingerprint": relational3.TABLE_FINGERPRINT_SQL,
         "rolling_active_users": relational3.ROLLING_ACTIVE_USERS_SQL,
         "revenue_wow": relational3.REVENUE_WOW_SQL,
+        "rebalance_audit": quality.REBALANCE_AUDIT_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

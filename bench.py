@@ -266,6 +266,7 @@ QUERY_SET = [
     "rolling_active_users",
     "revenue_wow",
     "media_phash_neardup",
+    "rebalance_audit",
 ]
 
 

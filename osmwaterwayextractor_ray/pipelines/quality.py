@@ -614,3 +614,147 @@ FROM g""")
 
 
 COLUMN_CORRELATIONS_SQL = _cc_sql()
+
+
+# ---------------------------------------------------------------------------
+# rebalance_audit (wave 59)
+# ---------------------------------------------------------------------------
+
+_RB_P_OLD, _RB_P_NEW = 16, 24  # worker counts before/after the reshard
+_RB_VNODES = 8  # virtual nodes per worker on the ring
+_RB_MIX = 11_400_714_819_323_198_485  # 2^64/phi (Fibonacci hashing)
+_RB_WRAP = 1 << 64
+_RB_HALF = (1 << 63) - 1
+
+
+def _rb_point(k: np.ndarray) -> np.ndarray:
+    """Fibonacci-hash ring point in [0, 2^63): (k·(2^64/φ) mod 2^64) &
+    (2^63−1) — the golden-ratio constant wraps mod 2^64 for every k ≥ 2,
+    so points are equidistributed, not monotone (a small constant left
+    products unwrapped and the ring degenerated to worker order — caught
+    by the brute-force test). numpy uint64 wrap == the twin's explicit
+    mod 2^64."""
+    return ((k.astype(np.uint64) * np.uint64(_RB_MIX)) & np.uint64(_RB_HALF)).astype(
+        np.int64
+    )
+
+
+def _rb_ring(p: int) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (point, worker) ring for p workers × _RB_VNODES replicas."""
+    w = np.repeat(np.arange(p, dtype=np.int64), _RB_VNODES)
+    r = np.tile(np.arange(_RB_VNODES, dtype=np.int64), p)
+    pt = _rb_point(w * 1_000_003 + r * 7_919 + 1)
+    order = np.lexsort((w, pt))
+    return pt[order], w[order]
+
+
+def rebalance_audit(sf_dir: str):
+    """Reshard data-movement audit — the partition-planning question a
+    distributed engine answers before changing cluster size from 16 to
+    24 workers: how many keys change owner under (a) mod-N partitioning
+    (key % P — almost everything moves) vs (b) a consistent-hash ring
+    (P × 8 virtual nodes; only the arc fraction moves, ≈ 1 − P/P').
+    Runs over the distinct lineitem part keys. Returns one row per
+    scheme: (scheme, n_keys, n_moved, moved_ppm).
+
+    One O(distinct keys) shuffle; the ring (a few hundred (point,
+    worker) pairs) closes over the streaming ownership kernel — per-key
+    work is one vectorized searchsorted; counters fold O(blocks)
+    integers on the driver. The ring point and tie rule ((point, worker)
+    ascending, wrap to the ring minimum) are shared exactly with the
+    SQL twin."""
+    from osmwaterwayextractor_ray.stages.fastagg import distinct
+
+    keys = distinct(
+        _read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]),
+        ["l_partkey"],
+        num_parts=8,
+    )
+    ring_old = _rb_ring(_RB_P_OLD)
+    ring_new = _rb_ring(_RB_P_NEW)
+
+    def owners(pt: np.ndarray, ring: tuple[np.ndarray, np.ndarray]) -> np.ndarray:
+        rpt, rw = ring
+        idx = np.searchsorted(rpt, pt, side="left")
+        return rw[np.where(idx == len(rpt), 0, idx)]  # wrap to ring min
+
+    def fold(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        moved_mod = int(((k % _RB_P_OLD) != (k % _RB_P_NEW)).sum())
+        pt = _rb_point(k)
+        moved_ring = int(
+            (owners(pt, ring_old) != owners(pt, ring_new)).sum()
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(k)], type=pa.int64()),
+                "moved_mod": pa.array([moved_mod], type=pa.int64()),
+                "moved_ring": pa.array([moved_ring], type=pa.int64()),
+            }
+        )
+
+    parts = keys.map_batches(fold, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    rows = [
+        ("mod", n, int(parts["moved_mod"].sum())),
+        ("ring", n, int(parts["moved_ring"].sum())),
+    ]
+    out = pd.DataFrame(rows, columns=["scheme", "n_keys", "n_moved"])
+    out["n_keys"] = out["n_keys"].astype(np.int64)
+    out["n_moved"] = out["n_moved"].astype(np.int64)
+    out["moved_ppm"] = (
+        out["n_moved"].astype(np.int64) * 1_000_000 // max(n, 1)
+    ).astype(np.int64)
+    return out
+
+
+def _rb_sql() -> str:
+    def ring_cte(name: str, p: int) -> str:
+        return f"""{name} AS (
+  SELECT w.w AS w,
+         ((CAST(w.w * 1000003 + r.r * 7919 + 1 AS HUGEINT) * {_RB_MIX})
+          % {_RB_WRAP}) % {_RB_HALF + 1} AS pt
+  FROM UNNEST(generate_series(0, {p - 1})) AS w(w),
+       UNNEST(generate_series(0, {_RB_VNODES - 1})) AS r(r)
+)"""
+
+    def owner(ring: str) -> str:
+        return f"""coalesce(
+      (SELECT w FROM {ring} WHERE pt >= k.pt ORDER BY pt, w LIMIT 1),
+      (SELECT w FROM {ring} ORDER BY pt, w LIMIT 1))"""
+
+    return f"""
+WITH keys AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+{ring_cte('ring_old', _RB_P_OLD)},
+{ring_cte('ring_new', _RB_P_NEW)},
+kp AS (
+  SELECT k, ((CAST(k AS HUGEINT) * {_RB_MIX}) % {_RB_WRAP}) % {_RB_HALF + 1}
+           AS pt
+  FROM keys
+),
+own AS (
+  SELECT k.k, k.pt,
+         {owner('ring_old')} AS w_old,
+         {owner('ring_new')} AS w_new
+  FROM kp k
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(CASE WHEN k % {_RB_P_OLD} <> k % {_RB_P_NEW}
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS moved_mod,
+         CAST(coalesce(sum(CASE WHEN w_old <> w_new THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS moved_ring
+  FROM own
+)
+SELECT 'mod' AS scheme, n AS n_keys, moved_mod AS n_moved,
+       CAST(moved_mod * 1000000 // greatest(n, 1) AS BIGINT) AS moved_ppm
+FROM agg
+UNION ALL
+SELECT 'ring', n, moved_ring,
+       CAST(moved_ring * 1000000 // greatest(n, 1) AS BIGINT)
+FROM agg
+"""
+
+
+REBALANCE_AUDIT_SQL = _rb_sql()
