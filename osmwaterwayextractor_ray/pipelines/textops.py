@@ -598,13 +598,6 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
     if max_hamming >= 4:
         raise ValueError("4-block pigeonhole cover requires max_hamming <= 3")
 
-    from osmwaterwayextractor_ray.stages.fastagg import (
-        bucketed_pairs,
-        joined_schema,
-        lookup_join,
-        pair_counts,
-    )
-
     corpus = pin(_corpus_with_planted_dups(sf_dir), "simhash_corpus")
 
     def fingerprint(batch: pa.Table) -> pa.Table:
@@ -623,57 +616,13 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
         "simhash_prints",
     )
 
-    def blocks(batch: pa.Table) -> pa.Table:
-        h = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_b, out_k, out_id = [], [], []
-        for b in range(4):
-            out_b.append(np.full(len(h), b, dtype=np.int32))
-            out_k.append(((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
-            out_id.append(ids)
-        return pa.table(
-            {
-                "block": pa.array(np.concatenate(out_b), type=pa.int32()),
-                "key": pa.array(np.concatenate(out_k), type=pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-            }
-        )
+    from osmwaterwayextractor_ray.stages.fastagg import hamming_selfjoin
 
-    banded = prints.map_batches(blocks, batch_format="pyarrow", batch_size=65536)
-    cand = bucketed_pairs(banded, ["block", "key"], "doc_id", "doc_a", "doc_b")
-    # dedup multi-block collisions (count >= 1 is all we need — reuse the
-    # grouped pair count, then drop the multiplicity)
-    counted = pair_counts(cand, "doc_a", "doc_b", "n_blocks")
-
-    def drop_count(batch: pa.Table) -> pa.Table:
-        return batch.select(["doc_a", "doc_b"])
-
-    cand = counted.map_batches(drop_count, batch_format="pyarrow", batch_size=65536).materialize()
-
-    side = prints
-    paired = lookup_join(cand, side, "doc_a", "doc_id", {"simhash": "sim_a"})
-    # chained joins: computed schema, no probe re-execution (CLAUDE.md)
-    paired = lookup_join(
-        paired, side, "doc_b", "doc_id", {"simhash": "sim_b"},
-        left_schema=joined_schema(cand, side, {"simhash": "sim_a"}),
+    pairs = hamming_selfjoin(prints, "doc_id", "simhash", max_hamming)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
     )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        ha = batch.column("sim_a").to_numpy(zero_copy_only=False).view(np.uint64)
-        hb = batch.column("sim_b").to_numpy(zero_copy_only=False).view(np.uint64)
-        ham = _popcount64(ha ^ hb)
-        keep = ham <= max_hamming
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep], type=pa.int64()),
-                "doc_b": pa.array(b[keep], type=pa.int64()),
-                "hamming": pa.array(ham[keep], type=pa.int64()),
-            }
-        )
-
-    return paired.map_batches(verify, batch_format="pyarrow", batch_size=65536)
 
 
 def simhash_fingerprints(sf_dir: str):
