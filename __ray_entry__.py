@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": relational3.rolling_active_users,
         "revenue_wow": relational3.revenue_wow,
         "rebalance_audit": quality.rebalance_audit,
+        "view_maintenance": quality.view_maintenance,
         # distributed PCA (driver eigensolve on exact integer moments);
         # rows-only for the driver — pinned vs an independent reference
         # + block-invariance tests in tests/test_wave50.py
@@ -487,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": relational3.ROLLING_ACTIVE_USERS_SQL,
         "revenue_wow": relational3.REVENUE_WOW_SQL,
         "rebalance_audit": quality.REBALANCE_AUDIT_SQL,
+        "view_maintenance": quality.VIEW_MAINTENANCE_SQL,
         "embed_topk": embeddings.EMBED_TOPK_SQL,
         "kmeans_embeddings": embeddings.KMEANS_SQL,
         "cluster_label_mix": embeddings.CLUSTER_LABEL_MIX_SQL,

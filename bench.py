@@ -267,6 +267,7 @@ QUERY_SET = [
     "revenue_wow",
     "media_phash_neardup",
     "rebalance_audit",
+    "view_maintenance",
 ]
 
 

@@ -758,3 +758,117 @@ FROM agg
 
 
 REBALANCE_AUDIT_SQL = _rb_sql()
+
+
+# ---------------------------------------------------------------------------
+# incremental materialized-view maintenance (wave 60)
+# ---------------------------------------------------------------------------
+
+_VM_SPLIT = "1998-06-01"  # base/delta boundary (mid-range of l_shipdate)
+
+
+def view_maintenance(sf_dir: str):
+    """Incremental materialized-view maintenance (the warehouse IVM
+    primitive): the view SELECT returnflag, linestatus, count, sum(qty),
+    sum(cents), min(cents), max(cents) is kept up to date by MERGING the
+    already-materialized base partition (shipdate < 1998-06-01) with the
+    newly-arrived delta partition — never recomputing over the base.
+    Every aggregate is mergeable (sum/count add, min/max fold), so
+    merge(agg(base), agg(delta)) == agg(base ∪ delta) exactly; the
+    returned table is the maintained view, and the SQL twin recomputes
+    from scratch — hash-equality IS the IVM correctness proof.
+
+    Shape: two pruned scans (each side reads only its partition's rows),
+    two O(groups) grouped partials, and one tiny grouped combine over
+    the concatenated O(groups) summaries. At 100 TB the base summary is
+    a persisted O(groups) table and only the delta is scanned — this
+    query demonstrates the merge step end-to-end."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    split_us = int(np.datetime64(_VM_SPLIT, "us").astype(np.int64))
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def side(keep_base: bool):
+        ds = _read_pq(
+            f"{sf_dir}/lineitem.parquet",
+            columns=keys + ["l_shipdate", "l_quantity", "l_extendedprice"],
+        )
+
+        def prep(t: pa.Table) -> pa.Table:
+            us = (
+                t.column("l_shipdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64)
+            )
+            mask = us < split_us if keep_base else us >= split_us
+            t = t.filter(pa.array(mask))
+            cents = _cents(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            )
+            return pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "qty": pa.array(
+                        np.round(
+                            t.column("l_quantity").to_numpy(
+                                zero_copy_only=False
+                            )
+                        ).astype(np.int64),
+                        type=pa.int64(),
+                    ),
+                    "cents": pa.array(cents, type=pa.int64()),
+                    "min_c": pa.array(cents, type=pa.int64()),
+                    "max_c": pa.array(cents, type=pa.int64()),
+                }
+            )
+
+        return grouped_agg(
+            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+            keys,
+            {
+                "n_rows": ("one", "sum"),
+                "sum_qty": ("qty", "sum"),
+                "sum_cents": ("cents", "sum"),
+                "min_cents": ("min_c", "min"),
+                "max_cents": ("max_c", "max"),
+            },
+            num_parts=4,
+        )
+
+    merged = merge_view_summaries(side(True), side(False))
+    return merged
+
+
+def merge_view_summaries(base, delta):
+    """The IVM merge step: combine two O(groups) view summaries with the
+    aggregates' own merge functions (sums/counts add, min/max fold) —
+    usable for any number of incremental delta batches."""
+    from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
+
+    both = base.union(delta)
+    return grouped_agg(
+        both,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_cents": ("sum_cents", "sum"),
+            "min_cents": ("min_cents", "min"),
+            "max_cents": ("max_cents", "max"),
+        },
+        num_parts=1,
+    )
+
+
+VIEW_MAINTENANCE_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM lineitem GROUP BY 1, 2
+"""
