@@ -518,7 +518,14 @@ def column_correlations(sf_dir: str):
         cols = []
         for _, col, grid in _CC_COLS:
             v = t.column(col).to_numpy(zero_copy_only=False)
-            cols.append(np.round(v * grid).astype(np.int64))
+            if v.size and v.min() < 0:
+                # floor(v+0.5) is half-away only for non-negative values;
+                # the four configured columns are all >= 0 (fail-loud)
+                raise ValueError(f"column_correlations: negative {col}")
+            # half-AWAY-from-zero to match DuckDB round() — np.round is
+            # half-to-even and provably diverges on exact .5 grid points
+            # (l_extendedprice has .50 rows; ADVICE r4)
+            cols.append(np.floor(v * grid + 0.5).astype(np.int64))
         x = np.stack(cols, axis=1).astype(np.float64)
         mx = float(np.abs(x).max(initial=0.0))
         # the partials accumulate in float64 BLAS, exact only below 2^53
@@ -778,66 +785,78 @@ def view_maintenance(sf_dir: str):
     returned table is the maintained view, and the SQL twin recomputes
     from scratch — hash-equality IS the IVM correctness proof.
 
-    Shape: two pruned scans (each side reads only its partition's rows),
-    two O(groups) grouped partials, and one tiny grouped combine over
-    the concatenated O(groups) summaries. At 100 TB the base summary is
-    a persisted O(groups) table and only the delta is scanned — this
-    query demonstrates the merge step end-to-end."""
+    Shape: ONE scan of lineitem (prep tags each row is_base from the
+    shipdate — every row belongs to exactly one side, so no filter and
+    no second pass; ADVICE r4 flagged the old two-scan form), one
+    grouped partial keyed (returnflag, linestatus, is_base) producing
+    the per-side O(groups) summaries, and one tiny grouped combine over
+    the 2 real keys — that second aggregate IS the IVM merge (extra key
+    columns are ignored by grouped_agg's kernel). At 100 TB the base
+    summary is a persisted O(groups) table and only the delta is
+    scanned; `merge_view_summaries` below is the reusable merge step."""
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg
 
     split_us = int(np.datetime64(_VM_SPLIT, "us").astype(np.int64))
     keys = ["l_returnflag", "l_linestatus"]
 
-    def side(keep_base: bool):
-        ds = _read_pq(
-            f"{sf_dir}/lineitem.parquet",
-            columns=keys + ["l_shipdate", "l_quantity", "l_extendedprice"],
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=keys + ["l_shipdate", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
         )
-
-        def prep(t: pa.Table) -> pa.Table:
-            us = (
-                t.column("l_shipdate").to_numpy(zero_copy_only=False)
-                .astype("datetime64[us]").astype(np.int64)
-            )
-            mask = us < split_us if keep_base else us >= split_us
-            t = t.filter(pa.array(mask))
-            cents = _cents(
-                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            )
-            return pa.table(
-                {
-                    "l_returnflag": t["l_returnflag"],
-                    "l_linestatus": t["l_linestatus"],
-                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                    "qty": pa.array(
-                        np.round(
-                            t.column("l_quantity").to_numpy(
-                                zero_copy_only=False
-                            )
-                        ).astype(np.int64),
-                        type=pa.int64(),
-                    ),
-                    "cents": pa.array(cents, type=pa.int64()),
-                    "min_c": pa.array(cents, type=pa.int64()),
-                    "max_c": pa.array(cents, type=pa.int64()),
-                }
-            )
-
-        return grouped_agg(
-            ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
-            keys,
+        cents = _cents(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
             {
-                "n_rows": ("one", "sum"),
-                "sum_qty": ("qty", "sum"),
-                "sum_cents": ("cents", "sum"),
-                "min_cents": ("min_c", "min"),
-                "max_cents": ("max_c", "max"),
-            },
-            num_parts=4,
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "is_base": pa.array(
+                    (us < split_us).astype(np.int64), type=pa.int64()
+                ),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "qty": pa.array(
+                    np.round(
+                        t.column("l_quantity").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "cents": pa.array(cents, type=pa.int64()),
+                "min_c": pa.array(cents, type=pa.int64()),
+                "max_c": pa.array(cents, type=pa.int64()),
+            }
         )
 
-    merged = merge_view_summaries(side(True), side(False))
-    return merged
+    summaries = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        keys + ["is_base"],
+        {
+            "n_rows": ("one", "sum"),
+            "sum_qty": ("qty", "sum"),
+            "sum_cents": ("cents", "sum"),
+            "min_cents": ("min_c", "min"),
+            "max_cents": ("max_c", "max"),
+        },
+        num_parts=4,
+    )
+    # the merge step: fold the per-side summaries over the 2 real keys
+    return grouped_agg(
+        summaries,
+        keys,
+        {
+            "n_rows": ("n_rows", "sum"),
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_cents": ("sum_cents", "sum"),
+            "min_cents": ("min_cents", "min"),
+            "max_cents": ("max_cents", "max"),
+        },
+        num_parts=1,
+    )
 
 
 def merge_view_summaries(base, delta):

@@ -3249,43 +3249,63 @@ def table_fingerprint(sf_dir: str):
     replicas disagree ⇒ fingerprints differ (up to the prime-modulus
     collision bound). Returns (tbl, n_rows, fp).
 
-    One streaming pass per table emitting an O(1) partial (count, sum
-    mod p) per block; the driver folds O(blocks) rows in Python ints —
-    commutative addition, so block structure cannot change the digest."""
+    One streaming pass per table emitting an O(1) partial (count, exact
+    sum of per-element truncated mods, hi/lo-split across two int64s)
+    per block; the driver recombines O(blocks) rows in Python ints and
+    applies ONE truncated mod — the exact shape of the SQL twin, so
+    negative keys (DuckDB's % truncates toward zero; numpy/Python %
+    floor) and any sign mix give identical digests."""
     rows = []
     for tbl, key in _FP_TABLES:
         ds = _read_pq(f"{sf_dir}/{tbl}.parquet", columns=[key])
 
         def partial(t: pa.Table, _k=key) -> pa.Table:
             v = t.column(_k).to_numpy(zero_copy_only=False).astype(np.int64)
-            if len(v) and int(v.max()) > (2**63 - 2) // _FP_MIX:
-                # keys this wide need big-int modmul — fall back to exact
-                # Python ints (same result, slower); below the bound the
-                # vectorized int64 product cannot wrap
+            if len(v) and (
+                int(v.min()) < 0 or int(v.max()) > (2**63 - 2) // _FP_MIX
+            ):
+                # negative keys (DuckDB % truncates; numpy % floors) or
+                # keys wide enough for the int64 product to wrap — exact
+                # Python-int path with truncated-mod semantics
                 s = 0
                 for x in v.tolist():
-                    s = (s + (x * _FP_MIX + 1) % _FP_MOD) % _FP_MOD
+                    m = x * _FP_MIX + 1
+                    e = m % _FP_MOD
+                    if m < 0 and e:
+                        e -= _FP_MOD  # floored -> truncated
+                    s += e
             else:
                 mixed = (v * _FP_MIX + 1) % _FP_MOD
-                # vectorized exact mod-sum: split each value (< 2^61) into
+                # vectorized exact sum: split each value (< 2^61) into
                 # 32-bit halves — both int64 partial sums stay far below
                 # 2^63 for any batch size up to 2^18 rows, then recombine
-                # in Python ints
-                lo = int((mixed & 0xFFFFFFFF).sum())
-                hi = int((mixed >> 32).sum())
-                s = (lo + (hi << 32)) % _FP_MOD
+                # in Python ints (dividends >= 1 here, so floored ==
+                # truncated per element)
+                s = int((mixed & 0xFFFFFFFF).sum()) + (
+                    int((mixed >> 32).sum()) << 32
+                )
+            # exact block sum (|s| < 65536 * 2^61 ~ 2^77) split across two
+            # int64 columns; floored divmod keeps lo in [0, 2^62)
+            s_hi, s_lo = divmod(int(s), 1 << 62)
             return pa.table(
                 {
                     "n": pa.array([t.num_rows], type=pa.int64()),
-                    "s": pa.array([int(s)], type=pa.int64()),
+                    "s_hi": pa.array([s_hi], type=pa.int64()),
+                    "s_lo": pa.array([s_lo], type=pa.int64()),
                 }
             )
 
         parts = ds.map_batches(
             partial, batch_format="pyarrow", batch_size=65536
         ).to_pandas()
-        fp = int(sum(int(x) for x in parts["s"]) % _FP_MOD)
-        rows.append((tbl, int(parts["n"].sum()), fp))
+        total = sum(
+            (int(h) << 62) + int(lo)
+            for h, lo in zip(parts["s_hi"], parts["s_lo"])
+        )
+        fp = total % _FP_MOD
+        if total < 0 and fp:
+            fp -= _FP_MOD  # DuckDB's % truncates toward zero
+        rows.append((tbl, int(parts["n"].sum()), int(fp)))
     out = pd.DataFrame(rows, columns=["tbl", "n_rows", "fp"])
     out["n_rows"] = out["n_rows"].astype(np.int64)
     out["fp"] = out["fp"].astype(np.int64)

@@ -25,6 +25,12 @@ def main(argv=None) -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--out", default="/tmp/oracle_replica.json")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated query names to run (default: all); "
+        "'first50' = the driver's window (first 50 registry entries)",
+    )
     args = ap.parse_args(argv)
 
     import duckdb
@@ -75,8 +81,19 @@ def main(argv=None) -> int:
                 return False
         return True
 
+    if args.only == "first50":
+        names = list(qs)[:50]
+    elif args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            return 2
+    else:
+        names = sorted(qs)
+
     results: dict[str, dict] = {}
-    for name in sorted(qs):
+    for name in names:
         t0 = time.time()
         try:
             r = qs[name](args.sf)
@@ -107,9 +124,10 @@ def main(argv=None) -> int:
               f"rows={results[name].get('rows')} "
               f"({results[name].get('sec', '?')}s)", flush=True)
 
-    res = em.entry()
-    n = len(res) if isinstance(res, pd.DataFrame) else res.count()
-    print(f"entry(): {n} rows", flush=True)
+    if not args.only:  # full sweep also smoke-runs entry()
+        res = em.entry()
+        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        print(f"entry(): {n} rows", flush=True)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -18,6 +18,9 @@ def test_column_correlations_bruteforce(ray_session, tmp_path_factory):
     n = 500
     qty = rng.randint(1, 51, n).astype(np.float64)
     price = qty * 100.0 + rng.randint(0, 50, n)  # strongly correlated
+    # exact-.50 prices: half-to-even (np.round) and half-away-from-zero
+    # (DuckDB round) provably differ on these rows (ADVICE r4)
+    price[::7] += 0.50
     disc = rng.randint(0, 11, n) / 100.0  # independent
     tax = 0.08 - disc / 2.0  # anti-correlated with disc
     df = pd.DataFrame(
@@ -43,7 +46,8 @@ def test_column_correlations_bruteforce(ray_session, tmp_path_factory):
     # independent big-int reference for every pair
     grids = {"qty": qty, "price": price, "disc": disc * 100, "tax": tax * 100}
     names = ["qty", "price", "disc", "tax"]
-    xs = {k: np.round(v).astype(object) for k, v in grids.items()}
+    # half-away-from-zero, matching the engine and DuckDB round()
+    xs = {k: np.floor(v + 0.5).astype(object) for k, v in grids.items()}
     for ai in range(4):
         for bi in range(ai + 1, 4):
             a, b = xs[names[ai]], xs[names[bi]]

@@ -121,3 +121,44 @@ def test_table_fingerprint_detects_change(ray_session, tmp_path_factory):
         assert int(a.loc[tbl, "fp"]) == int(b.loc[tbl, "fp"])
         assert int(a.loc[tbl, "fp"]) != int(c.loc[tbl, "fp"])
         assert int(a.loc[tbl, "n_rows"]) == 5
+
+
+def test_table_fingerprint_negative_and_wide_keys(
+    ray_session, tmp_path_factory
+):
+    """Negative keys must take the exact truncated-mod path (DuckDB's %
+    truncates toward zero; numpy/Python % floor) and wide keys the
+    big-int path — both verified directly against the SQL twin
+    (ADVICE r4)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("fp_neg")
+    keys = [-7, -1, 0, 1, 3, -(2**40), 2**40, (2**63 - 2) // 2_654_435_761 + 5]
+    for tbl, col in relational3._FP_TABLES:
+        if tbl == "events":
+            df = pd.DataFrame(
+                {
+                    "event_id": np.array(keys, dtype=np.int64),
+                    "ts": pd.Timestamp("2024-01-01"),
+                    "user_id": np.int64(1),
+                    "event_type": "view",
+                    "value": 1.0,
+                    "props": "",
+                }
+            )
+        else:
+            df = pd.DataFrame({col: np.array(keys, dtype=np.int64)})
+        df.to_parquet(d / f"{tbl}.parquet", index=False)
+
+    got = relational3.table_fingerprint(str(d)).set_index("tbl")
+    con = duckdb.connect()
+    for tbl, _ in relational3._FP_TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{d}/{tbl}.parquet')"
+        )
+    want = con.execute(relational3.TABLE_FINGERPRINT_SQL).df().set_index("tbl")
+    con.close()
+    for tbl, _ in relational3._FP_TABLES:
+        assert int(got.loc[tbl, "fp"]) == int(want.loc[tbl, "fp"]), tbl
+        assert int(got.loc[tbl, "n_rows"]) == len(keys)
