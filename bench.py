@@ -295,31 +295,65 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+# representative queries kept in the FINAL (driver-parsed) JSON line —
+# the driver records only the last ~2000 bytes of stdout, so the full
+# 170-query table cannot fit there (BENCH_r04.parsed was null for exactly
+# this reason); the full table goes to the first stdout line AND to
+# BENCH_FULL_OUT (default /tmp/bench_full.json)
+COMPACT_QUERIES = [
+    "q1_pricing_summary", "q5_local_supplier_volume", "events_window",
+    "purchase_attribution", "heavy_users_mg", "geo_pip_join", "geo_knn",
+    "geo_cell_knn_halo", "geo_extract", "dedup_exact", "minhash_neardup",
+    "dedup_clusters", "curate_corpus", "semdedup", "embed_topk",
+    "kmeans_embeddings", "lm_quality", "dedup_spans", "gopher_filter",
+    "pagerank", "scc", "rank_agreement", "curate_web_corpus",
+    "label_prop_communities", "bpe_train", "pack_sequences",
+    "fk_violations", "rfm_segments", "media_dedup", "view_maintenance",
+]
+
+
 def main_plain():
     _init_ray()
     import ray
 
     h = headline()
     queries = run_queries()
-    print(
-        json.dumps(
-            {
-                "metric": "waterway-graph assembly + query suite wall time",
-                "value": round(h["sec"], 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": SF_DIR,
-                "num_cpus": NUM_CPUS,
-                "throughput": {
-                    "ways_per_s": round(h["ways_per_s"], 1),
-                    "edges_per_s": round(h["edges_per_s"], 1),
-                    "n_ways": h["n_ways"],
-                    "n_edges": h["n_edges"],
-                    "n_nodes": h["n_nodes"],
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "waterway-graph assembly + query suite wall time",
+        "value": round(h["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "throughput": {
+            "ways_per_s": round(h["ways_per_s"], 1),
+            "edges_per_s": round(h["edges_per_s"], 1),
+            "n_ways": h["n_ways"],
+            "n_edges": h["n_edges"],
+            "n_nodes": h["n_nodes"],
+        },
+    }
+    # full record: first stdout line + a file (survives the tail window)
+    print(json.dumps(full, separators=(",", ":")), flush=True)
+    out_path = os.environ.get("BENCH_FULL_OUT", "/tmp/bench_full.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    # compact FINAL line (must stay well under the driver's 2000-byte
+    # stdout tail so it parses): headline + representative queries +
+    # suite-wide roll-ups
+    compact = dict(full)
+    compact["queries"] = {
+        k: queries[k] for k in COMPACT_QUERIES if k in queries
+    }
+    compact["queries_sum_sec"] = round(sum(queries.values()), 2)
+    compact["n_queries"] = len(queries)
+    compact["full_table"] = out_path
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line, flush=True)
     ray.shutdown()
 
 
