@@ -42,6 +42,7 @@ driver only ever sees O(1) scalars (the page count).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -3019,17 +3020,54 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str, num_parts: int = 8):
     'in': src -> dst (backward reachability). Labels must be node ids
     (lab(v) reachable from v) for the jump to be sound; convergence is
     detected by equal int64 label sums (min-propagation only lowers
-    labels). Shared by scc and bowtie."""
+    labels). Shared by scc and bowtie.
+
+    The pointer jump rides the SAME join as edge propagation
+    (labels-as-edges fusion, r5): a virtual edge (v, lab(v)) attached
+    against the label table contributes lab(lab(v)) to v's grouped min —
+    exactly the old second lookup_join — so each iteration pays ONE
+    cogroup shuffle instead of two. The update set is identical rule-
+    for-rule (self-loops in e_tbl already contribute lab(v) itself), so
+    labels — and the iteration count — are byte-identical to the
+    unfused plan (pinned by tests/test_webgraph.py's scc oracle +
+    Kosaraju brute force).
+
+    Two execution twins (``WWX_SCC_FIXPOINT``): ``bsp`` (default) runs
+    the fixpoint on hash-sharded actors — TWO message rounds per
+    iteration instead of two Ray Data shuffles + pin + sum (~10× less
+    per-iteration launch overhead, measured r5; see
+    ``state/labelprop.py`` for the partitioning contract); ``dataset``
+    keeps the pure-Dataset plan below. Same update rule, byte-identical
+    labels (twin-equality pinned by tests/test_labelprop.py)."""
     from osmwaterwayextractor_ray.stages.fastagg import grouped_agg, lookup_join
     from osmwaterwayextractor_ray.stages.pin import pin
+
+    if os.environ.get("WWX_SCC_FIXPOINT", "bsp") == "bsp":
+        from osmwaterwayextractor_ray.state.labelprop import min_label_fixpoint_bsp
+
+        return min_label_fixpoint_bsp(
+            lab, e_tbl, along, name, num_parts=num_parts,
+            max_iters=_SCC_MAX_PROP,
+        )
 
     attach_key, group_key = (
         ("dst_page", "src_page") if along == "out" else ("src_page", "dst_page")
     )
+
+    def lab_as_edges(t: pa.Table) -> pa.Table:
+        # (page_id, lab) -> an edge whose group side is page_id and whose
+        # attach side is lab, matching the direction of this fixpoint
+        if along == "out":
+            return pa.table({"src_page": t["page_id"], "dst_page": t["lab"]})
+        return pa.table({"src_page": t["lab"], "dst_page": t["page_id"]})
+
     s_prev = _int_sum(lab, "lab")
     for it in range(_SCC_MAX_PROP):
-        via_edges = lookup_join(
-            e_tbl, lab, attach_key, "page_id", {"lab": "lab"},
+        fused_edges = e_tbl.union(
+            lab.map_batches(lab_as_edges, batch_format="pyarrow")
+        )
+        via = lookup_join(
+            fused_edges, lab, attach_key, "page_id", {"lab": "lab"},
             num_parts=num_parts, left_schema=_E_SCHEMA, right_schema=_L_SCHEMA,
         ).map_batches(
             lambda t: t.select([group_key, "lab"]).rename_columns(
@@ -3037,24 +3075,9 @@ def _min_label_fixpoint(lab, e_tbl, along: str, name: str, num_parts: int = 8):
             ),
             batch_format="pyarrow",
         )
-        # pointer jump: lab(lab(v)) — labels are active node ids, and
-        # lab(v) is reachable from v, so the composition is a sound
-        # candidate (horizon h -> 2h per iteration). Deeper chained
-        # jumps (lab^3/lab^4 in the same lazy plan) were measured 3x
-        # SLOWER at sf0.1/32: the extra in-plan shuffle joins cost
-        # more than the saved iterations.
-        via_ptr = lookup_join(
-            lab, lab, "lab", "page_id", {"lab": "__jump"},
-            num_parts=num_parts, left_schema=_L_SCHEMA, right_schema=_L_SCHEMA,
-        ).map_batches(
-            lambda t: t.select(["page_id", "__jump"]).rename_columns(
-                ["page_id", "lab"]
-            ),
-            batch_format="pyarrow",
-        )
         lab = pin(
             grouped_agg(
-                via_edges.union(via_ptr),
+                via,
                 ["page_id"],
                 {"lab": ("lab", "min")},
                 num_parts=num_parts,
