@@ -1,8 +1,13 @@
-"""Block-structure invariance for the wave 46-60 operators: identical
-results when the same sf0.001 tables are re-written with 97-row parquet
-row groups (CLAUDE.md: results must be invariant to block structure /
-num_cpus — past bugs all came from batch-local state leaking into
-outputs)."""
+"""Block-structure invariance: identical results when the same sf0.001
+tables are re-written with 97-row parquet row groups (CLAUDE.md: results
+must be invariant to block structure / num_cpus — past bugs all came
+from batch-local state leaking into outputs).
+
+Covers the wave 46-60 operators plus (r5, VERDICT r4 #3/#5) the
+highest-risk earlier families: the near-dup pair pipelines (float
+scores + pair-role assignment), the iterative graph ops, the windowed
+funnel, and the four ANN top-k paths — embed_topk_pq's per-batch ADC
+shortlist merge is exactly the device this harness was asked to pin."""
 
 from __future__ import annotations
 
@@ -26,6 +31,15 @@ OPS = [
     "watermark_audit", "table_fingerprint", "rolling_active_users",
     "revenue_wow", "rebalance_audit", "view_maintenance",
     "media_phash_neardup",
+    # r5 backward extension (VERDICT r4 #5): float / order-sensitive
+    # kernels from the earlier waves
+    "minhash_neardup", "tfidf_cosine_neardup", "simhash_neardup",
+    "dedup_spans", "dup_span_stats", "dedup_clusters",
+    "pagerank", "label_prop_communities", "funnel_conversion",
+    "semdedup", "kmeans_embeddings",
+    # the four ANN top-k paths (VERDICT r4 #3: embed_topk_pq's ADC
+    # shortlist must survive re-batching)
+    "embed_topk", "embed_topk_ivf", "embed_topk_pq", "embed_topk_ivfpq",
 ]
 
 
