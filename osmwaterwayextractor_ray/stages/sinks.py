@@ -449,29 +449,61 @@ def _mobile_edge_table(batch: pa.Table, ids: np.ndarray) -> pa.Table:
     )
 
 
-def to_mobile(nodes_ds, edges_ds):
-    """Mobile format (ref :2912-2941) as driver-resident DataFrames —
-    small-scale / test convenience; the scale sink is ``save_mobile_csv``,
-    which streams. Ordering contract: mobile node id = 1 + rank of the
-    node's deterministic id in sorted order; mobile edge id likewise."""
-    import pandas as pd
+def to_mobile_ds(nodes_ds, edges_ds):
+    """Mobile format (ref :2912-2941) as STREAMING Datasets — the scale
+    twin of ``to_mobile``. Mobile node id = 1 + rank of the node's
+    deterministic id in global sorted order (``node_ranks``, distributed);
+    mobile edge id = 1 + rank of the edge id likewise (``id_ranks`` —
+    the same device the sharded jsongz/CSV paths use). Nothing O(nodes)
+    or O(edges) touches the driver; rows are unordered (impose order at
+    the consumer, as any shuffle output)."""
+    import pyarrow.compute as pc
 
-    ndf = node_ranks(nodes_ds).materialize().sort("rank").to_pandas()
-    mobile_nodes = pd.DataFrame(
-        {"id": np.arange(1, len(ndf) + 1), "lat": ndf["lat"], "lon": ndf["lon"]}
+    ranks = node_ranks(nodes_ds).materialize()
+    mobile_nodes = ranks.map_batches(
+        lambda t: pa.table(
+            {
+                "id": pc.add(t["rank"], pa.scalar(1, pa.int64())),
+                "lat": t["lat"],
+                "lon": t["lon"],
+            }
+        ),
+        batch_format="pyarrow",
     )
-    edf = mobile_edges_renumbered(nodes_ds, edges_ds).sort("id").to_pandas()
-    mobile_edges = pd.DataFrame(
-        {
-            "id": np.arange(1, len(edf) + 1, dtype=np.int64),
-            "from_node_id": edf["__from"].to_numpy(dtype=np.int64) + 1,
-            "to_node_id": edf["__to"].to_numpy(dtype=np.int64) + 1,
-            "length_m": edf["length_m"],
-            "name": edf["name"],
-            "type": edf["type"],
-            "width_m": edf["width_m"],
-        }
+    renumbered = mobile_edges_renumbered(nodes_ds, edges_ds, node_ranks_ds=ranks)
+    eranks = id_ranks(
+        renumbered.materialize(),
+        keep=["__from", "__to", "length_m", "name", "type", "width_m"],
     )
+    mobile_edges = eranks.map_batches(
+        lambda t: _mobile_edge_table(
+            t, t.column("rank").to_numpy(zero_copy_only=False) + 1
+        ),
+        batch_format="pyarrow",
+    )
+    return mobile_nodes, mobile_edges
+
+
+def to_mobile(nodes_ds, edges_ds):
+    """Mobile format as driver-resident DataFrames — small-scale / test
+    convenience over ``to_mobile_ds`` (which streams), with the same
+    WWX_MAX_BROADCAST_ROWS guard as every other deliberate driver
+    materialization in this module: above the budget this raises and
+    points at the streaming twins instead of silently collecting
+    O(nodes+edges) rows on the driver. The scale sinks are
+    ``save_mobile_csv`` (streams each renumbered block into the gzip
+    writer) and ``to_mobile_ds``."""
+    mn_ds, me_ds = to_mobile_ds(nodes_ds, edges_ds)
+    mn_ds, me_ds = mn_ds.materialize(), me_ds.materialize()
+    n = mn_ds.count() + me_ds.count()
+    if n > _max_broadcast_rows():
+        raise ValueError(
+            f"to_mobile collects {n} rows on the driver, above the "
+            f"WWX_MAX_BROADCAST_ROWS budget ({_max_broadcast_rows()}); use "
+            "the streaming twins to_mobile_ds / save_mobile_csv instead"
+        )
+    mobile_nodes = mn_ds.sort("id").to_pandas()
+    mobile_edges = me_ds.sort("id").to_pandas()
     return mobile_nodes, mobile_edges
 
 

@@ -93,6 +93,30 @@ def test_mobile(graph, tmp_path):
     assert os.path.exists(out["nodes"]) and os.path.exists(out["edges"])
 
 
+def test_mobile_streaming_twin_matches(graph):
+    """to_mobile_ds (streaming) renders the same tables as the driver
+    convenience to_mobile once sorted by mobile id."""
+    nodes, edges = graph
+    mnodes, medges = sinks.to_mobile(nodes, edges)
+    dn, de = sinks.to_mobile_ds(nodes, edges)
+    dn = dn.to_pandas().sort_values("id").reset_index(drop=True)
+    de = de.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(dn, mnodes.reset_index(drop=True))
+    pd.testing.assert_frame_equal(de, medges.reset_index(drop=True))
+
+
+def test_mobile_budget_guard(graph, monkeypatch):
+    """Above WWX_MAX_BROADCAST_ROWS, to_mobile refuses the driver
+    collect and points at the streaming twins; to_mobile_ds still
+    streams fine."""
+    nodes, edges = graph
+    monkeypatch.setenv("WWX_MAX_BROADCAST_ROWS", "1")
+    with pytest.raises(ValueError, match="to_mobile_ds"):
+        sinks.to_mobile(nodes, edges)
+    dn, _ = sinks.to_mobile_ds(nodes, edges)
+    assert dn.count() == nodes.count()
+
+
 def test_qa_and_manifest(graph, tmp_path):
     nodes, edges = graph
     cfg = Config()
