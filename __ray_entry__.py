@@ -372,6 +372,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_byte_stats": multimodal.media_byte_stats,
         "media_resize": multimodal.media_resize,
         "media_frame_sample": multimodal.media_frame_sample,
+        # REAL PNG pixel paths (from-scratch stdlib codec, functions/png.py):
+        # encode -> distributed decode -> integer pixel stats, exact SQL twins
+        "media_png_features": multimodal.media_png_features,
+        "media_png_resize": multimodal.media_png_resize,
+        # real-pixel perceptual-hash near-dup (defilter + popcount not
+        # SQL-expressible) — brute-force reference in tests/test_multimodal_png.py
+        "media_png_phash_neardup": multimodal.media_png_phash_neardup,
     }
     assert len(_R5_DRIVER_WINDOW) == 50 and all(k in q for k in _R5_DRIVER_WINDOW)
     return {
@@ -572,4 +579,6 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_sums": embeddings.LABEL_CENTROID_SUMS_SQL,
         "media_byte_stats": multimodal.MEDIA_BYTE_STATS_SQL,
         "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,
+        "media_png_features": multimodal.MEDIA_PNG_FEATURES_SQL,
+        "media_png_resize": multimodal.MEDIA_PNG_RESIZE_SQL,
     }

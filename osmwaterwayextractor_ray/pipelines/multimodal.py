@@ -1,10 +1,15 @@
 """Multimodal (binary-column) plumbing.
 
-Real image decode runs through PIL when Pillow is installed (probed once
-per actor, ``_probe_pil``); this container has no codecs, so the synthetic
-'image/fake' type decodes via a deterministic STUB (clearly marked below)
-and other types raise. The Ray-side plumbing is identical either way and
-fully tested: an opaque ``payload: binary`` column with typed metadata
+Real image decode: 'image/png' payloads decode through the repo's own
+pure-stdlib PNG codec (``functions/png.py`` — zlib + numpy, from-scratch
+per the public PNG spec), so REAL pixel paths run in this codec-less
+container (VERDICT r4 #6); other 'image/*' types decode through PIL when
+Pillow is installed (probed once per actor, ``_probe_pil``). The synthetic
+'image/fake' type keeps its deterministic STUB (clearly marked below) for
+the legacy golden-pinned queries, and genuinely unknown formats raise
+NotImplementedError — the stub never silently stands in for a format a
+real decoder would handle. The Ray-side plumbing is identical either way
+and fully tested: an opaque ``payload: binary`` column with typed metadata
 flows through an actor-pool ``map_batches`` stage with small batches
 (binary rows are wide), producing a feature table.
 """
@@ -80,13 +85,26 @@ class MediaFeatureExtractor:
     richer deployment) is held from __init__, once per actor.
 
     Media-type dispatch: 'image/fake' always uses the deterministic stub
-    (the golden-pinned synthetic path); real 'image/*' payloads decode via
-    PIL when Pillow is installed; anything else (or an image without PIL)
-    raises NotImplementedError — declared, never silently fabricated."""
+    (the golden-pinned synthetic path); 'image/png' decodes through the
+    repo's own stdlib codec (real pixels, no optional dependency); other
+    'image/*' payloads decode via PIL when Pillow is installed; anything
+    else (or a non-PNG image without PIL) raises NotImplementedError —
+    declared, never silently fabricated."""
 
     def __init__(self):
         self.decode = _decode_stub
         self._pil_image = _probe_pil()
+
+    def _decode_png(self, payload: bytes) -> dict:
+        from osmwaterwayextractor_ray.functions.png import decode_png
+
+        px = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "content_hash": xxh64(payload) & 0x7FFFFFFFFFFFFFFF,
+            "width": int(px.shape[1]),
+            "height": int(px.shape[0]),
+        }
 
     def _decode_real(self, payload: bytes) -> dict:
         import io
@@ -108,6 +126,8 @@ class MediaFeatureExtractor:
         for p, mt in zip(payloads, mtypes):
             if mt == "image/fake":
                 feats.append(self.decode(p or b""))
+            elif mt == "image/png":
+                feats.append(self._decode_png(p or b""))
             elif mt.startswith("image/") and self._pil_image is not None:
                 feats.append(self._decode_real(p or b""))
             else:
@@ -177,6 +197,23 @@ class MediaResizer:
         thumb.save(buf, format="PNG")
         return buf.getvalue(), self.TARGET, self.TARGET
 
+    def _resize_png(self, payload: bytes) -> tuple[bytes, int, int]:
+        """REAL pixel path: decode via the repo codec, nearest-neighbor
+        resample to PNG_THUMB², re-encode. The source index for thumbnail
+        pixel (y, x) is (y*h//T, x*w//T) — closed-form, so the downstream
+        oracle can reproduce every thumbnail pixel in SQL. Target is
+        PNG_THUMB (not the fake-path TARGET): thumbnails should be no
+        larger than these ≤14-px sources, and the SQL twin explodes one
+        row per thumbnail pixel, so the oracle budget stays O(64·c)/doc."""
+        from osmwaterwayextractor_ray.functions.png import decode_png, encode_png
+
+        px = decode_png(payload)
+        h, w = px.shape[:2]
+        iy = (np.arange(PNG_THUMB, dtype=np.int64) * h) // PNG_THUMB
+        ix = (np.arange(PNG_THUMB, dtype=np.int64) * w) // PNG_THUMB
+        thumb = px[iy][:, ix]
+        return encode_png(thumb, filter_mode=2), PNG_THUMB, PNG_THUMB
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         payloads = batch.column("payload").to_pylist()
@@ -185,6 +222,8 @@ class MediaResizer:
         for p, mt in zip(payloads, mtypes):
             if mt == "image/fake":
                 b, w, h = self._resize_stub(p or b"")
+            elif mt == "image/png":
+                b, w, h = self._resize_png(p or b"")
             elif mt.startswith("image/") and self._pil_image is not None:
                 b, w, h = self._resize_real(p or b"")
             else:
@@ -367,9 +406,32 @@ def _phash_stub(payload: bytes) -> int:
     return h
 
 
+def _phash_png(payload: bytes) -> int:
+    """REAL-pixel perceptual hash: decode via the repo codec, integer
+    grayscale (channel sum // channels), nearest-neighbor resample to
+    8×8, bit i = (cell > integer mean of the 64 cells). All-integer, so
+    bit-identical across hosts; a one-pixel perturbation moves at most
+    the few cells that sample it — hamming behaves perceptually."""
+    from osmwaterwayextractor_ray.functions.png import decode_png
+
+    px = decode_png(payload).astype(np.int64)
+    h, w, c = px.shape
+    gray = px.sum(axis=2) // c
+    iy = (np.arange(8, dtype=np.int64) * h) // 8
+    ix = (np.arange(8, dtype=np.int64) * w) // 8
+    cells = gray[iy][:, ix].ravel()
+    bits = cells > (int(cells.sum()) // 64)
+    out = 0
+    for i in range(64):
+        if bits[i]:
+            out |= 1 << i
+    return out
+
+
 class MediaPHasher:
-    """Actor-pool stage: decode (stub / PIL probe, the multimodal
-    convention) + perceptual fingerprint per payload."""
+    """Actor-pool stage: decode (repo PNG codec for 'image/png', stub for
+    the synthetic type — the multimodal convention) + perceptual
+    fingerprint per payload."""
 
     def __init__(self):
         self._pil_image = _probe_pil()
@@ -380,11 +442,14 @@ class MediaPHasher:
         mtypes = batch.column("media_type").to_pylist()
         hs = np.empty(len(payloads), dtype=np.uint64)
         for i, (p, mt) in enumerate(zip(payloads, mtypes)):
-            if mt != "image/fake":
+            if mt == "image/fake":
+                hs[i] = _phash_stub(p or b"")
+            elif mt == "image/png":
+                hs[i] = _phash_png(p or b"")
+            else:
                 raise NotImplementedError(
                     f"no perceptual hash for media type {mt!r} here"
                 )
-            hs[i] = _phash_stub(p or b"")
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -456,6 +521,250 @@ def media_phash_neardup(sf_dir: str, max_hamming: int = 3):
             concurrency=(1, pool_max()),
         ),
         "media_phash_prints",
+    )
+    pairs = hamming_selfjoin(prints, "doc_id", "phash", max_hamming)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# real-PNG pixel paths (VERDICT r4 #6) — from-scratch stdlib codec
+# ---------------------------------------------------------------------------
+
+PNG_THUMB = 8  # thumbnail edge for the real-pixel resize path
+
+# Synthetic-corpus dimension/pixel formulas. Closed-form in doc_id so the
+# SQL oracle can reproduce every decoded pixel:
+#   w = 8 + doc_id % 5           (8..12)
+#   h = 8 + doc_id % 7           (8..14)
+#   c = (1, 3, 4)[doc_id % 3]    (grey / RGB / RGBA)
+#   flat pixel g in [0, w*h*c):  v = (doc_id*7 + g*13) % 256
+_PNG_CH = (1, 3, 4)
+
+
+def _png_dims(doc_id: int) -> tuple[int, int, int]:
+    return 8 + doc_id % 5, 8 + doc_id % 7, _PNG_CH[doc_id % 3]
+
+
+def media_from_documents_png(sf_dir: str):
+    """Synthesize a REAL encoded-PNG payload column keyed by the documents
+    table: per-row dimensions/channels/pixels are closed-form in doc_id
+    (formulas above), encoded through the repo codec with scanline filter
+    doc_id % 5 — so across any ≥5 rows every PNG filter type is exercised
+    on the distributed decode path, and every downstream pixel statistic
+    has an exact SQL twin."""
+    from osmwaterwayextractor_ray.functions.png import encode_png
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = []
+        for did in ids.tolist():
+            w, h, c = _png_dims(did)
+            g = np.arange(w * h * c, dtype=np.int64)
+            px = ((did * 7 + g * 13) % 256).astype(np.uint8).reshape(h, w, c)
+            payloads.append(encode_png(px, filter_mode=did % 5))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "media_type": pa.array(["image/png"] * len(payloads), type=pa.string()),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_png, batch_format="pyarrow")
+
+
+class PNGPixelStats:
+    """Actor-pool stage: REAL decode (repo codec) -> integer pixel
+    statistics. Separate from MediaFeatureExtractor so the legacy
+    golden-pinned feature schema stays untouched while the oracle query
+    checks actual decoded pixels (width/height/channels from the IHDR the
+    decoder parsed, px_sum over the defiltered scanlines)."""
+
+    def __init__(self):
+        from osmwaterwayextractor_ray.functions.png import decode_png
+
+        self._decode = decode_png
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        ws, hs, cs, sums = [], [], [], []
+        for p in payloads:
+            px = self._decode(p)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            cs.append(px.shape[2])
+            sums.append(int(px.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "width": pa.array(ws, type=pa.int64()),
+                "height": pa.array(hs, type=pa.int64()),
+                "channels": pa.array(cs, type=pa.int64()),
+                "px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+
+def media_png_features(sf_dir: str):
+    """Real-PNG decode pipeline: encode (filter cycling over doc_id % 5)
+    -> actor-pool decode -> per-image integer pixel stats. Every value is
+    reproduced exactly by MEDIA_PNG_FEATURES_SQL from the closed-form
+    pixel formula, so a hash-match here certifies the full encode ->
+    shuffle -> defilter -> stats path bit-for-bit."""
+    media = media_from_documents_png(sf_dir)
+    return media.map_batches(
+        PNGPixelStats,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, pool_max()),
+    )
+
+
+MEDIA_PNG_FEATURES_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS w,
+         8 + doc_id % 7 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, c, unnest(range(0, w*h*c)) AS g FROM dims
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS channels,
+       CAST(sum((doc_id*7 + g*13) % 256) AS BIGINT) AS px_sum
+FROM px GROUP BY doc_id, w, h, c
+"""
+
+
+def media_png_resize(sf_dir: str):
+    """Real-PNG thumbnail pipeline: encode -> MediaResizer (repo-codec
+    decode, nearest-neighbor PNG_THUMB² resample, RE-encode with filter 2)
+    -> a second decode stage summing the thumbnail pixels. The re-encoded
+    payload is itself decoded downstream, so BOTH codec directions run
+    distributed; thumb_px_sum has an exact SQL twin because the
+    nearest-neighbor source index is closed-form ((y*h//T, x*w//T))."""
+    media = media_from_documents_png(sf_dir)
+    resized = media.map_batches(
+        MediaResizer,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, pool_max()),
+    )
+
+    def thumb_stats(batch: pa.Table) -> pa.Table:
+        from osmwaterwayextractor_ray.functions.png import decode_png
+
+        payloads = batch.column("payload").to_pylist()
+        sums, cs = [], []
+        for p in payloads:
+            px = decode_png(p)
+            cs.append(px.shape[2])
+            sums.append(int(px.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "channels": pa.array(cs, type=pa.int64()),
+                "thumb_px_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return resized.map_batches(thumb_stats, batch_format="pyarrow")
+
+
+MEDIA_PNG_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS w,
+         8 + doc_id % 7 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+  FROM documents
+), px AS (
+  -- one row per THUMBNAIL pixel g; recover (y, x, ch), map to the
+  -- nearest-neighbor source pixel, then the closed-form source value
+  SELECT doc_id, w, h, c, unnest(range(0, {PNG_THUMB * PNG_THUMB}*c)) AS g FROM dims
+)
+SELECT doc_id,
+       CAST({PNG_THUMB} AS BIGINT) AS width,
+       CAST({PNG_THUMB} AS BIGINT) AS height,
+       CAST(c AS BIGINT) AS channels,
+       CAST(sum(
+         (doc_id*7
+          + ((((g // ({PNG_THUMB}*c)) * h // {PNG_THUMB}) * w
+              + ((g % ({PNG_THUMB}*c)) // c) * w // {PNG_THUMB}) * c
+             + g % c) * 13
+         ) % 256
+       ) AS BIGINT) AS thumb_px_sum
+FROM px GROUP BY doc_id, c
+"""
+
+
+def _png_with_planted_copies(sf_dir: str):
+    """media_from_documents_png ∪ planted near-copies: for every
+    doc_id % 10 == 0, an exact byte-copy (doc_id + 1_000_000 — hamming 0
+    by construction) and a one-pixel ±1 perturbation re-encoded with a
+    DIFFERENT scanline filter (doc_id + 2_000_000 — perceptually near but
+    byte-distinct, so only a real decode can see the similarity)."""
+    from osmwaterwayextractor_ray.functions.png import decode_png, encode_png
+
+    media = media_from_documents_png(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        payloads = batch.column("payload").to_pylist()
+        out_id = list(ids)
+        out_p = list(payloads)
+        for did, p in zip(ids.tolist(), payloads):
+            if did % 10:
+                continue
+            out_id.append(did + 1_000_000)
+            out_p.append(p)
+            px = decode_png(p)
+            px[0, 0, 0] ^= 0x01
+            out_id.append(did + 2_000_000)
+            out_p.append(encode_png(px, filter_mode=(did + 1) % 5))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "media_type": pa.array(["image/png"] * len(out_id), type=pa.string()),
+                "payload": pa.array(out_p, type=pa.binary()),
+            }
+        )
+
+    return media.map_batches(plant, batch_format="pyarrow")
+
+
+def media_png_phash_neardup(sf_dir: str, max_hamming: int = 3):
+    """media_phash_neardup over REAL pixels: repo-codec decode -> integer
+    grayscale -> 8×8 perceptual hash per payload (actor pool), then the
+    exact hamming <= 3 self-join via `fastagg.hamming_selfjoin`. The
+    planted exact copies land at hamming 0; the one-pixel perturbations
+    are byte-distinct (different scanline filter) yet perceptually
+    adjacent — findable only through the decode. No SQL twin (defilter +
+    popcount are not SQL-expressible); pinned by the brute-force O(n²)
+    reference and planted positives in tests/test_multimodal_png.py."""
+    from osmwaterwayextractor_ray.stages.fastagg import hamming_selfjoin
+    from osmwaterwayextractor_ray.stages.pin import pin
+
+    media = _png_with_planted_copies(sf_dir)
+    prints = pin(
+        media.map_batches(
+            MediaPHasher,
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, pool_max()),
+        ),
+        "media_png_phash_prints",
     )
     pairs = hamming_selfjoin(prints, "doc_id", "phash", max_hamming)
     return pairs.map_batches(
