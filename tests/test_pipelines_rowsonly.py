@@ -70,31 +70,39 @@ def test_simhash_and_langid_deterministic(ray_session):
 
 
 def test_media_real_decode_dispatch(monkeypatch):
-    """The PIL-probed real-decode path: with a (fake) PIL module present,
-    'image/png' payloads decode through PIL.Image.open; without PIL they
-    raise the declared NotImplementedError; 'image/fake' always stubs.
-    Called directly (no Ray) — dispatch is per-actor state."""
+    """Decode dispatch: 'image/png' ALWAYS decodes through the repo's own
+    stdlib codec (no PIL needed — real pixels); other 'image/*' types
+    decode through PIL.Image.open when a (fake) PIL module is present and
+    raise the declared NotImplementedError without it; 'image/fake'
+    always stubs. Called directly (no Ray) — dispatch is per-actor
+    state."""
     import types
 
+    import numpy as np
     import pyarrow as pa
 
+    from osmwaterwayextractor_ray.functions.png import encode_png
     from osmwaterwayextractor_ray.pipelines import multimodal as mm
 
-    def batch(mt):
+    def batch(mt, payload=b"\x89PNG fake bytes"):
         return pa.table(
             {
                 "doc_id": pa.array([1], type=pa.int64()),
                 "media_type": pa.array([mt], type=pa.string()),
-                "payload": pa.array([b"\x89PNG fake bytes"], type=pa.binary()),
+                "payload": pa.array([payload], type=pa.binary()),
             }
         )
 
-    # no PIL: real image types are declared-unsupported, stub type works
+    # no PIL: non-PNG image types are declared-unsupported, stub type
+    # works, and image/png decodes REAL pixels through the repo codec
     monkeypatch.setattr(mm, "_probe_pil", lambda: None)
     ex = mm.MediaFeatureExtractor()
     assert ex(batch("image/fake"))["n_bytes"][0].as_py() == 15
     with pytest.raises(NotImplementedError, match="Pillow"):
-        ex(batch("image/png"))
+        ex(batch("image/jpeg"))
+    real = encode_png(np.zeros((5, 7, 3), dtype=np.uint8))
+    out = ex(batch("image/png", real))
+    assert out["width"][0].as_py() == 7 and out["height"][0].as_py() == 5
 
     # fake PIL: open() returns an object with .size, features flow through
     class _Img:
@@ -102,7 +110,7 @@ def test_media_real_decode_dispatch(monkeypatch):
 
     fake_image = types.SimpleNamespace(open=lambda buf: _Img())
     monkeypatch.setattr(mm, "_probe_pil", lambda: fake_image)
-    out = mm.MediaFeatureExtractor()(batch("image/png"))
+    out = mm.MediaFeatureExtractor()(batch("image/jpeg"))
     assert out["width"][0].as_py() == 320 and out["height"][0].as_py() == 240
     assert out["n_bytes"][0].as_py() == 15
 
